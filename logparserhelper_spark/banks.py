@@ -1,0 +1,278 @@
+"""Pattern / transformation banks.
+
+Reference semantics being reproduced (cited file:line in /root/reference):
+
+- Bank file shape ``{"date_patterns": [{"name": str, "pattern": str}, ...]}``
+  (data/patterns.json:1-36). Order is semantic: tag/class identity is the
+  bank ordinal (core/regex_highlighter.py:16-18) and the color is
+  ``palette[i % 10]`` (utils/color_utils.py:18).
+- Missing file -> empty bank; JSON/IO error -> empty bank + logged note,
+  never a failure (utils/json_utils.py:8-18, 30-39).
+- Duplicate pattern strings are allowed, present in the shipped bank
+  (p4==p5, p2==p6), and each produces its own full match set — multicast,
+  not first-match-wins (core/regex_highlighter.py:16-25).
+- Transformation entries ``{pattern, sample, replacement, enabled}``:
+  ``replacement`` defaults to "<DATE>" (gui/log_generator.py:42), compile
+  errors fall back to the raw input (``re.error`` -> sample,
+  gui/log_generator.py:43-46), ``enabled`` defaults True and disabled
+  entries are skipped (gui/log_generator.py:47,76-81).
+
+Spark-side design: banks are tiny driver-side objects. They are shipped to
+executors by closure capture of a plain tuple (cheap, immutable) and
+compiled ONCE per Python worker via a module-level cache keyed by the bank
+fingerprint — the reference recompiles on every call
+(core/regex_highlighter.py:19); we explicitly do not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+from dataclasses import dataclass, field
+
+
+def _kebab(name: str) -> str:
+    """Deterministic sink name from a pattern class name."""
+    return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-") or "pattern"
+
+
+@dataclass(frozen=True)
+class PatternEntry:
+    pattern_id: int  # bank ordinal == class identity (regex_highlighter.py:16)
+    name: str
+    pattern: str
+    sink: str  # kebab-cased name; routing target
+
+
+@dataclass(frozen=True)
+class TransformEntry:
+    pattern: str
+    sample: str = ""
+    replacement: str = "<DATE>"  # reference default (log_generator.py:42)
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class PatternBank:
+    entries: tuple[PatternEntry, ...]
+
+    @property
+    def version(self) -> str:
+        """Content fingerprint — keys executor-side compile caches and sinks."""
+        payload = json.dumps(
+            [(e.pattern_id, e.name, e.pattern) for e in self.entries]
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def as_rows(self) -> list[tuple[int, str, str, str]]:
+        """(pattern_id, name, pattern, sink) rows for a dimension DataFrame."""
+        return [(e.pattern_id, e.name, e.pattern, e.sink) for e in self.entries]
+
+    def spec(self) -> tuple[tuple[int, str, str, str], ...]:
+        """Immutable, picklable spec for closure capture into UDFs."""
+        return tuple(self.as_rows())
+
+
+@dataclass(frozen=True)
+class TransformBank:
+    entries: tuple[TransformEntry, ...] = field(default_factory=tuple)
+
+    def enabled_entries(self) -> tuple[TransformEntry, ...]:
+        """Enabled-filter (log_generator.py:47,80): enabled defaults True."""
+        return tuple(e for e in self.entries if e.enabled)
+
+    def spec(self) -> tuple[tuple[str, str], ...]:
+        """(pattern, replacement) pairs of enabled entries, in bank order."""
+        return tuple((e.pattern, e.replacement) for e in self.enabled_entries())
+
+
+def bank_from_dicts(dicts: list[dict]) -> PatternBank:
+    """Build a PatternBank from ``date_patterns``-style dicts, keeping order
+    and duplicates (duplicate multicast is a tested reference semantic)."""
+    entries = tuple(
+        PatternEntry(
+            pattern_id=i,
+            name=d.get("name", f"pattern_{i}"),
+            pattern=d["pattern"],
+            sink=_kebab(d.get("name", f"pattern_{i}")),
+        )
+        for i, d in enumerate(dicts)
+    )
+    return PatternBank(entries=entries)
+
+
+def load_pattern_bank(path: str) -> PatternBank:
+    """Load a pattern bank with the reference's permissive defaults
+    (utils/json_utils.py:8-18): missing/corrupt file -> empty bank."""
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    except FileNotFoundError:
+        return PatternBank(entries=())
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"pattern bank read error {path}: {e}", file=sys.stderr)
+        return PatternBank(entries=())
+    return bank_from_dicts(data.get("date_patterns", []))
+
+
+def load_transform_bank(path: str) -> TransformBank:
+    """Load a transformation bank with reference defaults
+    (utils/json_utils.py:30-39): missing/corrupt file -> empty bank."""
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    except FileNotFoundError:
+        return TransformBank(entries=())
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"transform bank read error {path}: {e}", file=sys.stderr)
+        return TransformBank(entries=())
+    entries = tuple(
+        TransformEntry(
+            pattern=d.get("pattern", ""),
+            sample=d.get("sample", ""),
+            replacement=d.get("replacement", "<DATE>"),
+            enabled=bool(d.get("enabled", True)),
+        )
+        for d in data.get("transformations", [])
+    )
+    return TransformBank(entries=entries)
+
+
+# --------------------------------------------------------------------------
+# Executor-side compiled caches.
+#
+# The reference recompiles every pattern on every highlight call
+# (core/regex_highlighter.py:19). At scale that cost lands once per Arrow
+# batch, so we cache compiled artifacts per Python worker process, keyed by
+# the bank spec itself (hashable tuple). ``functools.lru_cache`` would hold
+# strong refs forever; bank count per job is ~1, so a plain dict is fine.
+# --------------------------------------------------------------------------
+
+_COMPILED_CACHE: dict = {}
+
+# A pattern is alternation-safe for the combined prefilter unless it uses
+# backreferences or named-group refs whose numbering would shift when the
+# patterns are OR-ed together.
+_UNSAFE_FOR_ALTERNATION = re.compile(r"\\\d|\(\?P=|\\g<")
+
+
+class CompiledBank:
+    """Per-worker compiled form of a PatternBank.
+
+    - ``groups``: list of (compiled_regex, [pattern_ids...]) — one entry per
+      DISTINCT pattern string, preserving first-occurrence order. Matching
+      runs once per distinct pattern and fans out to every pattern_id that
+      shares the string (exactly reproduces duplicate-entry multicast while
+      halving the reference bank's work: 8 entries -> 6 distinct).
+    - ``prefilter``: a single alternation regex used as a cheap reject test
+      (most turns in log corpora match nothing — 4 of 6 reference corpora
+      have zero matches). None when any pattern is alternation-unsafe or
+      fails to compile.
+    - ``bad_ids``: pattern_ids whose regex failed to compile. The reference
+      surfaces ``re.error`` only in the transform path (falls back to input,
+      log_generator.py:43-46); for matching we skip bad patterns (they can
+      match nothing) rather than failing the job.
+    """
+
+    def __init__(self, spec: tuple[tuple[int, str, str, str], ...]):
+        by_pattern: dict[str, list[int]] = {}
+        order: list[str] = []
+        names: dict[int, str] = {}
+        sinks: dict[int, str] = {}
+        for pid, name, pattern, sink in spec:
+            names[pid] = name
+            sinks[pid] = sink
+            if pattern not in by_pattern:
+                by_pattern[pattern] = []
+                order.append(pattern)
+            by_pattern[pattern].append(pid)
+
+        self.groups: list[tuple[re.Pattern, list[int]]] = []
+        self.bad_ids: set[int] = set()
+        alternation_ok = True
+        branches: list[str] = []
+        for pattern in order:
+            try:
+                rx = re.compile(pattern)
+            except re.error:
+                self.bad_ids.update(by_pattern[pattern])
+                continue
+            self.groups.append((rx, by_pattern[pattern]))
+            branches.append(f"(?:{pattern})")
+            if _UNSAFE_FOR_ALTERNATION.search(pattern):
+                alternation_ok = False
+
+        self.prefilter: re.Pattern | None = None
+        if alternation_ok and len(branches) > 1:
+            try:
+                self.prefilter = re.compile("|".join(branches))
+            except re.error:
+                self.prefilter = None
+        elif len(branches) == 1:
+            self.prefilter = self.groups[0][0]
+
+        self.names = names
+        self.sinks = sinks
+
+    def extract(self, text: str) -> list[tuple[int, int, int, str]]:
+        """All spans over one turn: (pattern_id, start, end, match), in
+        (bank-order-of-first-occurrence, position) order. Reproduces O4
+        (core/regex_highlighter.py:16-25): patterns independent, overlaps
+        across patterns coexist, finditer leftmost-non-overlapping within
+        one pattern, duplicates fan out."""
+        if not text:
+            return []
+        if self.prefilter is not None and self.prefilter.search(text) is None:
+            return []
+        out: list[tuple[int, int, int, str]] = []
+        for rx, pids in self.groups:
+            ms = [(m.start(), m.end(), m.group(0)) for m in rx.finditer(text)]
+            if not ms:
+                continue
+            for pid in pids:
+                out.extend((pid, s, e, g) for (s, e, g) in ms)
+        out.sort(key=lambda t: (t[0], t[1]))
+        return out
+
+
+def get_compiled_bank(spec: tuple[tuple[int, str, str, str], ...]) -> CompiledBank:
+    cb = _COMPILED_CACHE.get(("bank", spec))
+    if cb is None:
+        cb = CompiledBank(spec)
+        _COMPILED_CACHE[("bank", spec)] = cb
+    return cb
+
+
+class CompiledTransforms:
+    """Per-worker compiled form of a TransformBank's enabled entries.
+
+    Compile errors are detected once per entry at compile time; a bad entry
+    becomes the identity transform (the reference falls back to the raw
+    sample on ``re.error``, gui/log_generator.py:43-46)."""
+
+    def __init__(self, spec: tuple[tuple[str, str], ...]):
+        self.steps: list[tuple[re.Pattern, str]] = []
+        for pattern, replacement in spec:
+            try:
+                self.steps.append((re.compile(pattern), replacement))
+            except re.error:
+                continue  # identity: skip — output text unchanged by this entry
+
+    def apply(self, text: str) -> str:
+        for rx, repl in self.steps:
+            try:
+                text = rx.sub(repl, text)
+            except re.error:
+                # e.g. a replacement template referencing a missing group
+                continue
+        return text
+
+
+def get_compiled_transforms(spec: tuple[tuple[str, str], ...]) -> CompiledTransforms:
+    ct = _COMPILED_CACHE.get(("tf", spec))
+    if ct is None:
+        ct = CompiledTransforms(spec)
+        _COMPILED_CACHE[("tf", spec)] = ct
+    return ct

@@ -1,0 +1,36 @@
+"""Default bank locations and loaders for the shipped reference-equivalent
+pattern bank (data/pattern_bank.json — same 8 ordered entries, duplicates
+included, as the reference's data/patterns.json:1-36)."""
+
+from __future__ import annotations
+
+import os
+
+from logparserhelper_spark.banks import (
+    PatternBank,
+    TransformBank,
+    TransformEntry,
+    load_pattern_bank,
+)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_PATTERN_BANK_PATH = os.path.join(_HERE, "data", "pattern_bank.json")
+
+
+def default_pattern_bank() -> PatternBank:
+    return load_pattern_bank(DEFAULT_PATTERN_BANK_PATH)
+
+
+def default_transform_bank() -> TransformBank:
+    """Date -> token canonicalization: every bank pattern replaced with
+    "<DATE>" (the reference's default replacement, gui/log_generator.py:42).
+    Used as the normalize stage before frequency counting."""
+    bank = default_pattern_bank()
+    seen: set[str] = set()
+    entries = []
+    for e in bank.entries:
+        if e.pattern in seen:
+            continue  # duplicate patterns are a no-op the second time in a sub chain
+        seen.add(e.pattern)
+        entries.append(TransformEntry(pattern=e.pattern, replacement="<DATE>"))
+    return TransformBank(entries=tuple(entries))
