@@ -1,0 +1,296 @@
+"""End-to-end parse -> enrich -> route -> aggregate pipeline with
+bucket-level checkpoint/resume, lineage, and observed metrics.
+
+Lifecycle (Spark rebuild of the reference's E1 path, SURVEY.md §3):
+
+  read transcripts -> stable-order dedup -> normalize (O7 chain)
+    -> fused span extraction (O4, one mapInPandas pass)
+    -> enrich (broadcast role/tool/bank dims)
+    -> multicast route -> per-sink partitioned write
+    -> aggregates (per-sink pattern frequency, per-conversation rollups)
+    -> lineage + metrics sinks
+
+Scale/resume design:
+- Work is chunked by ``bucket = pmod(xxhash64(conv_id), n_buckets)``. Every
+  bucket commits independently (routed rows, aggregate PARTIALS, lineage) and
+  is recorded in a progress manifest; a restart skips committed buckets and
+  re-derives only the final publish step. Outputs are pure functions of
+  (bank version, input), mirroring the reference's idempotent full recompute
+  (core/regex_highlighter.py:10) — re-running a bucket overwrites it
+  byte-equivalently. On Iceberg this maps to REPLACE-partition commits.
+- Aggregates are computed per bucket from the *written* routed output with a
+  column-pruned read-back (parse runs exactly once per turn; hard-part #2 of
+  SURVEY.md §7 — no persist + per-sink action fan-out).
+- Lineage is embedded provenance: every routed row carries the source
+  partition id and bank version; the lineage table is a groupBy over the
+  pruned read-back, and conservation (sum(rows_in) == input turns) is tested.
+- Metrics use ``df.observe`` (Observation) on the single parse pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.banks import PatternBank, TransformBank
+from logparserhelper_spark.defaults import default_pattern_bank, default_transform_bank
+from logparserhelper_spark.operators.aggregate import (
+    conv_match_rollup,
+    conv_rollup,
+    sink_pattern_freq,
+)
+from logparserhelper_spark.operators.enrich import bank_dim, enrich
+from logparserhelper_spark.operators.extract import parse_and_explode
+from logparserhelper_spark.operators.normalize import normalize_text
+from logparserhelper_spark.operators.ordering import stable_order_dedup
+from logparserhelper_spark.operators.route import route
+from logparserhelper_spark.sources.transcripts import read_dim, read_transcripts
+
+ROUTED_COLS = [
+    "conv_id", "turn_idx", "role", "text", "norm_text", "tool", "ts",
+    "pattern_id", "start", "end", "match",
+    "pattern_name", "sink", "color",
+    "role_kind", "is_human", "tool_family", "is_side_effecting",
+    "src_partition_id", "bank_version",
+]
+
+
+@dataclass
+class PipelineConfig:
+    input_path: str
+    out_dir: str
+    pattern_bank: PatternBank = field(default_factory=default_pattern_bank)
+    transform_bank: TransformBank | None = None  # None -> no normalize stage
+    role_dim_path: str | None = None
+    tool_dim_path: str | None = None
+    n_buckets: int = 4
+    dedup_strategy: str = "agg"
+    salt: int = 16
+    # test hook: raise after committing this many buckets (resume test)
+    fail_after_buckets: int | None = None
+
+
+class InjectedFailure(RuntimeError):
+    pass
+
+
+def _progress_dir(cfg: PipelineConfig) -> str:
+    return os.path.join(cfg.out_dir, "_progress")
+
+
+def _committed_buckets(cfg: PipelineConfig) -> set[int]:
+    d = _progress_dir(cfg)
+    if not os.path.isdir(d):
+        return set()
+    return {
+        int(fn[len("bucket_"):-len(".json")])
+        for fn in os.listdir(d)
+        if fn.startswith("bucket_") and fn.endswith(".json")
+    }
+
+
+def _mark_bucket(cfg: PipelineConfig, k: int, payload: dict) -> None:
+    d = _progress_dir(cfg)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".bucket_{k}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.rename(tmp, os.path.join(d, f"bucket_{k}.json"))  # atomic commit marker
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
+    t0 = time.monotonic()
+    bank = cfg.pattern_bank
+    tbank = cfg.transform_bank
+    bdim = bank_dim(spark, bank)
+    role_dim = read_dim(spark, cfg.role_dim_path) if cfg.role_dim_path else None
+    tool_dim = read_dim(spark, cfg.tool_dim_path) if cfg.tool_dim_path else None
+
+    src = read_transcripts(spark, cfg.input_path)
+    committed = _committed_buckets(cfg)
+    metrics: dict = {"buckets": {}, "bank_version": bank.version}
+
+    done = 0
+    for k in range(cfg.n_buckets):
+        if k in committed:
+            metrics["buckets"][k] = "resumed"
+            continue
+        bucket_src = src.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)) == k
+        )
+        m = _run_bucket(spark, cfg, bucket_src, bank, tbank, bdim, role_dim, tool_dim, k)
+        _mark_bucket(cfg, k, m)
+        metrics["buckets"][k] = m
+        done += 1
+        if cfg.fail_after_buckets is not None and done >= cfg.fail_after_buckets:
+            raise InjectedFailure(f"injected failure after {done} buckets")
+
+    _publish(spark, cfg)
+    metrics["wall_sec"] = time.monotonic() - t0
+    with open(os.path.join(cfg.out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    return metrics
+
+
+def _run_bucket(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    bucket_src: DataFrame,
+    bank: PatternBank,
+    tbank: TransformBank | None,
+    bdim: DataFrame,
+    role_dim: DataFrame | None,
+    tool_dim: DataFrame | None,
+    k: int,
+) -> dict:
+    routed_dir = os.path.join(cfg.out_dir, "routed", f"bucket={k}")
+    lineage_dir = os.path.join(cfg.out_dir, "lineage", f"bucket={k}")
+    partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
+
+    turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
+    if tbank is not None:
+        turns = normalize_text(turns, tbank)
+    else:
+        turns = turns.withColumn("norm_text", F.col("text"))
+    # provenance: the physical partition each turn was parsed in
+    turns = turns.withColumn("src_partition_id", F.spark_partition_id())
+
+    parsed = parse_and_explode(turns, bank)
+    routed = route(parsed, bdim)
+    routed = enrich(routed, role_dim, tool_dim)
+    routed = routed.withColumn("bank_version", F.lit(bank.version))
+    # stable output schema whether or not enrich dims were supplied
+    enrich_types = {
+        "role_kind": "string",
+        "is_human": "boolean",
+        "tool_family": "string",
+        "is_side_effecting": "boolean",
+    }
+    for c, t in enrich_types.items():
+        if c not in routed.columns:
+            routed = routed.withColumn(c, F.lit(None).cast(t))
+
+    obs = Observation(f"bucket_{k}")
+    routed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("routed_rows"),
+        F.count("pattern_id").alias("span_rows"),
+        F.approx_count_distinct("conv_id").alias("n_convs"),  # observe() forbids DISTINCT
+    )
+    (
+        routed.select(*ROUTED_COLS)
+        .write.mode("overwrite")
+        .partitionBy("sink")
+        .parquet(routed_dir)
+    )
+    ometrics = {kk: int(vv) for kk, vv in obs.get.items()}
+
+    # read-back (column-pruned) for aggregates + lineage: parse ran once above
+    back = spark.read.parquet(routed_dir)
+    sink_pattern_freq(back).write.mode("overwrite").parquet(
+        os.path.join(partial_dir, "sink_pattern_freq", f"bucket={k}")
+    )
+    conv_match_rollup(back, salt=cfg.salt).write.mode("overwrite").parquet(
+        os.path.join(partial_dir, "conv_match_rollup", f"bucket={k}")
+    )
+    distinct_turns = back.select("conv_id", "turn_idx", "ts").distinct()
+    conv_rollup(distinct_turns, salt=cfg.salt).write.mode("overwrite").parquet(
+        os.path.join(partial_dir, "conv_rollup", f"bucket={k}")
+    )
+    lineage = (
+        back.groupBy("src_partition_id", "bank_version")
+        .agg(
+            F.count_distinct("conv_id", "turn_idx").alias("rows_in"),
+            F.count("pattern_id").alias("rows_matched"),
+            F.count(F.lit(1)).alias("rows_routed"),
+        )
+        .withColumn("bucket", F.lit(k))
+    )
+    lineage.write.mode("overwrite").parquet(lineage_dir)
+    return ometrics
+
+
+def _publish(spark: SparkSession, cfg: PipelineConfig) -> None:
+    """Merge per-bucket aggregate partials into final tables. Counts are
+    re-mergeable sums; conversations live in exactly one bucket, so conv
+    rollups merge by union + (degenerate) groupBy."""
+    partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
+    out = os.path.join(cfg.out_dir, "aggregates")
+
+    freq = spark.read.parquet(os.path.join(partial_dir, "sink_pattern_freq"))
+    (
+        freq.groupBy("sink", "pattern_id", "pattern_name")
+        .agg(F.sum("n_matches").alias("n_matches"), F.sum("n_turns").alias("n_turns"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "sink_pattern_freq"))
+    )
+    cr = spark.read.parquet(os.path.join(partial_dir, "conv_rollup"))
+    (
+        cr.groupBy("conv_id")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "conv_rollup"))
+    )
+    cm = spark.read.parquet(os.path.join(partial_dir, "conv_match_rollup"))
+    (
+        cm.groupBy("conv_id")
+        .agg(
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_matched_turns").alias("n_matched_turns"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "conv_match_rollup"))
+    )
+
+
+def reset_output(cfg: PipelineConfig) -> None:
+    if os.path.isdir(cfg.out_dir):
+        shutil.rmtree(cfg.out_dir)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from logparserhelper_spark.datagen import generate_transcripts
+    from logparserhelper_spark.session import build_session
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default=None, help="generate synthetic input at this scale")
+    p.add_argument("--input", default=None, help="existing transcripts dir/path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", type=int, default=4)
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--fresh", action="store_true")
+    a = p.parse_args()
+
+    if a.input is None:
+        if a.scale is None:
+            p.error("--scale or --input required")
+        a.input = generate_transcripts(f"/tmp/lph_data_{a.scale}", a.scale)
+
+    spark = build_session(parallelism=a.parallelism, app_name="lph-pipeline")
+    cfg = PipelineConfig(
+        input_path=a.input,
+        out_dir=a.out,
+        transform_bank=default_transform_bank(),
+        role_dim_path=os.path.join(a.input, "role_dim.parquet"),
+        tool_dim_path=os.path.join(a.input, "tool_dim.parquet"),
+        n_buckets=a.buckets,
+    )
+    if a.fresh:
+        reset_output(cfg)
+    m = run_pipeline(spark, cfg)
+    print(json.dumps(m, default=str))
+    spark.stop()

@@ -1,0 +1,78 @@
+"""Sources — transcripts fact table and dimensions.
+
+O1 in the reference is a whole-file UTF-8 read (gui/app_window.py:37-51);
+here the primary source is a columnar table scan with an explicit schema so
+Catalyst gets pushdown/pruning. Production target is an Iceberg table
+(`spark.read.table`) partitioned by days(ts) + bucket(conv_id) — the bucket
+layout is what lets the dedup/rollup shuffles disappear at 10^12 turns. The
+sandbox has no Iceberg catalog, so the parquet path is the default and the
+table path is gated.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Read the transcripts table. Accepts:
+    - a directory containing ``transcripts.parquet``,
+    - a parquet file/dir path,
+    - an ``iceberg:<catalog.table>`` reference (requires a configured
+      catalog; not available in the sandbox image)."""
+    if path_or_table.startswith("iceberg:"):
+        return spark.read.table(path_or_table.split(":", 1)[1])
+    p = path_or_table
+    if os.path.isdir(p) and os.path.exists(os.path.join(p, "transcripts.parquet")):
+        p = os.path.join(p, "transcripts.parquet")
+    df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(p)
+    return df
+
+
+def read_dim(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_text_logs_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Dev-mode source: raw text log files as a transcripts-shaped DataFrame
+    (one conversation per file, one line per turn) — the Spark equivalent of
+    the reference's load_log (gui/app_window.py:43-48).
+
+    Line order within a file is reconstructed with a window over
+    ``monotonically_increasing_id`` per file; correct because Spark reads
+    each text-file split sequentially and single files map to ordered splits.
+    Dev-scale only — the production source is the table scan above."""
+    raw = (
+        spark.read.text(path)
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
+    return (
+        raw.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            F.regexp_replace(
+                F.element_at(F.split(F.col("_file"), "/"), -1), r"\.[a-z]+$", ""
+            ).alias("conv_id"),
+            "turn_idx",
+            F.lit("system").alias("role"),
+            F.col("value").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.lit("2025-06-06 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("turn_idx"))).alias("ts"),
+        )
+    )
