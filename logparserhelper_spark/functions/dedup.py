@@ -1,0 +1,226 @@
+"""Deduplication for training-data pipelines.
+
+Four families, scale-ranked:
+
+- exact: hash-groupBy on (normalized) content — one shuffle of (hash, id).
+- n-gram Jaccard: shingle -> explode -> self-join on shingle -> count.
+  Exact pairwise similarity; candidate generation is bounded by shared
+  shingles, so the self-join only materializes co-shingled pairs (plus a
+  frequency cap on hot shingles to kill the quadratic tail).
+- MinHash + LSH: shingle -> per-seed min-hash -> band keys -> bucket join.
+  Near-dup candidates in O(n) shuffle volume; verify step recomputes exact
+  Jaccard only within buckets. Hashes are md5-based (engine-portable: the
+  DuckDB oracle computes identical signatures).
+- SimHash: 64-bit signature via per-token hash bit-voting (pandas UDF);
+  near-dups = signatures within Hamming distance d, bucketed by 16-bit
+  chunks (pigeonhole: d<=3 guarantees one of 4 chunks equal).
+
+All functions take/return DataFrames and never collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text_col(c):
+    """lower + collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by normalized text: (canonical_id = min id, n_copies,
+    member ids). Only groups with >1 member."""
+    norm = normalize_text_col(F.col(text_col)).alias("_norm")
+    return (
+        df.select(F.col(id_col).alias("_id"), norm)
+        .groupBy("_norm")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list("_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .drop("_norm")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (id, shingle). Built-ins only:
+    split -> transform over index range -> explode. Text is normalized
+    (lower, collapsed whitespace) first."""
+    words = F.split(normalize_text_col(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]),
+            )
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape: shingle table S (distinct per doc) -> filter hot shingles
+    with document frequency > max_shingle_freq (they generate quadratic
+    candidates and contribute negligible discrimination) -> self equi-join on
+    shingle -> groupBy pair count = |A∩B| -> join per-doc sizes ->
+    jaccard = inter / (|A| + |B| - inter)."""
+    sh = word_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(dfreq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_col(seed: int):
+    """Portable per-shingle hash: md5 hex of '<seed>:<shingle>' — min over
+    the STRING ordering is the signature element. String min is identical in
+    Spark, DuckDB, and Python, so oracles can reproduce signatures exactly."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_hashes: int = 12,
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): per-seed min of md5(seed:shingle). One
+    shuffle: groupBy(id) with n_hashes partial min aggregates."""
+    sh = word_shingles(df, text_col, id_col, k)
+    aggs = [F.min(_minhash_col(s)).alias(f"sig_{s}") for s in range(n_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_hashes: int = 12, bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: signature split into
+    ``bands`` bands of n_hashes/bands rows; docs sharing any band key are
+    candidates. Returns (id_a, id_b, n_shared_bands). Verify with
+    ngram_jaccard_pairs on the candidates for exactness."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = stacked.select(F.col("id").alias("id_a"), "band", "key")
+    b = stacked.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc (Charikar'02): per-token md5-derived 64-bit
+    hash; signature bit b = sign of the sum of (+1/-1) votes across tokens.
+    Arrow-batched pandas UDF (bit voting has no built-in form)."""
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            if not isinstance(t, str) or not t.strip():
+                out.append(0)
+                continue
+            votes = [0] * 64
+            for tok in t.lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    v |= 1 << b
+            # to signed 64-bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, index=texts.index)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, via 16-bit chunk
+    bucketing (pigeonhole over 4 chunks covers d<=3 exactly)."""
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Cosine is computed JVM-side with ``F.zip_with`` + ``F.aggregate`` (no
+  Python worker): at 100 TB this is a broadcast of the (small) query set
+  against a scan of the corpus, embarrassingly parallel, no shuffle until
+  the final per-query top-k (which AQE keeps tiny because each scan task
+  pre-ranks locally before the exchange — see the window note below).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane (SRP) LSH:
+  b sign bits from fixed seeded hyperplanes form a bucket key; candidates
+  only within matching buckets across several independent tables, exact
+  re-rank inside. Recall is tested against brute force in the suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    """cosine(a, b) as a JVM-side column expression over array<float/double>."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine per query: (query_id, neighbor_id, cos_sim,
+    rank). Query set is broadcast; ties break by neighbor id (deterministic).
+    Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity_col(F.col("_cvec"), F.col("_qvec")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def srp_bucket_key(vec_col, planes: np.ndarray):
+    """Sign-bit bucket key from fixed hyperplanes: bit i = (v . plane_i) > 0.
+    Planes are embedded as literals (small: n_bits x dim doubles)."""
+    bits = []
+    for i in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(F.when(_dot(vec_col, plane) > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 3,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation (n_tables independent
+    sign-bit keys), exact cosine re-rank within candidates. Shuffle volume
+    ~ corpus x n_tables keys instead of corpus x queries."""
+    rs = np.random.RandomState(seed)
+    tables = [rs.normal(size=(n_bits, dim)) for _ in range(n_tables)]
+
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"_{idc}_vec"))
+        keys = [
+            F.struct(F.lit(t).alias("t"), srp_bucket_key(F.col(f"_{idc}_vec"), tables[t]).alias("key"))
+            for t in range(n_tables)
+        ]
+        return out.select(idc, f"_{idc}_vec", F.explode(F.array(*keys)).alias("bk")).select(
+            idc, f"_{idc}_vec", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+        )
+
+    cq = keyed(queries, "query_id")
+    cc = keyed(corpus, "neighbor_id")
+    cand = (
+        cc.join(F.broadcast(cq), ["t", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "_query_id_vec", "neighbor_id", "_neighbor_id_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(cosine_similarity_col(F.col("_neighbor_id_vec"), F.col("_query_id_vec")), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything except the fingerprint stays in built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd) — at 100 TB these run at scan speed with
+no Python worker involved. The quality/token expressions are deliberately
+defined so an ANSI-SQL oracle (DuckDB) computes identical values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic tiny stopword lists (ASCII) used by both quality scoring and
+# the n-gram-free language-ID heuristic. Keep sorted + frozen: the DuckDB
+# oracle SQL embeds the same lists.
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0.
+    Oracle-equivalent SQL: len(regexp_split_to_array(trim(text), '\\s+'))
+    with a CASE for blank."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...]) -> Column:
+    words = _words(col)
+    return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    score = 0.4*min(n_tokens/100, 1) + 0.4*stopword_ratio_capped
+            + 0.2*(1 - punct_ratio), rounded to 4 decimals.
+    All components are exact integer ratios -> double, so the DuckDB oracle
+    reproduces values bit-for-bit."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    n_stop = stopword_count(c, STOPWORDS_EN)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.4 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - punct_ratio)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        n_punct.alias("q_punct"),
+        n_stop.alias("q_stopwords"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID over {en, de, fr}, 'und' (undetermined) when
+    no list scores >0. Pure built-ins (no UDF): three filtered-array sizes
+    and an argmax. Ties break en > de > fr (fixed order)."""
+    words = _words(F.col(text_col))
+    en = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    de = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_DE)))
+    fr = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_FR)))
+    lang = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return df.select("*", en.alias("hits_en"), de.alias("hits_de"),
+                     fr.alias("hits_fr"), lang.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4,
+                id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
+    k-gram hashes, minimum per sliding window, distinct mins = fingerprint.
+    Hash = first 8 bytes of md5 (portable, engine-independent). Arrow-batched
+    pandas UDF — string slicing per k-gram has no built-in equivalent."""
+    @F.pandas_udf("array<bigint>")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            if not isinstance(t, str) or len(t) < k:
+                out.append([])
+                continue
+            hs = [
+                int.from_bytes(
+                    hashlib.md5(t[i : i + k].encode()).digest()[:8], "big", signed=True
+                )
+                for i in range(len(t) - k + 1)
+            ]
+            mins = {
+                min(hs[i : i + window])
+                for i in range(max(1, len(hs) - window + 1))
+            }
+            out.append(sorted(mins))
+        return pd.Series(out, index=texts.index, dtype=object)
+
+    return df.select(id_col, fp(F.col(text_col)).alias("fingerprint"))

@@ -72,6 +72,13 @@ class PipelineConfig:
     n_buckets: int = 4
     dedup_strategy: str = "agg"
     salt: int = 16
+    # partitions for the Python-UDF parse stage; None -> 2x defaultParallelism.
+    # AQE's byte-based coalescing would collapse the post-dedup exchange to
+    # ~1 partition for small-byte inputs, serializing the CPU-bound regex
+    # stage — UDF stages must be sized by cores, not bytes. The repartition
+    # keys on (conv_id, salt(turn_idx)) so a single mega-conversation spreads
+    # across tasks (SURVEY.md §4.2 conv_id-salted repartition).
+    parse_partitions: int | None = None
     # test hook: raise after committing this many buckets (resume test)
     fail_after_buckets: int | None = None
 
@@ -154,6 +161,10 @@ def _run_bucket(
     partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
 
     turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
+    n_parse = cfg.parse_partitions or spark.sparkContext.defaultParallelism * 2
+    turns = turns.repartition(
+        n_parse, "conv_id", F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt))
+    )
     if tbank is not None:
         turns = normalize_text(turns, tbank)
     else:

@@ -1,0 +1,857 @@
+"""Driver-contract queries: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB-equivalent ANSI SQL
+oracle over the same parquet tables.
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically on both sides;
+- money aggregates use the cents-integer technique
+  (SUM(CAST(ROUND(x*100) AS BIGINT))) so double-summation order can never
+  flip a rounding boundary between engines;
+- regex queries restrict to the Python-re ∩ RE2 common dialect (plain
+  classes, \\b, alternation — no backrefs/lookaround), verified by tests;
+- results keep scalar columns only (no arrays) for hash portability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.banks import TransformBank, TransformEntry, bank_from_dicts
+from logparserhelper_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from logparserhelper_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
+from logparserhelper_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from logparserhelper_spark.operators.enrich import bank_dim
+from logparserhelper_spark.operators.extract import parse_and_explode
+from logparserhelper_spark.operators.normalize import normalize_text
+
+# ---------------------------------------------------------------------------
+# The word bank: same operator machinery as the reference's date bank
+# (ordered, duplicates allowed and semantically multicast), with patterns in
+# the Python-re ∩ RE2 shared dialect so DuckDB can act as oracle.
+# ---------------------------------------------------------------------------
+WORD_BANK = [
+    {"name": "spark-mention", "pattern": r"spark"},
+    {"name": "join-word", "pattern": r"\bjoin\b"},
+    {"name": "agg-prefix", "pattern": r"agg\w*"},
+    {"name": "scan-or-filter", "pattern": r"scan|filter"},
+    {"name": "value-word", "pattern": r"\bvalue\b"},
+    {"name": "value-dup", "pattern": r"\bvalue\b"},  # duplicate -> multicast
+    {"name": "big-table-phrase", "pattern": r"big table"},
+    {"name": "never-match", "pattern": r"zzz+q"},
+]
+
+_BANK_VALUES_SQL = ", ".join(
+    f"({i}, '{d['name']}', '{d['pattern']}', '{d['name']}')"
+    for i, d in enumerate(WORD_BANK)
+)
+BANK_CTE = (
+    f"bank(pattern_id, pattern_name, pattern, sink) AS (VALUES {_BANK_VALUES_SQL})"
+)
+
+_STOP_EN_SQL = "['the','a','and','of','to','in','is','it','that','for']"
+_STOP_DE_SQL = "['der','die','das','und','ist','nicht','ein','zu','mit','auf']"
+_STOP_FR_SQL = "['le','la','les','et','est','un','une','dans','pour','que']"
+
+
+def _word_bank():
+    return bank_from_dicts(WORD_BANK)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Engine-portable money aggregation unit (see module docstring)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# A. pipeline-semantics operators over documents (the reference's O4/O5/O7
+#    machinery with the word bank; DuckDB regexp_* as oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_pattern_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bank = _word_bank()
+    parsed = parse_and_explode(docs, bank)
+    counts = (
+        parsed.filter(F.col("pattern_id").isNotNull())
+        .groupBy("pattern_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dim = bank_dim(spark, bank).select("pattern_id", "pattern_name")
+    return (
+        dim.join(counts, "pattern_id", "left")
+        .select(
+            "pattern_name",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+SQL_DOC_PATTERN_COVERAGE = f"""
+WITH {BANK_CTE}
+SELECT b.pattern_name,
+       CAST(COALESCE(SUM(LEN(regexp_extract_all(d.text, b.pattern))), 0) AS BIGINT) AS n_matches
+FROM bank b CROSS JOIN documents d
+GROUP BY b.pattern_name
+"""
+
+
+def q_doc_route_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bank = _word_bank()
+    parsed = parse_and_explode(docs, bank)
+    dim = bank_dim(spark, bank).select("pattern_id", "sink")
+    routed = parsed.join(F.broadcast(dim), "pattern_id", "left").withColumn(
+        "sink", F.coalesce(F.col("sink"), F.lit("unmatched"))
+    )
+    return (
+        routed.select("doc_id", "sink")
+        .distinct()
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+SQL_DOC_ROUTE_COUNTS = f"""
+WITH {BANK_CTE},
+m AS (SELECT DISTINCT d.doc_id, b.sink
+      FROM documents d JOIN bank b ON regexp_matches(d.text, b.pattern)),
+u AS (SELECT d.doc_id, 'unmatched' AS sink FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM bank b WHERE regexp_matches(d.text, b.pattern)))
+SELECT sink, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+GROUP BY sink
+"""
+
+
+def q_doc_match_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    parsed = parse_and_explode(docs, _word_bank())
+    per_doc = parsed.groupBy("doc_id").agg(
+        F.count("pattern_id").cast("long").alias("n_matches")
+    )
+    return per_doc.groupBy("n_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+SQL_DOC_MATCH_HISTOGRAM = f"""
+WITH {BANK_CTE},
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(SUM(LEN(regexp_extract_all(d.text, b.pattern))) AS BIGINT) AS n_matches
+  FROM documents d CROSS JOIN bank b GROUP BY d.doc_id)
+SELECT n_matches, CAST(COUNT(*) AS BIGINT) AS n_docs FROM per_doc GROUP BY n_matches
+"""
+
+
+def q_doc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    tbank = TransformBank(
+        entries=(
+            TransformEntry(pattern=r"\bthe\b", replacement="<ART>"),
+            TransformEntry(pattern=r"\d+", replacement="<NUM>"),
+            TransformEntry(pattern=r"disabled", replacement="<X>", enabled=False),
+            TransformEntry(pattern=r"(bad", replacement="<X>"),  # re.error fallback
+        )
+    )
+    return normalize_text(docs, tbank).select("doc_id", "norm_text")
+
+
+SQL_DOC_NORMALIZE = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '\bthe\b', '<ART>', 'g'), '\d+', '<NUM>', 'g') AS norm_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. relational operators (TPC-H-shaped over the provided star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r.r_name,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    has_line = li.select("l_orderkey").distinct()
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(has_line, o.o_orderkey == has_line.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_top_suppliers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    li = _t(spark, sf, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue_cents"), F.asc("s_suppkey"))
+    return (
+        per_supp.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "revenue_cents", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_TOP_SUPPLIERS_PER_NATION = """
+WITH per_supp AS (
+  SELECT n.n_name, s.s_suppkey, s.s_name,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey, s.s_name)
+SELECT n_name, s_suppkey, s_name, revenue_cents, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue_cents DESC, s_suppkey ASC) AS rnk
+      FROM per_supp)
+WHERE rnk <= 3
+"""
+
+
+def q_monthly_order_volume(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    # month as a string: DuckDB's date_trunc yields DATE, Spark's TIMESTAMP —
+    # strings hash identically across engines
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+SQL_MONTHLY_ORDER_VOLUME = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_mktsegment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        F.min(_cents(F.col("c_acctbal"))).alias("min_acctbal_cents"),
+        F.max(_cents(F.col("c_acctbal"))).alias("max_acctbal_cents"),
+    )
+
+
+SQL_MKTSEGMENT_STATS = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
+       MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_acctbal_cents,
+       MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_acctbal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_brand_volume(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+        )
+    )
+
+
+SQL_BRAND_VOLUME = """
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(l.l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. events: time functions, windows, sessionization, JSON-ish extraction
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp handles TIMESTAMP_NTZ (a straight long cast does not)
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_new", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH l AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM l GROUP BY user_id
+"""
+
+
+def q_top_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .orderBy(F.desc("value_cents"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+SQL_TOP_USERS_BY_VALUE = """
+SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY user_id
+ORDER BY value_cents DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # dialect-safe JVM regex here (digits-only pattern; equivalence tested)
+    e = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = r"""
+WITH x AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events)
+SELECT k % 10 AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM x GROUP BY 1
+"""
+
+
+def q_hourly_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# D. training-data ops: dedup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id+200000, every 10th doc) ∪ near-copies
+    (doc_id+100000, first word dropped) — deterministic, same construction in
+    the SQL oracle; gives dedup queries non-trivial positives."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+SQL_DOCS_PLANTED = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 5)
+"""
+
+_SHINGLE_CTES = r"""
+w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws FROM docs2),
+sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3)
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf)
+    g = exact_dedup_groups(d)
+    return g.select(
+        "canonical_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.array_max("member_ids").alias("max_member_id"),
+    )
+
+
+SQL_EXACT_DEDUP = rf"""
+WITH {SQL_DOCS_PLANTED}
+SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MAX(doc_id) AS max_member_id
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM docs2)
+GROUP BY norm HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf)
+    return minhash_signatures(d, n_hashes=4)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {SQL_DOCS_PLANTED},
+{_SHINGLE_CTES}
+SELECT id, MIN(md5('0:' || shingle)) AS sig_0, MIN(md5('1:' || shingle)) AS sig_1,
+       MIN(md5('2:' || shingle)) AS sig_2, MIN(md5('3:' || shingle)) AS sig_3
+FROM sh GROUP BY id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf)
+    return minhash_lsh_pairs(d, n_hashes=12, bands=4).select(
+        "id_a", "id_b", F.col("n_shared_bands").cast("long").alias("n_shared_bands")
+    )
+
+
+def _lsh_band_sql() -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{s}:' || shingle)) AS sig_{s}" for s in range(12)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(sig_{b * 3} || '|' || sig_{b * 3 + 1} || '|' || sig_{b * 3 + 2}) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH {SQL_DOCS_PLANTED},
+{_SHINGLE_CTES},
+sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+banded AS ({band_rows})
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _lsh_band_sql()
+
+
+def q_ngram_top_similar(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf)
+    pairs = ngram_jaccard_pairs(d, threshold=0.0)
+    return (
+        pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(25)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            "jaccard",
+        )
+    )
+
+
+SQL_NGRAM_TOP_SIMILAR = f"""
+WITH {SQL_DOCS_PLANTED},
+{_SHINGLE_CTES},
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 25
+"""
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return quality_score(d).select(
+        "doc_id",
+        F.col("q_chars").cast("int").alias("q_chars"),
+        F.col("q_tokens").cast("int").alias("q_tokens"),
+        F.col("q_punct").cast("int").alias("q_punct"),
+        F.col("q_stopwords").cast("int").alias("q_stopwords"),
+        "quality",
+    )
+
+
+SQL_QUALITY_SCORE = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS q_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS q_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS q_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS q_stopwords
+  FROM documents)
+SELECT doc_id, q_chars, q_tokens, q_punct, q_stopwords,
+       ROUND(0.4 * LEAST(q_tokens / 100.0, 1.0)
+             + 0.4 * LEAST((CASE WHEN q_tokens > 0 THEN CAST(q_stopwords AS DOUBLE) / q_tokens ELSE 0.0 END) * 5, 1.0)
+             + 0.2 * (1 - CASE WHEN q_chars > 0 THEN CAST(q_punct AS DOUBLE) / q_chars ELSE 0.0 END), 4) AS quality
+FROM b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return lang_id(d).select(
+        "doc_id",
+        F.col("hits_en").cast("int").alias("hits_en"),
+        F.col("hits_de").cast("int").alias("hits_de"),
+        F.col("hits_fr").cast("int").alias("hits_fr"),
+        "lang_pred",
+    )
+
+
+SQL_LANG_ID = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS hits_en,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_DE_SQL}, w))) AS INT) AS hits_de,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_FR_SQL}, w))) AS INT) AS hits_fr
+  FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM b
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, queries, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(c.cv, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cos_sim
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM s)
+WHERE rnk <= 5
+"""
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    # mean of first embedding component per label — exercises array access
+    first = F.element_at("embedding", 1).cast("double")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum(first), 4).alias("sum_first_comp"),
+    )
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(CAST(embedding[1] AS DOUBLE)), 4) AS sum_first_comp
+FROM embeddings GROUP BY label
+"""
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver checks rows) ------
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf)
+    return simhash64(d)
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    fp = fingerprint(d)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").cast("int").alias("n_fp"),
+        F.array_min("fingerprint").alias("fp_min"),
+        F.array_max("fingerprint").alias("fp_max"),
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(e, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_pattern_coverage": q_doc_pattern_coverage,
+    "doc_route_counts": q_doc_route_counts,
+    "doc_match_histogram": q_doc_match_histogram,
+    "doc_normalize": q_doc_normalize,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "regional_revenue": q_regional_revenue,
+    "order_priority": q_order_priority,
+    "top_suppliers_per_nation": q_top_suppliers_per_nation,
+    "monthly_order_volume": q_monthly_order_volume,
+    "mktsegment_stats": q_mktsegment_stats,
+    "brand_volume": q_brand_volume,
+    "event_type_stats": q_event_type_stats,
+    "sessionization": q_sessionization,
+    "top_users_by_value": q_top_users_by_value,
+    "props_extract": q_props_extract,
+    "hourly_event_counts": q_hourly_event_counts,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_top_similar": q_ngram_top_similar,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_pattern_coverage": SQL_DOC_PATTERN_COVERAGE,
+    "doc_route_counts": SQL_DOC_ROUTE_COUNTS,
+    "doc_match_histogram": SQL_DOC_MATCH_HISTOGRAM,
+    "doc_normalize": SQL_DOC_NORMALIZE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "top_suppliers_per_nation": SQL_TOP_SUPPLIERS_PER_NATION,
+    "monthly_order_volume": SQL_MONTHLY_ORDER_VOLUME,
+    "mktsegment_stats": SQL_MKTSEGMENT_STATS,
+    "brand_volume": SQL_BRAND_VOLUME,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "sessionization": SQL_SESSIONIZATION,
+    "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "ngram_top_similar": SQL_NGRAM_TOP_SIMILAR,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+    # simhash / fingerprint / lsh_topk: rows-only (bit-voting, winnowing and
+    # SRP-LSH are not reasonably ANSI-SQL-expressible; correctness is pinned
+    # by pytest against pure-Python oracles instead)
+}

@@ -1,0 +1,120 @@
+"""Two-parallelism scaling evidence (sandbox proxy for N vs 4N executors).
+
+Runs the SAME transcript pipeline job on the SAME input at local[8] and
+local[32] in separate subprocesses (one SparkSession per process, clean JVM),
+reports turns/sec at both plus scaling efficiency
+(= (T_N / T_4N) / 4 wall-clock speedup over 4x cores), and writes
+BENCH/BASELINE.md. Usage: python scripts/scaling_run.py [--scale bench]
+[--repeats 2]"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNNER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from logparserhelper_spark.datagen import generate_transcripts
+from logparserhelper_spark.defaults import default_transform_bank
+from logparserhelper_spark.pipeline import PipelineConfig, run_pipeline
+from logparserhelper_spark.session import build_session
+
+scale = {scale!r}
+cpus = {cpus}
+data_dir = generate_transcripts(f"/tmp/lph_data_{{scale}}", scale)
+n_turns = json.load(open(os.path.join(data_dir, "_MANIFEST.json")))["rows"]
+spark = build_session(parallelism=cpus, app_name=f"scaling-{{cpus}}")
+out = f"/tmp/lph_scaling_out_{{cpus}}"
+best = None
+for rep in range({repeats}):
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    cfg = PipelineConfig(
+        input_path=data_dir, out_dir=out,
+        transform_bank=default_transform_bank(),
+        role_dim_path=os.path.join(data_dir, "role_dim.parquet"),
+        tool_dim_path=os.path.join(data_dir, "tool_dim.parquet"),
+        n_buckets=1)
+    t0 = time.monotonic()
+    run_pipeline(spark, cfg)
+    dt = time.monotonic() - t0
+    best = dt if best is None else min(best, dt)
+spark.stop()
+print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": best, "turns": n_turns,
+                               "turns_per_sec": n_turns / best}}))
+"""
+
+
+def run_one(cpus: int, scale: str, repeats: int) -> dict:
+    code = RUNNER.format(repo=REPO, scale=scale, cpus=cpus, repeats=repeats)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-5000:])
+    raise RuntimeError(f"no RESULT line from cpus={cpus}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_one(args.n, args.scale, args.repeats)
+    hi = run_one(args.n4, args.scale, args.repeats)
+    factor = args.n4 / args.n
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / factor
+    report = {
+        "scale": args.scale,
+        "turns": lo["turns"],
+        "n_cores": args.n,
+        "n4_cores": args.n4,
+        "wall_sec_n": round(lo["wall_sec"], 2),
+        "wall_sec_n4": round(hi["wall_sec"], 2),
+        "turns_per_sec_n": round(lo["turns_per_sec"], 1),
+        "turns_per_sec_n4": round(hi["turns_per_sec"], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE.md — two-parallelism scaling evidence\n\n"
+            "The north rule's two-cluster-size criterion (>=0.8 throughput\n"
+            "scaling efficiency from N to 4N executors) cannot use a real\n"
+            "cluster in this sandbox; per the task brief it is evidenced by\n"
+            "running the SAME pipeline job on the SAME input at two\n"
+            "parallelism levels (local[{n}] vs local[{n4}]) in separate\n"
+            "processes.\n\n".format(n=args.n, n4=args.n4)
+        )
+        f.write("| metric | value |\n|---|---|\n")
+        for k, v in report.items():
+            f.write(f"| {k} | {v} |\n")
+        f.write(
+            "\nJob: full parse->enrich->route->aggregate pipeline "
+            f"(deterministic synthetic transcripts, scale '{args.scale}', "
+            f"{lo['turns']} turns, seed=42), best of {args.repeats} runs "
+            "per level.\n"
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

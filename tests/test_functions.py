@@ -1,0 +1,145 @@
+"""Training-data operator tests: dedup family, similarity search, text
+stats, multimodal plumbing. Oracle-checked ops (minhash, jaccard, exact
+dedup, quality, lang-id) are additionally covered engine-vs-engine by
+scripts/check_entry.py; here we pin the rows-only ops' semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash64,
+    word_shingles,
+)
+from logparserhelper_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    fake_decode,
+    frame_sample_stub,
+)
+from logparserhelper_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from logparserhelper_spark.functions.textstats import lang_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different content about spark shuffle partitions here"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5, "der hund ist nicht zu alt und das ist gut mit auf"),
+        (6, "le chat est dans la maison pour que les amis"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.canonical_id == 1 and g.n_copies == 2 and g.member_ids == [1, 4]
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = word_shingles(docs).filter(F.col("id") == 1).collect()
+    assert len(sh) == 11  # 13 words -> 11 trigrams, all distinct here
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact copies
+    assert 0.5 < pairs[(1, 2)] < 1.0  # one word differs
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in cand  # identical -> all bands agree
+    assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_simhash_near_pairs(spark, docs):
+    sig = {r.id: r.simhash for r in simhash64(docs).collect()}
+    assert sig[1] == sig[4]
+    # near-identical docs have close signatures; different docs do not
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 2) < ham(1, 3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert got[1] == "en" and got[5] == "de" and got[6] == "fr"
+    assert got[3] == "und" or got[3] == "en"  # no strong signal ok
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a  b\tc")], "id long, text string"
+    )
+    got = {r.id: r.n for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 3}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rs = np.random.RandomState(7)
+    base = rs.normal(size=(40, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rs.normal(size=16).astype("float32")  # planted NN
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert [r.rank for r in top] == [1, 2, 3]
+    assert top[0].neighbor_id == 1 and top[0].cos_sim > 0.99
+    assert top[0].query_id == 0
+
+
+def test_lsh_topk_recall(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(vectors, q, k=3, dim=16, n_bits=4, n_tables=6).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5  # approximate, but must find the planted NN:
+    assert (0, 1) in approx
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"fakepng"), 8, 8, None),
+        (2, "video", "video/mp4", bytearray(b"fakemp4"), 16, 16, 3500),
+        (3, "audio", "audio/wav", None, None, None, 2000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert len(feats[1].features) == FEATURE_DIM
+    assert feats[1].n_bytes == 7
+    assert feats[1].features == [float(x) for x in fake_decode(b"fakepng")]
+    assert feats[3].features is None  # null payload preserved as null
+    frames = frame_sample_stub(df).collect()
+    assert [r.frame_ms for r in frames if r.media_id == 2] == [0, 1000, 2000, 3000]
+    assert all(r.media_id == 2 for r in frames)
