@@ -41,24 +41,13 @@ from pyspark.sql import functions as F
 from logparserhelper_spark.banks import PatternBank, TransformBank
 from logparserhelper_spark.defaults import default_pattern_bank, default_transform_bank
 from logparserhelper_spark.operators.aggregate import (
-    conv_match_rollup,
-    conv_rollup,
-    sink_pattern_freq,
+    conv_rollup_from_turns,
+    sink_pattern_freq_from_turns,
 )
 from logparserhelper_spark.operators.enrich import bank_dim, enrich
-from logparserhelper_spark.operators.extract import parse_and_explode
-from logparserhelper_spark.operators.normalize import normalize_text
+from logparserhelper_spark.operators.extract import make_parse_normalize_udf
 from logparserhelper_spark.operators.ordering import stable_order_dedup
-from logparserhelper_spark.operators.route import route
 from logparserhelper_spark.sources.transcripts import read_dim, read_transcripts
-
-ROUTED_COLS = [
-    "conv_id", "turn_idx", "role", "text", "norm_text", "tool", "ts",
-    "pattern_id", "start", "end", "match",
-    "pattern_name", "sink", "color",
-    "role_kind", "is_human", "tool_family", "is_side_effecting",
-    "src_partition_id", "bank_version",
-]
 
 
 @dataclass
@@ -72,12 +61,11 @@ class PipelineConfig:
     n_buckets: int = 4
     dedup_strategy: str = "agg"
     salt: int = 16
-    # partitions for the Python-UDF parse stage; None -> 2x defaultParallelism.
-    # AQE's byte-based coalescing would collapse the post-dedup exchange to
-    # ~1 partition for small-byte inputs, serializing the CPU-bound regex
-    # stage — UDF stages must be sized by cores, not bytes. The repartition
-    # keys on (conv_id, salt(turn_idx)) so a single mega-conversation spreads
-    # across tasks (SURVEY.md §4.2 conv_id-salted repartition).
+    # partitions for the Python-UDF parse stage; None -> 2x defaultParallelism,
+    # 0 -> keep the dedup exchange's partitioning. The CPU-bound regex stage
+    # must be sized by cores, not bytes (AQE's byte-based coalescing would
+    # under-parallelize it); the repartition keys on (conv_id, salt(turn_idx))
+    # so a single mega-conversation spreads across tasks (SURVEY.md §4.2).
     parse_partitions: int | None = None
     # test hook: raise after committing this many buckets (resume test)
     fail_after_buckets: int | None = None
@@ -156,26 +144,40 @@ def _run_bucket(
     tool_dim: DataFrame | None,
     k: int,
 ) -> dict:
+    turns_dir = os.path.join(cfg.out_dir, "turns", f"bucket={k}")
     routed_dir = os.path.join(cfg.out_dir, "routed", f"bucket={k}")
     lineage_dir = os.path.join(cfg.out_dir, "lineage", f"bucket={k}")
     partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
 
     turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
-    n_parse = cfg.parse_partitions or spark.sparkContext.defaultParallelism * 2
-    turns = turns.repartition(
-        n_parse, "conv_id", F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt))
+    n_parse = (
+        cfg.parse_partitions
+        if cfg.parse_partitions is not None
+        else spark.sparkContext.defaultParallelism * 2
     )
-    if tbank is not None:
-        turns = normalize_text(turns, tbank)
-    else:
-        turns = turns.withColumn("norm_text", F.col("text"))
+    if n_parse > 0:
+        turns = turns.repartition(
+            n_parse, "conv_id", F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt))
+        )
     # provenance: the physical partition each turn was parsed in
     turns = turns.withColumn("src_partition_id", F.spark_partition_id())
-
-    parsed = parse_and_explode(turns, bank)
-    routed = route(parsed, bdim)
-    routed = enrich(routed, role_dim, tool_dim)
-    routed = routed.withColumn("bank_version", F.lit(bank.version))
+    # fused O7 normalize + O4 extract: ONE Python crossing per turn. The
+    # per-turn sink (text/norm_text/spans once per turn) is the only output
+    # the expensive stage writes; routing and every aggregate derive from
+    # column-pruned read-backs of it — parse never re-runs, and no span
+    # fan-out ever duplicates text bytes (the earlier per-span-row layout
+    # measured ~40% slower end-to-end at 3.4M turns).
+    pn = make_parse_normalize_udf(bank, tbank)
+    turns = turns.withColumn("_pn", pn(F.col("text")))
+    turns = turns.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "src_partition_id",
+        F.col("_pn.norm_text").alias("norm_text"),
+        F.col("_pn.spans").alias("spans"),
+    ).withColumn("n_spans", F.size("spans")).withColumn(
+        "bank_version", F.lit(bank.version)
+    )
+    turns = enrich(turns, role_dim, tool_dim)
     # stable output schema whether or not enrich dims were supplied
     enrich_types = {
         "role_kind": "string",
@@ -184,42 +186,56 @@ def _run_bucket(
         "is_side_effecting": "boolean",
     }
     for c, t in enrich_types.items():
-        if c not in routed.columns:
-            routed = routed.withColumn(c, F.lit(None).cast(t))
+        if c not in turns.columns:
+            turns = turns.withColumn(c, F.lit(None).cast(t))
 
     obs = Observation(f"bucket_{k}")
-    routed = routed.observe(
+    turns = turns.observe(
         obs,
-        F.count(F.lit(1)).alias("routed_rows"),
-        F.count("pattern_id").alias("span_rows"),
+        F.count(F.lit(1)).alias("turns_in"),
+        F.sum("n_spans").alias("span_rows"),
         F.approx_count_distinct("conv_id").alias("n_convs"),  # observe() forbids DISTINCT
     )
-    (
-        routed.select(*ROUTED_COLS)
-        .write.mode("overwrite")
-        .partitionBy("sink")
-        .parquet(routed_dir)
-    )
+    turns.write.mode("overwrite").parquet(turns_dir)
     ometrics = {kk: int(vv) for kk, vv in obs.get.items()}
 
-    # read-back (column-pruned) for aggregates + lineage: parse ran once above
-    back = spark.read.parquet(routed_dir)
-    sink_pattern_freq(back).write.mode("overwrite").parquet(
+    # everything below is derived from column-pruned read-backs of turns_dir
+    back = spark.read.parquet(turns_dir)
+
+    # multicast routing: explode spans (null row for unmatched), broadcast
+    # bank-dim join, per-sink partitioned write — shuffle-free
+    dim = bdim.select("pattern_id", "pattern_name", "sink", "color")
+    routed = (
+        back.select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            "src_partition_id", "bank_version",
+            F.explode_outer("spans").alias("_s"),
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            "src_partition_id", "bank_version",
+            F.col("_s.pattern_id").alias("pattern_id"),
+            F.col("_s.start").alias("start"),
+            F.col("_s.end").alias("end"),
+            F.col("_s.match").alias("match"),
+        )
+        .join(F.broadcast(dim), "pattern_id", "left")
+        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("unmatched")))
+    )
+    routed.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
+
+    sink_pattern_freq_from_turns(back, bdim).write.mode("overwrite").parquet(
         os.path.join(partial_dir, "sink_pattern_freq", f"bucket={k}")
     )
-    conv_match_rollup(back, salt=cfg.salt).write.mode("overwrite").parquet(
-        os.path.join(partial_dir, "conv_match_rollup", f"bucket={k}")
-    )
-    distinct_turns = back.select("conv_id", "turn_idx", "ts").distinct()
-    conv_rollup(distinct_turns, salt=cfg.salt).write.mode("overwrite").parquet(
+    conv_rollup_from_turns(back, salt=cfg.salt).write.mode("overwrite").parquet(
         os.path.join(partial_dir, "conv_rollup", f"bucket={k}")
     )
     lineage = (
         back.groupBy("src_partition_id", "bank_version")
         .agg(
-            F.count_distinct("conv_id", "turn_idx").alias("rows_in"),
-            F.count("pattern_id").alias("rows_matched"),
-            F.count(F.lit(1)).alias("rows_routed"),
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum("n_spans").alias("rows_matched"),
+            F.sum(F.greatest("n_spans", F.lit(1))).alias("rows_routed"),
         )
         .withColumn("bucket", F.lit(k))
     )
@@ -243,24 +259,18 @@ def _publish(spark: SparkSession, cfg: PipelineConfig) -> None:
         .parquet(os.path.join(out, "sink_pattern_freq"))
     )
     cr = spark.read.parquet(os.path.join(partial_dir, "conv_rollup"))
-    (
-        cr.groupBy("conv_id")
-        .agg(
-            F.sum("n_turns").alias("n_turns"),
-            F.max("max_turn_idx").alias("max_turn_idx"),
-            F.min("first_ts").alias("first_ts"),
-            F.max("last_ts").alias("last_ts"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "conv_rollup"))
+    final_cr = cr.groupBy("conv_id").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("n_matched_turns").alias("n_matched_turns"),
     )
-    cm = spark.read.parquet(os.path.join(partial_dir, "conv_match_rollup"))
+    final_cr.write.mode("overwrite").parquet(os.path.join(out, "conv_rollup"))
+    # kept as its own table for output-contract stability
     (
-        cm.groupBy("conv_id")
-        .agg(
-            F.sum("n_spans").alias("n_spans"),
-            F.sum("n_matched_turns").alias("n_matched_turns"),
-        )
+        final_cr.select("conv_id", "n_spans", "n_matched_turns")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "conv_match_rollup"))
     )

@@ -68,12 +68,15 @@ def _routed(spark, out):
     return spark.read.parquet(os.path.join(out, "routed"))
 
 
+def _turns(spark, out):
+    return spark.read.parquet(os.path.join(out, "turns"))
+
+
 def test_per_turn_text_equality(spark, tiny_out, expected):
     out, _ = tiny_out
     got = (
-        _routed(spark, out)
+        _turns(spark, out)
         .select("conv_id", "turn_idx", "text", "norm_text")
-        .distinct()
         .orderBy("conv_id", "turn_idx")
         .collect()
     )
@@ -88,8 +91,8 @@ def test_per_turn_text_equality(spark, tiny_out, expected):
 def test_normalize_replaces_dates(spark, tiny_out):
     out, _ = tiny_out
     n = (
-        _routed(spark, out)
-        .filter(F.col("pattern_id").isNotNull() & ~F.col("norm_text").contains("<DATE>"))
+        _turns(spark, out)
+        .filter((F.col("n_spans") > 0) & ~F.col("norm_text").contains("<DATE>"))
         .count()
     )
     assert n == 0  # every matched turn's normalized text had its dates tokenized
@@ -168,15 +171,14 @@ def test_lineage_conservation(spark, tiny_out, expected):
     assert sums.rows_routed == n_spans + n_unmatched
     # observed metrics agree with lineage
     _, metrics = tiny_out
-    assert (
-        sum(b["routed_rows"] for b in metrics["buckets"].values() if isinstance(b, dict))
-        == n_spans + n_unmatched
-    )
+    bs = [b for b in metrics["buckets"].values() if isinstance(b, dict)]
+    assert sum(b["turns_in"] for b in bs) == n_turns
+    assert sum(b["span_rows"] for b in bs) == n_spans
 
 
 def test_enrich_preserves_unknown_tool_as_null(spark, tiny_dir, tiny_out):
     out, _ = tiny_out
-    df = _routed(spark, out)
+    df = _turns(spark, out)
     # every tool-role row got a tool_family; non-tool rows keep nulls
     assert df.filter((F.col("role") == "tool") & F.col("tool_family").isNull()).count() == 0
     assert df.filter((F.col("role") != "tool") & F.col("tool_family").isNotNull()).count() == 0
