@@ -47,6 +47,11 @@ SCALES = {
     "tiny": (40, 1.6),
     "small": (4000, 1.6),
     "bench": (80000, 1.6),
+    # 'large' exists for the two-parallelism scaling run: the job must be
+    # long enough at local[8] that fixed driver/scheduling overhead (~10s)
+    # is <8% of wall, else Amdahl caps measurable efficiency below the 0.8
+    # target no matter how well the parallel fraction scales.
+    "large": (400000, 1.6),
 }
 
 ROLES = ["user", "assistant", "system", "tool"]

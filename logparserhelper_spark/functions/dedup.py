@@ -55,23 +55,31 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc: (id, shingle). Built-ins only:
     split -> transform over index range -> explode. Text is normalized
-    (lower, collapsed whitespace) first."""
-    words = F.split(normalize_text_col(F.col(text_col)), " ")
-    n = F.size(words)
+    (lower, collapsed whitespace) first.
+
+    The words array is materialized in its OWN projection before the
+    k-gram transform references it k times per element: inlining the
+    split(regexp_replace(...)) tree into the lambda re-evaluates the full
+    normalization per element_at and measured ~25x slower at 260k shingles
+    (Catalyst does not always CSE duplicated non-cheap subtrees inside
+    higher-order functions)."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.when(
         n >= k,
         F.array_distinct(
             F.transform(
                 idx,
-                lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]),
+                lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]),
             )
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
-    )
+    return w.select("id", F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

@@ -67,7 +67,7 @@ def run_one(cpus: int, scale: str, repeats: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--scale", default="large")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
