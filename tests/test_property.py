@@ -1,0 +1,61 @@
+"""Property-based ring (SURVEY.md §5): random text x the reference bank —
+the deduped+prefiltered CompiledBank must equal the literal per-entry oracle
+on arbitrary input, and template substitution must match re.sub."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logparserhelper_spark import oracle
+from logparserhelper_spark.banks import bank_from_dicts, get_compiled_bank
+from logparserhelper_spark.defaults import default_pattern_bank
+
+BANK = default_pattern_bank()
+CB = get_compiled_bank(BANK.spec())
+
+# text shaped like logs: words, digits, date-ish separators, newlines absent
+# (per-turn text), plus fragments engineered near the bank's formats
+date_fragment = st.sampled_from(
+    [
+        "2025-06-06T01:02:03", "2025-06-06 01:02:03,123", "01/02/2025 03:04:05",
+        "Jun  9 06:06:19", "Jun 19 06:06:19", "[12/Jun/2025:01:02:03 +0000]",
+        "Mon, 9 Jun 2025 01:02:03 +0000", "2025-13-99T99:99:99",
+        "99/99/9999 99:99:99", "-06-06 01:02:03", "2025-06-06 01:02:03,12",
+    ]
+)
+chunk = st.one_of(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+    ),
+    date_fragment,
+    st.text(alphabet="0123456789-:/ ,T+", max_size=16),
+)
+texts = st.lists(chunk, max_size=8).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_compiled_bank_equals_oracle(text):
+    assert CB.extract(text) == oracle.extract_spans(text, BANK)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, st.sampled_from([e.pattern for e in BANK.entries] + ["(bad", r"(\d)\1"]))
+def test_transform_matches_re_sub(text, pattern):
+    got = oracle.apply_transform(text, pattern, "<D>")
+    try:
+        exp = re.sub(pattern, "<D>", text)
+    except re.error:
+        exp = text
+    assert got == exp
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["a+", r"\d+", "(x", "b{2}", r"\w\w"]), min_size=1, max_size=6), texts)
+def test_arbitrary_banks(patterns, text):
+    bank = bank_from_dicts([{"name": f"p{i}", "pattern": p} for i, p in enumerate(patterns)])
+    cb = get_compiled_bank(bank.spec())
+    assert cb.extract(text) == oracle.extract_spans(text, bank)
