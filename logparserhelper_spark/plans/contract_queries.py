@@ -763,6 +763,150 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # anti join: the same primitive that derives the unmatched route
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rev = _cents(F.col("o_totalprice"))
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.sum(rev).alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r.r_name, n.n_name,
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def q_users_purchase_and_error(spark: SparkSession, sf: str) -> DataFrame:
+    # set op: INTERSECT of user sets
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        a.intersect(b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
+SQL_USERS_PURCHASE_AND_ERROR = """
+WITH u AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users, MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user
+FROM u
+"""
+
+
+def q_props_json_map(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON parse into a typed map, then map access (F.from_json path)
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select(m.getItem("k").alias("k"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+    )
+
+
+SQL_PROPS_JSON_MAP = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """embedding-cosine near-dup pairs: plant near-duplicate vectors
+    (vec_id+10000, slightly perturbed first component) then find pairs with
+    cosine >= 0.99 — same construction in the oracle SQL."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.001)),
+            F.slice("embedding", 2, 1000),
+        ).alias("embedding"),
+    )
+    d = e.unionByName(planted)
+    a = d.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = d.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    from logparserhelper_spark.functions.similarity import cosine_similarity_col
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH d AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_concat([embedding[1] + 0.001], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cos_sim
+  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99
+"""
+
+
 # --- rows-only queries (no SQL-expressible oracle; driver checks rows) ------
 
 
@@ -819,6 +963,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "customers_without_orders": q_customers_without_orders,
+    "rollup_revenue": q_rollup_revenue,
+    "users_purchase_and_error": q_users_purchase_and_error,
+    "props_json_map": q_props_json_map,
+    "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -851,6 +1000,11 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "users_purchase_and_error": SQL_USERS_PURCHASE_AND_ERROR,
+    "props_json_map": SQL_PROPS_JSON_MAP,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     # simhash / fingerprint / lsh_topk: rows-only (bit-voting, winnowing and
     # SRP-LSH are not reasonably ANSI-SQL-expressible; correctness is pinned
     # by pytest against pure-Python oracles instead)
