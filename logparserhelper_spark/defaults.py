@@ -4,12 +4,14 @@ included, as the reference's data/patterns.json:1-36)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from logparserhelper_spark.banks import (
     PatternBank,
     TransformBank,
     TransformEntry,
+    bank_from_dicts,
     load_pattern_bank,
 )
 
@@ -18,6 +20,23 @@ DEFAULT_PATTERN_BANK_PATH = os.path.join(_HERE, "data", "pattern_bank.json")
 
 
 def default_pattern_bank() -> PatternBank:
+    """Zip-safe (spark-submit --py-files ships the package as a zip, where
+    plain open() on a __file__-relative path fails and the permissive
+    loader would silently yield an EMPTY bank): read via importlib.resources
+    first, fall back to the filesystem path."""
+    try:
+        from importlib import resources
+
+        payload = (
+            resources.files("logparserhelper_spark")
+            .joinpath("data/pattern_bank.json")
+            .read_text(encoding="utf-8")
+        )
+        bank = bank_from_dicts(json.loads(payload).get("date_patterns", []))
+        if bank.entries:
+            return bank
+    except Exception:
+        pass
     return load_pattern_bank(DEFAULT_PATTERN_BANK_PATH)
 
 
