@@ -1,0 +1,70 @@
+"""D1 document-view tests: global offsets reconstruct the reference's
+whole-document char addressing, and document-level matching equals per-turn
+matching lifted by offsets (the property that lets the pipeline parse
+per-turn in parallel)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparserhelper_spark import oracle
+from logparserhelper_spark.datagen import generate_transcripts
+from logparserhelper_spark.defaults import default_pattern_bank
+from logparserhelper_spark.operators.document import (
+    conversation_documents,
+    document_spans,
+    with_global_offsets,
+)
+
+BANK = default_pattern_bank()
+
+
+@pytest.fixture(scope="module")
+def turns(spark, tmp_path_factory):
+    d = generate_transcripts(str(tmp_path_factory.mktemp("ddata") / "tiny"), "tiny")
+    df = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+    # dedup'd view for offset determinism
+    from logparserhelper_spark.operators.ordering import stable_order_dedup
+
+    return stable_order_dedup(df)
+
+
+def test_global_offsets_match_python_join(spark, turns):
+    rows = with_global_offsets(turns).filter(F.col("conv_id") == "conv-00000001")
+    got = {(r.turn_idx): (r.doc_offset, r.text) for r in rows.collect()}
+    texts = [got[i][1] for i in sorted(got)]
+    doc = "\n".join(texts)
+    # each turn's text must appear at its claimed offset in the joined doc
+    for i in sorted(got):
+        off, text = got[i]
+        assert doc[off : off + len(text)] == text
+
+
+def test_conversation_documents_roundtrip(spark, turns):
+    docs = {r.conv_id: r.document for r in conversation_documents(turns).collect()}
+    one = (
+        turns.filter(F.col("conv_id") == "conv-00000002")
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert docs["conv-00000002"] == "\n".join(r.text for r in one)
+
+
+def test_document_vs_turn_equivalence(spark, turns):
+    """Full-document oracle extraction == per-turn spans lifted to document
+    coordinates (the bank cannot match across '\\n')."""
+    docs = {r.conv_id: r.document for r in conversation_documents(turns).collect()}
+    got = {}
+    for r in document_spans(turns, BANK).collect():
+        got.setdefault(r.conv_id, set()).add(
+            (r.pattern_id, r.doc_start, r.doc_end, r.match)
+        )
+    checked = 0
+    for conv_id, doc in docs.items():
+        exp = {(p, s, e, m) for (p, s, e, m) in oracle.extract_spans(doc, BANK)}
+        assert got.get(conv_id, set()) == exp, conv_id
+        checked += 1
+    assert checked > 10 and any(got.values())
