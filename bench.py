@@ -43,7 +43,10 @@ HEADLINE_QUERIES = [
     "embedding_topk",
 ]
 
-PIPELINE_SCALE = os.environ.get("SPARK_GRAFT_PIPELINE_SCALE", "small")
+# 'bench' = 3.4M turns: large enough that fixed per-job overhead (~10s)
+# doesn't dominate the turns/sec headline (datagen is cached and excluded
+# from timing)
+PIPELINE_SCALE = os.environ.get("SPARK_GRAFT_PIPELINE_SCALE", "bench")
 
 
 def main() -> None:
