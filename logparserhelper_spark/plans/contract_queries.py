@@ -907,6 +907,73 @@ SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99
 """
 
 
+def q_pivot_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    statuses = ["O", "F", "P"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+SQL_PIVOT_PRIORITY_STATUS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_user_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map (applyInPandas) surface: per-user inter-event gap stats.
+    The pandas function sorts the group and reduces it to one row — the
+    UDAF-via-grouped-map pattern."""
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # gap in whole seconds as second-BOUNDARY crossings (floor(epoch_b)
+        # - floor(epoch_a)) — the date_diff('second', ...) semantics of the
+        # SQL oracle, which differs from floor(b - a) for sub-second parts
+        sec = pdf["ts"].astype("int64") // 10**9
+        d = sec.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_gaps": [len(d)],
+                "max_gap_s": [int(d.max()) if len(d) else None],
+                "sum_gap_s": [int(d.sum()) if len(d) else None],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        gaps,
+        schema="user_id long, n_events long, n_gaps long, max_gap_s long, sum_gap_s long",
+    )
+
+
+SQL_USER_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('second', LAG(ts) OVER w, ts) AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_s
+FROM g GROUP BY user_id
+"""
+
+
 # --- rows-only queries (no SQL-expressible oracle; driver checks rows) ------
 
 
@@ -968,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_purchase_and_error": q_users_purchase_and_error,
     "props_json_map": q_props_json_map,
     "embedding_near_dup": q_embedding_near_dup,
+    "pivot_priority_status": q_pivot_priority_status,
+    "user_gap_stats": q_user_gap_stats,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1005,6 +1074,8 @@ ORACLES: dict[str, str] = {
     "users_purchase_and_error": SQL_USERS_PURCHASE_AND_ERROR,
     "props_json_map": SQL_PROPS_JSON_MAP,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "pivot_priority_status": SQL_PIVOT_PRIORITY_STATUS,
+    "user_gap_stats": SQL_USER_GAP_STATS,
     # simhash / fingerprint / lsh_topk: rows-only (bit-voting, winnowing and
     # SRP-LSH are not reasonably ANSI-SQL-expressible; correctness is pinned
     # by pytest against pure-Python oracles instead)
