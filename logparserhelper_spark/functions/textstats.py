@@ -34,6 +34,19 @@ def token_count(col: Column) -> Column:
     )
 
 
+# GPT2-style pretokenizer shape restricted to the Python-re ∩ RE2 dialect
+# (no \p{L} in Python re): word runs, digit runs, punct runs, each with an
+# optional leading space, plus whitespace runs.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pretokenizer regex — JVM-side via
+    regexp_count (the pattern is dialect-safe; equivalence to Python re is
+    pinned by the DuckDB oracle and tests)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def _words(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 

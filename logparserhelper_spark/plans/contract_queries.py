@@ -661,6 +661,26 @@ FROM documents
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from logparserhelper_spark.functions.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT) AS n_bpe_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select("doc_id", "text")
     return quality_score(d).select(
@@ -1026,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_top_similar": q_ngram_top_similar,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
@@ -1065,6 +1086,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "ngram_top_similar": SQL_NGRAM_TOP_SIMILAR,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -81,3 +81,68 @@ def test_stream_windowed_counts(spark, tiny_dir):
     # total routed rows conserved across windows
     batch = stream_parse_route(spark.read.parquet(path), BANK, bdim)
     assert sum(r.n_rows for r in rows) == batch.count()
+
+
+def test_stateful_conv_rollup_across_batches(spark, tiny_dir, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over two files) must fold into
+    cumulative per-conversation state equal to the batch rollup."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from logparserhelper_spark.streaming.stateful import stateful_conv_rollup
+
+    src = os.path.join(tiny_dir, "transcripts.parquet")
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    sdir = str(tmp_path / "two_files")
+    os.makedirs(sdir)
+    pq.write_table(t.slice(0, half), os.path.join(sdir, "a.parquet"))
+    pq.write_table(t.slice(half), os.path.join(sdir, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    rolled = stateful_conv_rollup(stream, BANK)
+    q = (
+        rolled.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    # latest emitted row per conv (memory sink appends each update)
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r.conv_id)
+        if prev is None or r.n_turns >= prev.n_turns:
+            latest[r.conv_id] = r
+    # expected: plain batch computation over the full input (incl. duplicate
+    # (conv_id, turn_idx) rows — the stateful op counts raw arriving turns)
+    from logparserhelper_spark.operators.extract import make_extract_spans_udf
+
+    batch = spark.read.parquet(src)
+    exp = {
+        r.conv_id: r
+        for r in batch.withColumn("_s", make_extract_spans_udf(BANK)(F.col("text")))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.size("_s")).alias("n_spans"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(exp)
+    for cid, e in exp.items():
+        g = latest[cid]
+        assert (g.n_turns, g.n_spans, g.max_turn_idx) == (
+            e.n_turns,
+            e.n_spans,
+            e.max_turn_idx,
+        ), cid
+    # state really crossed batches: some conversation appears in both files
+    assert any(r.n_turns > e.n_turns for cid, e in exp.items() for r in rows if r.conv_id == cid) or len(rows) > len(exp)
