@@ -1,0 +1,132 @@
+"""IVF (inverted-file) approximate nearest neighbor — the second scale path
+next to SRP-LSH (functions/similarity.py).
+
+- ``kmeans_fit``: Lloyd's iterations as DataFrame ops — assignment is a
+  vectorized numpy matmul inside a pandas UDF (Arrow batches), the centroid
+  update is a plain groupBy mean. Deterministic (seeded init from a
+  deterministic sample). This is the iterative-algorithm pattern: a
+  driver-side loop over a small broadcast model, one distributed pass per
+  iteration, no RDDs.
+- ``ivf_topk``: assign corpus vectors to their nearest centroid (one pass),
+  probe the ``nprobe`` nearest lists per query, exact cosine re-rank inside
+  the probed lists. Shuffle volume ~ corpus (cluster ids) instead of
+  corpus x queries; recall vs brute force is pinned in tests.
+
+At 100 TB the centroid model is trained on a sample (standard IVF practice),
+the assignment pass is scan-shaped and embarrassingly parallel, and the
+probe join is a broadcast of (query, cluster) pairs against the
+cluster-partitioned corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.functions.similarity import cosine_similarity_col
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> np.ndarray:
+    """Spherical k-means (cosine) centroids, shape (k, dim). Init = seeded
+    choice from a deterministic sample (sorted, then RandomState pick)."""
+    sample = np.array(
+        df.select(vec_col).limit(sample_limit).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    rs = np.random.RandomState(seed)
+    centroids = _normalize(sample[rs.choice(len(sample), size=k, replace=False)])
+
+    for _ in range(iters):
+        assigned = with_cluster_ids(df, centroids, vec_col)
+        sums = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.array(*[
+                    F.sum(F.element_at(F.col(vec_col), i + 1).cast("double"))
+                    for i in range(centroids.shape[1])
+                ]).alias("vec_sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            new[r.cluster_id] = np.array(r.vec_sum) / r.n
+        centroids = _normalize(new)
+    return centroids
+
+
+def with_cluster_ids(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cluster_id`` = argmax cosine(v, centroid) via a vectorized
+    numpy matmul over Arrow batches (centroids captured by closure — a few
+    KB, re-broadcast per task by Spark's closure serializer)."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _normalize(np.array(vecs.tolist(), dtype=np.float64))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32), index=vecs.index)
+
+    return df.withColumn("cluster_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest centroid lists per query,
+    exact cosine re-rank within them. Output (query_id, neighbor_id,
+    cos_sim, rank)."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_probe = min(nprobe, c.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = _normalize(np.array(vecs.tolist(), dtype=np.float64))
+        order = np.argsort(-(m @ c.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order), index=vecs.index)
+
+    cc = with_cluster_ids(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        c,
+        "_cv",
+    )
+    qq = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("cluster_id", F.explode(probe_lists(F.col("_qv"))))
+    )
+    cand = cc.join(F.broadcast(qq), "cluster_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine_similarity_col(F.col("_cv"), F.col("_qv")), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

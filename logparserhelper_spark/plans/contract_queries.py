@@ -1019,6 +1019,15 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_topk(e, queries, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from logparserhelper_spark.functions.ivf import ivf_topk, kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3, seed=42)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, queries, cents, k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1061,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -143,3 +143,27 @@ def test_multimodal_features(spark):
     frames = frame_sample_stub(df).collect()
     assert [r.frame_ms for r in frames if r.media_id == 2] == [0, 1000, 2000, 3000]
     assert all(r.media_id == 2 for r in frames)
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from logparserhelper_spark.functions.ivf import ivf_topk, kmeans_fit, with_cluster_ids
+
+    cents = kmeans_fit(vectors, k=4, iters=3, seed=42)
+    assert cents.shape == (4, 16)
+    # assignment covers all rows with valid ids
+    assigned = with_cluster_ids(vectors, cents)
+    ids = [r.cluster_id for r in assigned.collect()]
+    assert len(ids) == 40 and all(0 <= i < 4 for i in ids)
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(vectors, q, cents, k=3, nprobe=2).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6
+    assert (0, 1) in approx  # the planted nearest neighbor is found
