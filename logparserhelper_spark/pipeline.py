@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -222,14 +223,6 @@ def _run_bucket(
         .join(F.broadcast(dim), "pattern_id", "left")
         .withColumn("sink", F.coalesce(F.col("sink"), F.lit("unmatched")))
     )
-    routed.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
-
-    sink_pattern_freq_from_turns(back, bdim).write.mode("overwrite").parquet(
-        os.path.join(partial_dir, "sink_pattern_freq", f"bucket={k}")
-    )
-    conv_rollup_from_turns(back, salt=cfg.salt).write.mode("overwrite").parquet(
-        os.path.join(partial_dir, "conv_rollup", f"bucket={k}")
-    )
     lineage = (
         back.groupBy("src_partition_id", "bank_version")
         .agg(
@@ -239,7 +232,24 @@ def _run_bucket(
         )
         .withColumn("bucket", F.lit(k))
     )
-    lineage.write.mode("overwrite").parquet(lineage_dir)
+    # the four derivations are independent read-back jobs over turns_dir —
+    # submit them concurrently (Spark schedules jobs from multiple threads;
+    # on a cluster this is the FAIR-pool pattern). The bucket still commits
+    # atomically: the progress marker lands only after ALL of them finish.
+    jobs = [
+        lambda: routed.write.mode("overwrite").partitionBy("sink").parquet(routed_dir),
+        lambda: sink_pattern_freq_from_turns(back, bdim)
+        .write.mode("overwrite")
+        .parquet(os.path.join(partial_dir, "sink_pattern_freq", f"bucket={k}")),
+        lambda: conv_rollup_from_turns(back, salt=cfg.salt)
+        .write.mode("overwrite")
+        .parquet(os.path.join(partial_dir, "conv_rollup", f"bucket={k}")),
+        lambda: lineage.write.mode("overwrite").parquet(lineage_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        for f in futures:
+            f.result()  # propagate the first failure -> bucket not marked
     return ometrics
 
 
