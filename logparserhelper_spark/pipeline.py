@@ -198,7 +198,8 @@ def _run_bucket(
         F.approx_count_distinct("conv_id").alias("n_convs"),  # observe() forbids DISTINCT
     )
     turns.write.mode("overwrite").parquet(turns_dir)
-    ometrics = {kk: int(vv) for kk, vv in obs.get.items()}
+    # sum() observes NULL on an empty bucket
+    ometrics = {kk: int(vv) if vv is not None else 0 for kk, vv in obs.get.items()}
 
     # everything below is derived from column-pruned read-backs of turns_dir
     back = spark.read.parquet(turns_dir)

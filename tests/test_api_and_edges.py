@@ -1,0 +1,120 @@
+"""Convenience-API parity tests + pipeline edge cases (empty input, Unicode
+text, bank swap)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from logparserhelper_spark import api, oracle
+from logparserhelper_spark.banks import TransformBank, TransformEntry, bank_from_dicts
+from logparserhelper_spark.defaults import default_pattern_bank
+from logparserhelper_spark.pipeline import PipelineConfig, run_pipeline
+
+BANK = default_pattern_bank()
+
+
+def test_highlight_matches_oracle_with_colors():
+    text = "start 2025-06-06 01:02:03,123 and 01/02/2025 03:04:05 end"
+    hs = api.highlight(text)
+    exp = oracle.extract_spans(text, BANK)
+    assert [(h.pattern_id, h.start, h.end, h.match) for h in hs] == exp
+    assert {h.pattern_id: h.color for h in hs}[4] == "#9467bd"  # palette[4]
+    assert {h.name for h in hs} >= {"HDFS Timestamp", "Zookeeper Timestamp"}
+
+
+def test_preview_transformations_fallback_and_disabled():
+    tb = TransformBank(
+        entries=(
+            TransformEntry(pattern=r"\d+", sample="a 12", replacement="<N>"),
+            TransformEntry(pattern="(bad", sample="keep", replacement="X"),
+            TransformEntry(pattern=r"x", sample="x", replacement="y", enabled=False),
+        )
+    )
+    rows = api.preview_transformations(tb)
+    assert rows[0]["example"] == "a <N>"
+    assert rows[1]["example"] == "keep"  # re.error -> raw sample
+    assert rows[2]["enabled"] is False and rows[2]["example"] == "y"
+
+
+def _write_transcripts(path: str, rows: list[tuple]) -> str:
+    import datetime as dt
+
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    table = pa.table(
+        {
+            "conv_id": pa.array(cols[0], pa.string()),
+            "turn_idx": pa.array(cols[1], pa.int32()),
+            "role": pa.array(cols[2], pa.string()),
+            "text": pa.array(cols[3], pa.string()),
+            "tool": pa.array(cols[4], pa.string()),
+            "ts": pa.array(cols[5], pa.timestamp("us", tz="UTC")),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "transcripts.parquet"))
+    return path
+
+
+def test_pipeline_empty_input(spark, tmp_path):
+    d = _write_transcripts(str(tmp_path / "empty"), [])
+    out = str(tmp_path / "out_empty")
+    cfg = PipelineConfig(input_path=d, out_dir=out, transform_bank=None, n_buckets=2)
+    metrics = run_pipeline(spark, cfg)
+    assert all(
+        b["turns_in"] == 0 for b in metrics["buckets"].values() if isinstance(b, dict)
+    )
+    # empty partitionBy write commits only _SUCCESS (no data files) — the
+    # bucket is committed, and schema-bearing outputs read back as 0 rows
+    for k in (0, 1):
+        assert os.path.exists(os.path.join(out, "routed", f"bucket={k}", "_SUCCESS"))
+    freq = spark.read.parquet(os.path.join(out, "aggregates", "sink_pattern_freq"))
+    assert freq.count() == 0
+    assert spark.read.parquet(os.path.join(out, "turns")).count() == 0
+
+
+def test_pipeline_unicode_text(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 6, 6, tzinfo=dt.timezone.utc)
+    rows = [
+        ("c1", 0, "user", "Ошибка в 2025-06-06T01:02:03 журнале 🚀", None, ts),
+        ("c1", 1, "assistant", "naïve café — 01/02/2025 03:04:05 ✓", None, ts),
+        ("c1", 2, "user", "χωρίς ημερομηνία εδώ", None, ts),
+    ]
+    d = _write_transcripts(str(tmp_path / "uni"), rows)
+    out = str(tmp_path / "out_uni")
+    cfg = PipelineConfig(input_path=d, out_dir=out, transform_bank=None, n_buckets=1)
+    run_pipeline(spark, cfg)
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    got = {
+        (r.turn_idx, r.pattern_id, r.start, r.end, r.match)
+        for r in routed.filter(F.col("pattern_id").isNotNull()).collect()
+    }
+    exp = set()
+    for _, ti, _, text, _, _ in rows:
+        for pid, s, e, m in oracle.extract_spans(text, BANK):
+            exp.add((ti, pid, s, e, m))
+    assert got == exp and len(got) >= 3  # code-point offsets agree w/ Python
+    # unmatched Greek turn routed to unmatched
+    assert routed.filter((F.col("turn_idx") == 2) & (F.col("sink") == "unmatched")).count() == 1
+
+
+def test_pipeline_custom_bank_version_isolation(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 6, 6, tzinfo=dt.timezone.utc)
+    rows = [("c1", 0, "user", "num 42 here", None, ts)]
+    d = _write_transcripts(str(tmp_path / "cb"), rows)
+    bank = bank_from_dicts([{"name": "Number", "pattern": r"\d+"}])
+    out = str(tmp_path / "out_cb")
+    cfg = PipelineConfig(
+        input_path=d, out_dir=out, pattern_bank=bank, transform_bank=None, n_buckets=1
+    )
+    run_pipeline(spark, cfg)
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    r = routed.filter(F.col("pattern_id").isNotNull()).collect()[0]
+    assert (r.sink, r.match, r.bank_version) == ("number", "42", bank.version)
