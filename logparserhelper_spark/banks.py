@@ -157,6 +157,15 @@ _COMPILED_CACHE: dict = {}
 # patterns are OR-ed together.
 _UNSAFE_FOR_ALTERNATION = re.compile(r"\\\d|\(\?P=|\\g<")
 
+# Batch-concatenated matching joins a whole Arrow batch with '\n' and runs
+# ONE finditer per distinct pattern over the blob (~25% faster than per-row
+# calls). That is only equivalent to per-row matching if no pattern can (a)
+# match across a '\n' boundary or (b) anchor to string edges. Conservative
+# source-level gate: any construct that can match '\n' or anchor disables it.
+_UNSAFE_FOR_BATCH = re.compile(
+    r"\^|\$|\\A|\\Z|\\z|\\n|\n|\\s|\\D|\\W|\[\^|\(\?s|\(\?m|\\x0a|\\N"
+)
+
 
 class CompiledBank:
     """Per-worker compiled form of a PatternBank.
@@ -192,6 +201,7 @@ class CompiledBank:
         self.groups: list[tuple[re.Pattern, list[int]]] = []
         self.bad_ids: set[int] = set()
         alternation_ok = True
+        self.batch_safe = True
         branches: list[str] = []
         for pattern in order:
             try:
@@ -203,6 +213,8 @@ class CompiledBank:
             branches.append(f"(?:{pattern})")
             if _UNSAFE_FOR_ALTERNATION.search(pattern):
                 alternation_ok = False
+            if _UNSAFE_FOR_BATCH.search(pattern):
+                self.batch_safe = False
 
         self.prefilter: re.Pattern | None = None
         if alternation_ok and len(branches) > 1:
@@ -234,6 +246,41 @@ class CompiledBank:
             for pid in pids:
                 out.extend((pid, s, e, g) for (s, e, g) in ms)
         out.sort(key=lambda t: (t[0], t[1]))
+        return out
+
+    def extract_batch(self, texts: list) -> list[list[tuple[int, int, int, str]]]:
+        """Batch-concatenated extraction: one finditer per distinct pattern
+        over the '\\n'-joined batch, match offsets mapped back to rows.
+        Equal to per-row ``extract`` when ``batch_safe`` (gated; falls back
+        otherwise). Equality is pinned by the property-based ring."""
+        import os
+
+        if (
+            not self.batch_safe
+            or len(texts) < 32
+            or os.environ.get("LPH_BATCH_EXTRACT", "1") == "0"
+        ):
+            return [self.extract(t) if isinstance(t, str) else [] for t in texts]
+        import numpy as np
+
+        clean = [t if isinstance(t, str) else "" for t in texts]
+        blob = "\n".join(clean)
+        lens = np.fromiter((len(t) for t in clean), dtype=np.int64, count=len(clean))
+        starts = np.zeros(len(clean), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        out: list[list[tuple[int, int, int, str]]] = [[] for _ in clean]
+        for rx, pids in self.groups:
+            ms = [(m.start(), m.end(), m.group(0)) for m in rx.finditer(blob)]
+            if not ms:
+                continue
+            ss = np.fromiter((m[0] for m in ms), dtype=np.int64, count=len(ms))
+            rows = np.searchsorted(starts, ss, side="right") - 1
+            r0s = starts[rows]
+            for (s, e, g), row, r0 in zip(ms, rows.tolist(), r0s.tolist()):
+                for pid in pids:
+                    out[row].append((pid, s - r0, e - r0, g))
+        for row_spans in out:
+            row_spans.sort(key=lambda t: (t[0], t[1]))
         return out
 
 

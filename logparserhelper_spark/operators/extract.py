@@ -60,9 +60,7 @@ def make_extract_spans_udf(bank: PatternBank):
     def extract_spans(texts: pd.Series) -> pd.Series:
         cb = get_compiled_bank(spec)
         return pd.Series(
-            [cb.extract(t) if isinstance(t, str) else [] for t in texts.tolist()],
-            index=texts.index,
-            dtype=object,
+            cb.extract_batch(texts.tolist()), index=texts.index, dtype=object
         )
 
     return extract_spans
@@ -114,9 +112,7 @@ def make_parse_normalize_udf(bank: PatternBank, tbank: TransformBank | None):
         cb = get_compiled_bank(spec)
         ct = get_compiled_transforms(tspec)
         spans = pd.Series(
-            [cb.extract(t) if isinstance(t, str) else [] for t in texts.tolist()],
-            index=texts.index,
-            dtype=object,
+            cb.extract_batch(texts.tolist()), index=texts.index, dtype=object
         )
         norm = texts
         for rx, repl in ct.steps:

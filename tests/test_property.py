@@ -59,3 +59,23 @@ def test_arbitrary_banks(patterns, text):
     bank = bank_from_dicts([{"name": f"p{i}", "pattern": p} for i, p in enumerate(patterns)])
     cb = get_compiled_bank(bank.spec())
     assert cb.extract(text) == oracle.extract_spans(text, bank)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(texts, min_size=0, max_size=80))
+def test_extract_batch_equals_per_row(batch):
+    assert CB.batch_safe
+    got = CB.extract_batch(batch)
+    exp = [CB.extract(t) for t in batch]
+    assert got == exp
+
+
+def test_batch_safety_gate():
+    unsafe = bank_from_dicts([{"name": "anch", "pattern": r"^\d+$"}])
+    cbu = get_compiled_bank(unsafe.spec())
+    assert not cbu.batch_safe
+    # gated fallback still correct for anchored patterns
+    batch = ["123", "x123", "456"] * 20
+    assert cbu.extract_batch(batch) == [cbu.extract(t) for t in batch]
+    ws = bank_from_dicts([{"name": "ws", "pattern": r"a\sb"}])
+    assert not get_compiled_bank(ws.spec()).batch_safe
