@@ -495,6 +495,27 @@ FROM x GROUP BY 1
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont definition); approx_percentile deliberately not used in
+    # oracle-compared outputs (sketches differ across engines)
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_hourly_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return (
@@ -1050,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_by_value": q_top_users_by_value,
     "props_extract": q_props_extract,
     "hourly_event_counts": q_hourly_event_counts,
+    "value_percentiles": q_value_percentiles,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1091,6 +1113,7 @@ ORACLES: dict[str, str] = {
     "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
     "props_extract": SQL_PROPS_EXTRACT,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
