@@ -408,6 +408,33 @@ GROUP BY p.p_brand
 # ---------------------------------------------------------------------------
 
 
+def q_unpivot_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    # unpivot via stack(): wide min/max/sum columns -> (metric, cents) rows
+    c = _t(spark, sf, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_cents"),
+        F.min(_cents(F.col("c_acctbal"))).alias("min_cents"),
+        F.max(_cents(F.col("c_acctbal"))).alias("max_cents"),
+    )
+    return wide.selectExpr(
+        "c_mktsegment",
+        "stack(3, 'sum', sum_cents, 'min', min_cents, 'max', max_cents) AS (metric, cents)",
+    )
+
+
+SQL_UNPIVOT_ACCTBAL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+         MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_cents,
+         MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_cents
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, 'sum' AS metric, sum_cents AS cents FROM wide
+UNION ALL SELECT c_mktsegment, 'min', min_cents FROM wide
+UNION ALL SELECT c_mktsegment, 'max', max_cents FROM wide
+"""
+
+
 def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
@@ -1065,6 +1092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_suppliers_per_nation": q_top_suppliers_per_nation,
     "monthly_order_volume": q_monthly_order_volume,
     "mktsegment_stats": q_mktsegment_stats,
+    "unpivot_acctbal": q_unpivot_acctbal,
     "brand_volume": q_brand_volume,
     "event_type_stats": q_event_type_stats,
     "sessionization": q_sessionization,
@@ -1107,6 +1135,7 @@ ORACLES: dict[str, str] = {
     "top_suppliers_per_nation": SQL_TOP_SUPPLIERS_PER_NATION,
     "monthly_order_volume": SQL_MONTHLY_ORDER_VOLUME,
     "mktsegment_stats": SQL_MKTSEGMENT_STATS,
+    "unpivot_acctbal": SQL_UNPIVOT_ACCTBAL,
     "brand_volume": SQL_BRAND_VOLUME,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "sessionization": SQL_SESSIONIZATION,
