@@ -148,7 +148,21 @@ def _run_bucket(
     turns_dir = os.path.join(cfg.out_dir, "turns", f"bucket={k}")
     routed_dir = os.path.join(cfg.out_dir, "routed", f"bucket={k}")
     lineage_dir = os.path.join(cfg.out_dir, "lineage", f"bucket={k}")
+    rejected_dir = os.path.join(cfg.out_dir, "rejected", f"bucket={k}")
     partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
+
+    # quarantine malformed rows (null ordering keys) instead of crashing or
+    # silently dropping — the pipeline analogue of the reference's
+    # degrade-don't-fail bank loading (utils/json_utils.py:10-18). text may
+    # be null (parses to no spans); the ordering keys may not.
+    malformed_cond = (
+        F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("role").isNull()
+        | F.col("ts").isNull()
+    )
+    bucket_src.filter(malformed_cond).write.mode("overwrite").parquet(rejected_dir)
+    bucket_src = bucket_src.filter(~malformed_cond)
 
     turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
     n_parse = (

@@ -118,3 +118,28 @@ def test_pipeline_custom_bank_version_isolation(spark, tmp_path):
     routed = spark.read.parquet(os.path.join(out, "routed"))
     r = routed.filter(F.col("pattern_id").isNotNull()).collect()[0]
     assert (r.sink, r.match, r.bank_version) == ("number", "42", bank.version)
+
+
+def test_pipeline_quarantines_malformed_rows(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 6, 6, tzinfo=dt.timezone.utc)
+    rows = [
+        ("c1", 0, "user", "ok 2025-06-06T01:02:03", None, ts),
+        (None, 1, "user", "null conv", None, ts),
+        ("c1", None, "user", "null idx", None, ts),
+        ("c1", 2, None, "null role", None, ts),
+        ("c1", 3, "user", "null ts", None, None),
+        ("c1", 4, "user", None, None, ts),  # null TEXT is fine -> unmatched
+    ]
+    d = _write_transcripts(str(tmp_path / "mal"), rows)
+    out = str(tmp_path / "out_mal")
+    cfg = PipelineConfig(input_path=d, out_dir=out, transform_bank=None, n_buckets=1)
+    run_pipeline(spark, cfg)
+    rejected = spark.read.parquet(os.path.join(out, "rejected"))
+    assert rejected.count() == 4
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    assert turns.count() == 2  # the valid row + the null-text row
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    assert routed.filter((F.col("turn_idx") == 4) & (F.col("sink") == "unmatched")).count() == 1
+    assert routed.filter(F.col("pattern_id") == 0).count() == 1  # ISO matched
