@@ -68,3 +68,36 @@ def test_document_vs_turn_equivalence(spark, turns):
         assert got.get(conv_id, set()) == exp, conv_id
         checked += 1
     assert checked > 10 and any(got.values())
+
+def test_text_log_source_reproduces_golden(spark):
+    """read_text_logs_as_transcripts over the reference sample logs must
+    reproduce the golden coverage matrix (O1 dev-mode source, end to end)."""
+    import json
+
+    from logparserhelper_spark.operators.extract import parse_and_explode
+    from logparserhelper_spark.sources.transcripts import read_text_logs_as_transcripts
+
+    logs_dir = "/root/reference/data/sample_logs"
+    if not os.path.isdir(logs_dir):
+        pytest.skip("reference sample logs not available")
+    df = read_text_logs_as_transcripts(spark, logs_dir)
+    parsed = parse_and_explode(df, BANK)
+    got = {
+        (r.conv_id, r.pattern_id): r.n
+        for r in parsed.filter(F.col("pattern_id").isNotNull())
+        .groupBy("conv_id", "pattern_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    golden_path = os.path.join(os.path.dirname(__file__), "golden", "coverage_reference_corpus.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    exp = {}
+    for corpus, payload in golden.items():
+        for pid, n in payload["pattern_counts"].items():
+            if n:
+                exp[(f"{corpus}_2k", int(pid))] = n
+    assert got == exp  # Linux_2k p7=710; Zookeeper_2k p4=p5=2000
+    # line order was reconstructed correctly: first turn of Linux_2k matches
+    first = df.filter((F.col("conv_id") == "Linux_2k") & (F.col("turn_idx") == 0)).collect()[0]
+    assert first.text.startswith("Jun 14 15:16:01")
