@@ -6,7 +6,7 @@ Conventions (the driver compares row-count + schema + order-insensitive
 value hash):
 - every computed column is aliased identically on both sides;
 - money aggregates use the cents-integer technique
-  (SUM(CAST(ROUND(x*100) AS BIGINT))) so double-summation order can never
+  (CAST(SUM(CAST(ROUND(x*100) AS BIGINT)) AS BIGINT)) so double-summation order can never
   flip a rounding boundary between engines;
 - regex queries restrict to the Python-re ∩ RE2 common dialect (plain
   classes, \\b, alternation — no backrefs/lookaround), verified by tests;
@@ -209,9 +209,9 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -239,7 +239,7 @@ def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TOP_CUSTOMERS = """
 SELECT c.c_custkey, c.c_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -271,7 +271,7 @@ def q_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_REGIONAL_REVENUE = """
 SELECT r.r_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -329,7 +329,7 @@ def q_top_suppliers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TOP_SUPPLIERS_PER_NATION = """
 WITH per_supp AS (
   SELECT n.n_name, s.s_suppkey, s.s_name,
-         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -357,7 +357,7 @@ def q_monthly_order_volume(spark: SparkSession, sf: str) -> DataFrame:
 SQL_MONTHLY_ORDER_VOLUME = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1
 """
 
@@ -375,7 +375,7 @@ def q_mktsegment_stats(spark: SparkSession, sf: str) -> DataFrame:
 SQL_MKTSEGMENT_STATS = """
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
        MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_acctbal_cents,
        MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_acctbal_cents
 FROM customer GROUP BY c_mktsegment
@@ -425,7 +425,7 @@ def q_unpivot_acctbal(spark: SparkSession, sf: str) -> DataFrame:
 SQL_UNPIVOT_ACCTBAL = """
 WITH wide AS (
   SELECT c_mktsegment,
-         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
          MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_cents,
          MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_cents
   FROM customer GROUP BY c_mktsegment)
@@ -446,7 +446,7 @@ def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_EVENT_TYPE_STATS = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """
@@ -493,7 +493,7 @@ def q_top_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_TOP_USERS_BY_VALUE = """
-SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id ASC LIMIT 20
 """
@@ -873,7 +873,7 @@ def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_ROLLUP_REVENUE = """
 SELECT r.r_name, n.n_name,
-       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
