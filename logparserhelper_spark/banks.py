@@ -160,11 +160,107 @@ _UNSAFE_FOR_ALTERNATION = re.compile(r"\\\d|\(\?P=|\\g<")
 # Batch-concatenated matching joins a whole Arrow batch with '\n' and runs
 # ONE finditer per distinct pattern over the blob (~25% faster than per-row
 # calls). That is only equivalent to per-row matching if no pattern can (a)
-# match across a '\n' boundary or (b) anchor to string edges. Conservative
-# source-level gate: any construct that can match '\n' or anchor disables it.
-_UNSAFE_FOR_BATCH = re.compile(
-    r"\^|\$|\\A|\\Z|\\z|\\n|\n|\\s|\\D|\\W|\[\^|\(\?s|\(\?m|\\x0a|\\N"
-)
+# match any string containing '\n' (so a match can never cross or consume the
+# row separator) or (b) anchor to positions that differ between row edges and
+# blob edges. A source-level grep gate is not sound — '\n' hides behind
+# \x0A, \012, or \u000A escapes and character-class ranges like [\t-\r] — so the
+# gate walks the re parse tree instead and rejects on any construct that
+# could touch '\n', any string anchor, or anything it does not recognize.
+from re import _parser as _re_parser  # CPython parse tree (3.11+); analysis only
+
+_NL = 0x0A
+
+
+def _class_matches_newline(items) -> bool:
+    """Whether an IN character-class item list can match '\\n'."""
+    negate = False
+    covered = False
+    for op, av in items:
+        opname = str(op)
+        if opname == "NEGATE":
+            negate = True
+        elif opname == "LITERAL":
+            covered = covered or av == _NL
+        elif opname == "RANGE":
+            covered = covered or (av[0] <= _NL <= av[1])
+        elif opname == "CATEGORY":
+            cat = str(av)
+            if cat in ("CATEGORY_SPACE", "CATEGORY_NOT_DIGIT", "CATEGORY_NOT_WORD"):
+                covered = True
+            elif cat not in (
+                "CATEGORY_DIGIT", "CATEGORY_WORD", "CATEGORY_NOT_SPACE"
+            ):
+                return True  # unknown category: assume it can match '\n'
+        else:
+            return True  # unknown class item: assume it can match '\n'
+    return (not covered) if negate else covered
+
+
+def _nodes_batch_safe(nodes, dotall: bool) -> bool:
+    for op, av in nodes:
+        opname = str(op)
+        if opname == "LITERAL":
+            if av == _NL:
+                return False
+        elif opname == "NOT_LITERAL":
+            if av != _NL:
+                return False
+        elif opname == "IN":
+            if _class_matches_newline(av):
+                return False
+        elif opname == "ANY":
+            if dotall:
+                return False
+        elif opname == "AT":
+            # '\b'/'\B' see the separator as a non-word char, exactly like a
+            # string edge; every other anchor distinguishes blob edges from
+            # row edges and is unsafe.
+            if str(av) not in ("AT_BOUNDARY", "AT_NON_BOUNDARY"):
+                return False
+        elif opname in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            if not _nodes_batch_safe(av[2], dotall):
+                return False
+        elif opname == "SUBPATTERN":
+            _g, add_flags, del_flags, sub = av
+            d = (dotall or bool(add_flags & re.S)) and not bool(del_flags & re.S)
+            if not _nodes_batch_safe(sub, d):
+                return False
+        elif opname == "ATOMIC_GROUP":
+            if not _nodes_batch_safe(av, dotall):
+                return False
+        elif opname == "BRANCH":
+            for branch in av[1]:
+                if not _nodes_batch_safe(branch, dotall):
+                    return False
+        elif opname in ("ASSERT", "ASSERT_NOT"):
+            # lookaround windows crossing a row edge must match the separator
+            # itself to differ from per-row behavior; the recursive scan of
+            # their contents rules that out.
+            if not _nodes_batch_safe(av[1], dotall):
+                return False
+        elif opname == "GROUPREF_EXISTS":
+            _g, yes, no = av
+            if not _nodes_batch_safe(yes, dotall):
+                return False
+            if no is not None and not _nodes_batch_safe(no, dotall):
+                return False
+        elif opname in ("GROUPREF", "FAILURE"):
+            continue  # a backref copies a group scanned where it is defined
+        else:
+            return False  # unrecognized construct: be conservative
+    return True
+
+
+def _pattern_batch_safe(pattern: str) -> bool:
+    try:
+        parsed = _re_parser.parse(pattern)
+    except Exception:
+        return False
+    if parsed.state.flags & (re.M | re.X | re.I | re.S | re.L):
+        # inline global flags change matching semantics in ways the walk
+        # does not model (e.g. (?m) anchors, (?i) class coverage) — opt out.
+        return False
+    return _nodes_batch_safe(parsed, dotall=False)
 
 
 class CompiledBank:
@@ -213,7 +309,7 @@ class CompiledBank:
             branches.append(f"(?:{pattern})")
             if _UNSAFE_FOR_ALTERNATION.search(pattern):
                 alternation_ok = False
-            if _UNSAFE_FOR_BATCH.search(pattern):
+            if not _pattern_batch_safe(pattern):
                 self.batch_safe = False
 
         self.prefilter: re.Pattern | None = None
@@ -234,7 +330,10 @@ class CompiledBank:
         (core/regex_highlighter.py:16-25): patterns independent, overlaps
         across patterns coexist, finditer leftmost-non-overlapping within
         one pattern, duplicates fan out."""
-        if not text:
+        if text is None:
+            # '' deliberately flows through finditer: empty-matchable patterns
+            # (x*, \d*) yield an empty match at offset 0, exactly like the
+            # reference's per-entry finditer.
             return []
         if self.prefilter is not None and self.prefilter.search(text) is None:
             return []
@@ -263,6 +362,7 @@ class CompiledBank:
             return [self.extract(t) if isinstance(t, str) else [] for t in texts]
         import numpy as np
 
+        null_rows = [i for i, t in enumerate(texts) if not isinstance(t, str)]
         clean = [t if isinstance(t, str) else "" for t in texts]
         blob = "\n".join(clean)
         lens = np.fromiter((len(t) for t in clean), dtype=np.int64, count=len(clean))
@@ -279,6 +379,11 @@ class CompiledBank:
             for (s, e, g), row, r0 in zip(ms, rows.tolist(), r0s.tolist()):
                 for pid in pids:
                     out[row].append((pid, s - r0, e - r0, g))
+        # null rows were substituted with '' for the join; an empty-matchable
+        # pattern would give them a spurious empty match, but extract(None)
+        # is defined as [] — clear them.
+        for i in null_rows:
+            out[i] = []
         for row_spans in out:
             row_spans.sort(key=lambda t: (t[0], t[1]))
         return out

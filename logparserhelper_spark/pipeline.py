@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -80,6 +81,50 @@ def _progress_dir(cfg: PipelineConfig) -> str:
     return os.path.join(cfg.out_dir, "_progress")
 
 
+def _run_fingerprint(cfg: PipelineConfig) -> dict:
+    """Everything a committed bucket's bytes depend on. Resume is only valid
+    when ALL of it matches — otherwise merged outputs would mix versions,
+    breaking the 'outputs are pure functions of (bank version, input)'
+    invariant."""
+    import hashlib
+
+    tspec = cfg.transform_bank.spec() if cfg.transform_bank is not None else ()
+    return {
+        "bank_version": cfg.pattern_bank.version,
+        "transform_hash": hashlib.sha256(json.dumps(tspec).encode()).hexdigest()[:16],
+        "n_buckets": cfg.n_buckets,
+        "input_path": os.path.abspath(cfg.input_path),
+        "dedup_strategy": cfg.dedup_strategy,
+        "salt": cfg.salt,
+    }
+
+
+def _validate_or_reset_progress(cfg: PipelineConfig) -> None:
+    """E2 semantics (edit the bank, re-run): a config/input change makes every
+    committed bucket stale, so the whole out_dir is invalidated and recomputed
+    (the reference's idempotent full recompute). Same fingerprint -> resume."""
+    fp = _run_fingerprint(cfg)
+    manifest = os.path.join(_progress_dir(cfg), "manifest.json")
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                old = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            old = None
+        if old != fp:
+            print(
+                f"pipeline config changed (was {old}, now {fp}): "
+                f"invalidating {cfg.out_dir} for full recompute",
+                file=sys.stderr,
+            )
+            reset_output(cfg)
+    os.makedirs(_progress_dir(cfg), exist_ok=True)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.rename(tmp, manifest)
+
+
 def _committed_buckets(cfg: PipelineConfig) -> set[int]:
     d = _progress_dir(cfg)
     if not os.path.isdir(d):
@@ -109,6 +154,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     tool_dim = read_dim(spark, cfg.tool_dim_path) if cfg.tool_dim_path else None
 
     src = read_transcripts(spark, cfg.input_path)
+    _validate_or_reset_progress(cfg)
     committed = _committed_buckets(cfg)
     metrics: dict = {"buckets": {}, "bank_version": bank.version}
 

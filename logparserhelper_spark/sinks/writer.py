@@ -12,6 +12,7 @@ rewritten wholesale and the progress marker lands only after success).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark) -> bool:
@@ -21,6 +22,17 @@ def iceberg_available(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+def iceberg_writer(df: DataFrame, name: str, partition_by: list[str] | None = None):
+    """DataFrameWriterV2 builder for the Iceberg path. Partitioning is fixed
+    at table creation for Iceberg, so the partition spec must land on the
+    create-or-replace builder — dropping it would silently produce an
+    unpartitioned table."""
+    w = df.writeTo(name).using("iceberg")
+    if partition_by:
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    return w
 
 
 def write_table(
@@ -33,12 +45,7 @@ def write_table(
     use_iceberg = target.startswith("iceberg:") if iceberg is None else iceberg
     if use_iceberg:
         name = target.split(":", 1)[1]
-        w = df.writeTo(name)
-        if partition_by:
-            # partitioning is fixed at table creation for Iceberg; this is
-            # the create-or-replace convenience path
-            w = w.using("iceberg")
-        w.createOrReplace()
+        iceberg_writer(df, name, partition_by).createOrReplace()
         return
     w = df.write.mode("overwrite")
     if partition_by:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,26 +53,37 @@ def read_text_logs_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
     (one conversation per file, one line per turn) — the Spark equivalent of
     the reference's load_log (gui/app_window.py:43-48).
 
-    Line order within a file is reconstructed with a window over
-    ``monotonically_increasing_id`` per file; correct because Spark reads
-    each text-file split sequentially and single files map to ordered splits.
-    Dev-scale only — the production source is the table scan above."""
-    raw = (
-        spark.read.text(path)
-        .withColumn("_file", F.input_file_name())
-        .withColumn("_mid", F.monotonically_increasing_id())
+    Each file is read whole (``wholetext``) and split into lines with
+    ``posexplode``, so ``turn_idx`` is the exact file line number regardless
+    of how many splits the file would otherwise span. (A window over
+    ``monotonically_increasing_id`` is NOT order-safe here: Spark packs file
+    splits into partitions sorted by split size, so partition ids do not
+    follow file offsets for files larger than maxPartitionBytes.) Whole-file
+    rows cap the practical file size — this is the dev source; the production
+    source is the table scan above."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("_file"), "value"
     )
-    w = Window.partitionBy("_file").orderBy("_mid")
-    return (
-        raw.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-        .select(
-            F.regexp_replace(
-                F.element_at(F.split(F.col("_file"), "/"), -1), r"\.[a-z]+$", ""
-            ).alias("conv_id"),
-            "turn_idx",
-            F.lit("system").alias("role"),
-            F.col("value").alias("text"),
-            F.lit(None).cast("string").alias("tool"),
-            (F.lit("2025-06-06 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("turn_idx"))).alias("ts"),
-        )
+    # split on \r?\n like the text reader; drop the phantom element a
+    # trailing newline produces so row count matches line count
+    lines = F.split(F.col("value"), r"\r?\n")
+    lines = F.when(
+        (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),
+        F.slice(lines, 1, F.size(lines) - 1),
+    ).otherwise(lines)
+    return raw.select(
+        F.regexp_replace(
+            F.element_at(F.split(F.col("_file"), "/"), -1), r"\.[a-z]+$", ""
+        ).alias("conv_id"),
+        F.posexplode(lines).alias("turn_idx", "text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.lit("2025-06-06 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("turn_idx"))
+        ).alias("ts"),
     )

@@ -204,7 +204,10 @@ def test_resume_after_injected_failure(spark, tiny_dir, tmp_path, expected):
     )
     with pytest.raises(InjectedFailure):
         run_pipeline(spark, cfg)
-    assert len(os.listdir(os.path.join(out, "_progress"))) == 1
+    markers = [
+        f for f in os.listdir(os.path.join(out, "_progress")) if f.startswith("bucket_")
+    ]
+    assert len(markers) == 1
     cfg2 = PipelineConfig(
         input_path=tiny_dir, out_dir=out, transform_bank=TBANK, n_buckets=3
     )
@@ -222,6 +225,61 @@ def test_resume_after_injected_failure(spark, tiny_dir, tmp_path, expected):
         (sink,) + t for sink, ts in expected["routed"].items() for t in ts
     }
     assert got == exp
+
+
+def test_resume_invalidated_on_config_change(spark, tiny_dir, tmp_path):
+    """Committed buckets are only reusable under the exact run fingerprint:
+    re-running into the same out_dir with a different bank (E2) or different
+    n_buckets must recompute everything, never merge stale partials."""
+    from logparserhelper_spark.banks import bank_from_dicts
+
+    out = str(tmp_path / "manifest")
+    cfg = PipelineConfig(
+        input_path=tiny_dir, out_dir=out, transform_bank=TBANK, n_buckets=2
+    )
+    run_pipeline(spark, cfg)
+
+    # same fingerprint -> full resume
+    again = run_pipeline(spark, cfg)
+    assert all(v == "resumed" for v in again["buckets"].values())
+
+    # different bank -> invalidate + recompute under the new version
+    nb = bank_from_dicts([{"name": "only-iso", "pattern": r"\d{4}-\d{2}-\d{2}"}])
+    cfg_b = PipelineConfig(
+        input_path=tiny_dir, out_dir=out, pattern_bank=nb,
+        transform_bank=TBANK, n_buckets=2,
+    )
+    m = run_pipeline(spark, cfg_b)
+    assert not any(v == "resumed" for v in m["buckets"].values())
+    versions = (
+        spark.read.parquet(os.path.join(out, "turns"))
+        .select("bank_version").distinct().collect()
+    )
+    assert [r.bank_version for r in versions] == [nb.version]
+
+    # different n_buckets -> also invalidated (stale partials would merge)
+    cfg_n = PipelineConfig(
+        input_path=tiny_dir, out_dir=out, pattern_bank=nb,
+        transform_bank=TBANK, n_buckets=3,
+    )
+    m3 = run_pipeline(spark, cfg_n)
+    assert not any(v == "resumed" for v in m3["buckets"].values())
+    assert len(m3["buckets"]) == 3
+
+
+def test_iceberg_writer_builder_carries_partition_spec(spark, tiny_dir):
+    """The writeTo builder must receive the partition spec (an Iceberg table
+    created without it would be silently unpartitioned). No catalog in the
+    sandbox, so assert on builder construction, not execution."""
+    from logparserhelper_spark.sinks.writer import iceberg_writer
+
+    df = spark.read.parquet(os.path.join(tiny_dir, "transcripts.parquet"))
+    w = iceberg_writer(df, "cat.db.t", partition_by=["role"])
+    # DataFrameWriterV2 tracks partitioning on the underlying java builder;
+    # reaching createOrReplace() would need a catalog — construction is the
+    # testable surface. Building with no partition spec must also work.
+    assert w is not None
+    assert iceberg_writer(df, "cat.db.t", partition_by=None) is not None
 
 
 def test_reference_corpus_golden_through_pipeline(spark, tmp_path):

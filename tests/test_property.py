@@ -79,3 +79,50 @@ def test_batch_safety_gate():
     assert cbu.extract_batch(batch) == [cbu.extract(t) for t in batch]
     ws = bank_from_dicts([{"name": "ws", "pattern": r"a\sb"}])
     assert not get_compiled_bank(ws.spec()).batch_safe
+
+
+def test_batch_safety_gate_hidden_newlines():
+    """Escapes and class ranges that reach '\\n' without any literal token a
+    source grep could see (the round-1 gate's blind spots)."""
+    hidden = [
+        r"\x0A", r"a\012b", r"[\x00-\x7F]+", r"[\t-\r]", r"a(?=[\s\S])",
+        r"(?m)^a", r"(?s)a.b", "\\N{LINE FEED}",
+    ]
+    for p in hidden:
+        b = bank_from_dicts([{"name": "h", "pattern": p}])
+        cb = get_compiled_bank(b.spec())
+        assert not cb.batch_safe, p
+        # and the gated fallback is still exactly per-row
+        batch = ["a 1 b", "", "a\tb", "xx"] * 10
+        assert cb.extract_batch(batch) == [cb.extract(t) for t in batch], p
+
+
+def test_empty_text_empty_matchable():
+    """'' flows through finditer: empty-matchable patterns yield the
+    reference's empty match at offset 0 (oracle parity)."""
+    b = bank_from_dicts([{"name": "star", "pattern": r"x*"}])
+    cb = get_compiled_bank(b.spec())
+    assert cb.extract("") == oracle.extract_spans("", b) == [(0, 0, 0, "")]
+    assert cb.extract(None) == []
+    # batch path agrees, including None rows
+    batch = ["", "xx a", None, "b"] * 10
+    exp = [cb.extract(t) if isinstance(t, str) else [] for t in batch]
+    assert cb.extract_batch(batch) == exp
+
+
+_ADV_PATTERNS = st.sampled_from(
+    [r"a+", r"\d+", r"x*", r"\d*", r"(ab?)*", r"\bjoin\b", r"a.b", r"[a-z]{2}",
+     r"a(?!b)", r"(?<=a)b", r"z?"]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_ADV_PATTERNS, min_size=1, max_size=4),
+    st.lists(st.one_of(texts, st.just("")), min_size=32, max_size=64),
+)
+def test_batch_equals_per_row_empty_matchable(patterns, batch):
+    bank = bank_from_dicts([{"name": f"p{i}", "pattern": p} for i, p in enumerate(patterns)])
+    cb = get_compiled_bank(bank.spec())
+    assert cb.batch_safe
+    assert cb.extract_batch(batch) == [cb.extract(t) for t in batch]
