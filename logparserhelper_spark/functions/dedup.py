@@ -90,17 +90,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+    """n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold),
+    exact over the CAPPED shingle space: shingles with document frequency
+    > max_shingle_freq are dropped (they generate quadratic candidates and
+    contribute negligible discrimination), and BOTH the intersection and the
+    per-doc sizes are computed from the filtered set, so jaccard is the true
+    Jaccard of the filtered shingle sets — not a biased-low estimate of the
+    unfiltered one. With no shingle above the cap the result is the exact
+    unfiltered Jaccard.
 
-    Plan shape: shingle table S (distinct per doc) -> filter hot shingles
-    with document frequency > max_shingle_freq (they generate quadratic
-    candidates and contribute negligible discrimination) -> self equi-join on
-    shingle -> groupBy pair count = |A∩B| -> join per-doc sizes ->
-    jaccard = inter / (|A| + |B| - inter)."""
+    Plan shape: shingle table S (distinct per doc) -> frequency cap ->
+    self equi-join on shingle -> groupBy pair count = |A∩B| -> join per-doc
+    (filtered) sizes -> jaccard = inter / (|A| + |B| - inter)."""
     sh = word_shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(dfreq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    sizes = sh_f.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh_f.select(F.col("id").alias("id_a"), "shingle")
     b = sh_f.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -180,25 +185,32 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash per doc (Charikar'02): per-token md5-derived 64-bit
     hash; signature bit b = sign of the sum of (+1/-1) votes across tokens.
     Arrow-batched pandas UDF (bit voting has no built-in form)."""
+    import numpy as np
+
+    _bit_idx = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts.tolist():
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts.tolist()):
             if not isinstance(t, str) or not t.strip():
-                out.append(0)
                 continue
-            votes = [0] * 64
-            for tok in t.lower().split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            v = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    v |= 1 << b
-            # to signed 64-bit
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, index=texts.index)
+            toks = t.lower().split()
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            # unpack token-hash bits into an (n_tokens, 64) 0/1 matrix; vote
+            # sum per bit = 2*ones - n; signature bit set iff votes > 0
+            ones = ((hs[:, None] >> _bit_idx) & np.uint64(1)).sum(axis=0)
+            sig_bits = (2 * ones.astype(np.int64) - len(toks)) > 0
+            out[i] = (sig_bits.astype(np.uint64) << _bit_idx).sum(dtype=np.uint64)
+        # reinterpret the packed uint64 as signed (Spark long)
+        return pd.Series(out.view(np.int64), index=texts.index)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 

@@ -86,6 +86,57 @@ def srp_bucket_key(vec_col, planes: np.ndarray):
     return key
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold, id_a < id_b).
+
+    Scale-safe shape: SRP-LSH candidate generation (each row keyed into
+    ``n_tables`` sign-bit buckets) -> equi-join on (table, key) -> exact
+    cosine re-rank inside candidate pairs. Shuffle volume is
+    O(n * n_tables) keys plus per-bucket pair fan-out — never the all-pairs
+    nested loop. Recall: a pair at cosine c collides per table with
+    p = (1 - acos(c)/pi)^n_bits; missing all tables has probability
+    (1-p)^n_tables ≈ 1.2e-5 at c=0.99 with the defaults. At larger corpus
+    sizes raise n_bits (≈ log2(n / target_bucket_size)) and n_tables
+    together to hold recall while keeping buckets small."""
+    rs = np.random.RandomState(seed)
+    tables = [rs.normal(size=(n_bits, dim)) for _ in range(n_tables)]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    keys = [
+        F.struct(F.lit(t).alias("t"), srp_bucket_key(F.col("_v"), tables[t]).alias("key"))
+        for t in range(n_tables)
+    ]
+    keyed = base.select("id", "_v", F.explode(F.array(*keys)).alias("bk")).select(
+        "id", "_v", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "t", "key")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "t", "key")
+    # dedup multi-table collisions with one shuffle (groupBy carries the
+    # vectors along instead of re-joining them after a distinct)
+    cand = (
+        a.join(b, ["t", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_va").alias("_va"), F.first("_vb").alias("_vb"))
+    )
+    return (
+        cand.withColumn(
+            "cos_sim", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), round_to)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

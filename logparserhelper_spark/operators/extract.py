@@ -93,6 +93,51 @@ def parse_and_explode(
     return _explode_spans(out)
 
 
+NAMED_CAPTURE_ENTRIES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+
+
+def make_named_capture_udf(pattern: str):
+    """Arrow-batched UDF: first-match ``groupdict()`` per row as (key, value)
+    entries (Python-re dialect, like every matcher here). None when the
+    pattern has no match or the row is null."""
+
+    @F.pandas_udf(NAMED_CAPTURE_ENTRIES_TYPE)
+    def capture(texts: pd.Series) -> pd.Series:
+        import re
+
+        rx = re.compile(pattern)
+        out = []
+        for t in texts.tolist():
+            if not isinstance(t, str):
+                out.append(None)
+                continue
+            m = rx.search(t)
+            out.append(list(m.groupdict().items()) if m else None)
+        return pd.Series(out, index=texts.index, dtype=object)
+
+    return capture
+
+
+def with_named_captures(
+    df: DataFrame, pattern: str, text_col: str = "text", out_col: str = "captures"
+) -> DataFrame:
+    """Named-capture extraction to ``map<string,string>`` (SURVEY §1.2 D3/D4):
+    the reference exposes named groups only through re.sub templates
+    (gui/log_generator.py:44, ``\\g<name>``); here the first match's named
+    groups become a typed map column, assembled JVM-side with
+    ``map_from_entries`` over the UDF's entry structs. Groups that did not
+    participate in the match map to null values."""
+    entries = make_named_capture_udf(pattern)(F.col(text_col))
+    return df.withColumn(out_col, F.map_from_entries(entries))
+
+
 PARSE_NORM_TYPE = T.StructType(
     [
         T.StructField("norm_text", T.StringType()),

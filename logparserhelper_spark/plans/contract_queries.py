@@ -660,8 +660,10 @@ SQL_MINHASH_LSH_PAIRS = _lsh_band_sql()
 
 
 def q_ngram_top_similar(spark: SparkSession, sf: str) -> DataFrame:
+    # threshold > 0 keeps the pair materialization bounded: only co-shingled
+    # pairs that survive the similarity filter reach the global top-25 sort
     d = _docs_with_planted_dups(spark, sf)
-    pairs = ngram_jaccard_pairs(d, threshold=0.0)
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, max_shingle_freq=1000)
     return (
         pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
@@ -679,13 +681,17 @@ def q_ngram_top_similar(spark: SparkSession, sf: str) -> DataFrame:
 SQL_NGRAM_TOP_SIMILAR = f"""
 WITH {SQL_DOCS_PLANTED},
 {_SHINGLE_CTES},
-sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+shf AS (SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM shf GROUP BY id),
 inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
           GROUP BY a.id, b.id)
-SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+SELECT id_a, id_b, n_inter, sz_a, sz_b, jaccard
+FROM (SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+      FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id)
+WHERE jaccard >= 0.2
 ORDER BY jaccard DESC, id_a ASC, id_b ASC
 LIMIT 25
 """
@@ -934,7 +940,12 @@ FROM events GROUP BY event_type
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """embedding-cosine near-dup pairs: plant near-duplicate vectors
     (vec_id+10000, slightly perturbed first component) then find pairs with
-    cosine >= 0.99 — same construction in the oracle SQL."""
+    cosine >= 0.99 — same construction in the oracle SQL. Candidates come
+    from SRP-LSH buckets (equi-join, no all-pairs nested loop); the exact
+    all-pairs oracle stays the ground truth and equality is verified at
+    every SF (miss probability per true pair ≈ 1.2e-5 with these params)."""
+    from logparserhelper_spark.functions.similarity import embedding_near_dup_pairs
+
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
@@ -944,16 +955,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding"),
     )
     d = e.unionByName(planted)
-    a = d.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = d.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    from logparserhelper_spark.functions.similarity import cosine_similarity_col
-
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 4))
-        .filter(F.col("cos_sim") >= 0.99)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return embedding_near_dup_pairs(d, threshold=0.99, n_bits=6, n_tables=8)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -1042,12 +1044,131 @@ FROM g GROUP BY user_id
 """
 
 
-# --- rows-only queries (no SQL-expressible oracle; driver checks rows) ------
+def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Named-capture extraction to map<string,string> (SURVEY §1.2 D3/D4):
+    first match's groupdict as a typed map via map_from_entries; map values
+    projected to scalar columns for hash portability."""
+    from logparserhelper_spark.operators.extract import with_named_captures
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = with_named_captures(d, NAMED_CAPTURE_PATTERN)
+    return out.filter(F.col("captures").isNotNull()).select(
+        "doc_id",
+        F.col("captures")["verb"].alias("verb"),
+        F.col("captures")["obj"].alias("obj"),
+    )
+
+
+# Python-re ∩ RE2 shared dialect: (?P<name>...) works in both; literal space
+# separator; no optional named groups (non-participating groups are None in
+# Python but '' in DuckDB's struct output).
+NAMED_CAPTURE_PATTERN = r"(?P<verb>scan|filter|join) (?P<obj>[a-z]+)"
+
+SQL_NAMED_CAPTURE_EXTRACT = f"""
+SELECT doc_id, s.verb AS verb, s.obj AS obj
+FROM (SELECT doc_id,
+             regexp_extract(text, '{NAMED_CAPTURE_PATTERN}', ['verb', 'obj']) AS s
+      FROM documents
+      WHERE regexp_matches(text, '{NAMED_CAPTURE_PATTERN}'))
+"""
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs_with_planted_dups(spark, sf)
     return simhash64(d)
+
+
+def _simhash_sql() -> str:
+    """DuckDB mirror of simhash64: md5 first-8-bytes token hash (the hex
+    prefix), per-bit +1/-1 votes, sign -> signature bit; HUGEINT packing
+    folded back to signed 64-bit. Tokenization mirrors str.split()."""
+    vote_exprs = []
+    for b in range(64):
+        pos = 16 - b // 4  # hex chars are big-endian: bit b lives in char 16 - b//4
+        shift = b % 4
+        vote_exprs.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1) "
+            f">> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    sig_terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END * {2**b}"
+        for b in range(64)
+    )
+    return rf"""
+WITH {SQL_DOCS_PLANTED},
+tok AS (SELECT doc_id AS id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+        FROM docs2),
+h AS (SELECT id, substr(md5(tok), 1, 16) AS hx FROM tok),
+votes AS (SELECT id, {", ".join(vote_exprs)} FROM h GROUP BY id),
+sig AS (SELECT id, ({sig_terms}) AS u FROM votes)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(CASE WHEN s.u >= CAST(9223372036854775808 AS HUGEINT)
+                          THEN s.u - CAST(18446744073709551616 AS HUGEINT)
+                          ELSE s.u END, 0) AS BIGINT) AS simhash
+FROM docs2 d LEFT JOIN sig s ON d.doc_id = s.id
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def _lsh_topk_sql() -> str:
+    """DuckDB mirror of lsh_bucketed_topk: identical SRP planes (same
+    RandomState(42) draw as similarity.py's defaults) embedded as repr()
+    round-trip-exact double literals; list_sum reproduces Spark's
+    left-fold dot product bitwise (verified empirically), so bucket keys
+    and therefore candidate sets match exactly."""
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    tables = [rs.normal(size=(6, 64)) for _ in range(3)]
+
+    def key_expr(v: str, t: int) -> str:
+        bits = []
+        for i in range(6):
+            lit = "[" + ", ".join(repr(float(x)) for x in tables[t][i]) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(list_zip({v}, {lit}), "
+                f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {2**i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    qk = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS t, {key_expr('qv', t)} AS key FROM q"
+        for t in range(3)
+    )
+    ck = " UNION ALL ".join(
+        f"SELECT neighbor_id, {t} AS t, {key_expr('cv', t)} AS key FROM c"
+        for t in range(3)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+qk AS ({qk}),
+ck AS ({ck}),
+cand AS (SELECT DISTINCT qk.query_id, ck.neighbor_id
+         FROM qk JOIN ck ON qk.t = ck.t AND qk.key = ck.key
+         WHERE ck.neighbor_id <> qk.query_id),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(c.cv, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cos_sim
+  FROM cand JOIN c ON cand.neighbor_id = c.neighbor_id
+            JOIN q ON cand.query_id = q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM s)
+WHERE rnk <= 5
+"""
+
+
+SQL_LSH_TOPK = _lsh_topk_sql()
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver checks rows) ------
 
 
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -1117,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "pivot_priority_status": q_pivot_priority_status,
     "user_gap_stats": q_user_gap_stats,
+    "named_capture_extract": q_named_capture_extract,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1160,7 +1282,11 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "pivot_priority_status": SQL_PIVOT_PRIORITY_STATUS,
     "user_gap_stats": SQL_USER_GAP_STATS,
-    # simhash / fingerprint / lsh_topk: rows-only (bit-voting, winnowing and
-    # SRP-LSH are not reasonably ANSI-SQL-expressible; correctness is pinned
-    # by pytest against pure-Python oracles instead)
+    "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
+    "simhash": SQL_SIMHASH,
+    "lsh_topk": SQL_LSH_TOPK,
+    # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position
+    # rolling argmin over overlapping windows, and IVF needs iterative
+    # k-means state — neither is reasonably ANSI-SQL-expressible; both are
+    # pinned by pytest against pure-Python oracles instead.
 }

@@ -124,6 +124,51 @@ def test_lsh_topk_recall(spark, vectors):
     assert (0, 1) in approx
 
 
+def test_embedding_near_dup_pairs_equals_brute_force(spark, vectors):
+    from logparserhelper_spark.functions.similarity import (
+        cosine_similarity_col,
+        embedding_near_dup_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs(
+            vectors, threshold=0.95, dim=16, n_bits=4, n_tables=8
+        ).collect()
+    }
+    a = vectors.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = vectors.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exp = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos_sim") >= 0.95)
+        .collect()
+    }
+    assert got == exp and (0, 1) in got  # planted near-dup found, exactly
+
+
+def test_named_captures_match_re_oracle(spark, docs):
+    import re
+
+    from logparserhelper_spark.operators.extract import with_named_captures
+
+    pat = r"(?P<art>the|le|der) (?P<noun>[a-z]+)"
+    got = {
+        r.doc_id: r.captures
+        for r in with_named_captures(docs, pat).select("doc_id", "captures").collect()
+    }
+    rx = re.compile(pat)
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        m = rx.search(text)
+        assert got[doc_id] == (m.groupdict() if m else None), doc_id
+    # non-participating optional groups map to null values, not ''
+    opt = with_named_captures(docs, r"(?P<w>quick)(?P<x>zzz)?").filter(
+        F.col("doc_id") == 1
+    ).collect()[0].captures
+    assert opt == {"w": "quick", "x": None}
+
+
 def test_multimodal_features(spark):
     rows = [
         (1, "image", "image/png", bytearray(b"fakepng"), 8, 8, None),
