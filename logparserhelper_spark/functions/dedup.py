@@ -99,18 +99,38 @@ def ngram_jaccard_pairs(
     unfiltered one. With no shingle above the cap the result is the exact
     unfiltered Jaccard.
 
-    Plan shape: shingle table S (distinct per doc) -> frequency cap ->
-    self equi-join on shingle -> groupBy pair count = |A∩B| -> join per-doc
-    (filtered) sizes -> jaccard = inter / (|A| + |B| - inter)."""
+    Plan shape: ONE groupBy(shingle) -> collect_list(id) fuses the frequency
+    cap with candidate generation (a separate dfreq + join formulation
+    recomputed the expensive shingle subtree 6x; every consumer below hangs
+    off the same aggregation exchange, which Spark's ReuseExchange
+    deduplicates). Pairs are expanded in-plan from each shingle's posting
+    list (k^2/2 per shingle, k <= max_shingle_freq — bounded) -> groupBy
+    pair count = |A∩B| -> join per-doc (filtered) sizes -> jaccard."""
     sh = word_shingles(df, text_col, id_col, k)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh_f = sh.join(dfreq.filter(F.col("df") <= max_shingle_freq), "shingle")
-    sizes = sh_f.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") <= max_shingle_freq)
+    )
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -2,11 +2,20 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing — is real and tested; the actual media decode
-is STUBBED (the sandbox image ships no codec libraries). ``decode_fn``
-defaults to a deterministic fake that derives "features" from the byte
-content, so tests pin the plumbing end-to-end; swap in a real decoder
-(PIL/librosa/av) by passing ``decode_fn`` in production.
+signatures, partition sizing — is real and tested. Decode status per
+modality (the accepted boundary for this image):
+
+- audio/WAV: REAL decode via the stdlib ``wave`` module (``wav_decode``) —
+  duration/channels/rate plus global and windowed RMS features.
+- image, video, non-WAV audio: STUBBED — the sandbox ships no codec
+  libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
+  deterministic pseudo-features from the md5 of the payload so the
+  plumbing is testable end-to-end (and oracle-checkable: the driver
+  contract query ``media_features`` reproduces them in DuckDB). Swap in a
+  real decoder by passing ``decode_fn`` in production.
+
+The default ``auto_decode`` dispatches on container magic bytes: RIFF/WAVE
+payloads take the real path, everything else the deterministic fake.
 
 At 100 TB: binary payloads dominate row size, so media tables must set
 ``spark.sql.files.maxPartitionBytes`` low enough that one Arrow batch of
@@ -49,6 +58,51 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
+def wav_decode(payload: bytes) -> np.ndarray:
+    """REAL audio decode for RIFF/WAVE payloads (stdlib ``wave``): FEATURE_DIM
+    floats = [duration_s, n_channels, sample_rate/1e5, global RMS] + 12
+    windowed RMS values. 8-bit and 16-bit PCM supported; anything else raises
+    (callers fall back to fake_decode)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        ch = w.getnchannels()
+        sr = w.getframerate()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    dur = n / sr if sr else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    win_rms = [
+        float(np.sqrt(np.mean(c * c))) if c.size else 0.0
+        for c in np.array_split(x, FEATURE_DIM - 4)
+    ]
+    return np.array([dur, float(ch), sr / 1e5, rms] + win_rms, dtype=np.float32)
+
+
+def auto_decode(payload: bytes) -> np.ndarray:
+    """Default decoder: dispatch on container magic. RIFF/WAVE -> real stdlib
+    decode; other formats have no codec in this image -> deterministic fake."""
+    if (
+        payload is not None
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        try:
+            return wav_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    return fake_decode(payload)
+
+
 def extract_media_features(
     df: DataFrame,
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
@@ -57,7 +111,7 @@ def extract_media_features(
     """payload -> feature vector via mapInPandas. Output: (media_id, kind,
     n_bytes, features array<float>). Batches iterate lazily so only one Arrow
     batch of payloads is resident per worker at a time."""
-    decode = decode_fn or fake_decode
+    decode = decode_fn or auto_decode
     out_schema = "media_id long, kind string, n_bytes int, features array<float>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

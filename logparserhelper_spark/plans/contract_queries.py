@@ -1073,6 +1073,61 @@ FROM (SELECT doc_id,
 """
 
 
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing, driver-checkable: a deterministic media table
+    (payload = utf-8 bytes of each document) pushed through the real
+    mapInPandas feature extractor; the sandbox fake decoder's md5-derived
+    features are reproduced bit-for-bit by the DuckDB oracle. (WAV payloads
+    take the REAL stdlib decode path — pinned by pytest, not this query,
+    since the testdata tables carry no audio.)"""
+    from logparserhelper_spark.functions.multimodal import extract_media_features
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("f1"),
+    )
+
+
+def _media_features_sql() -> str:
+    """DuckDB mirror of fake_decode: little-endian uint32 words of the md5
+    digest (repeated to FEATURE_DIM), divided by 2^32-1, cast through REAL
+    to replicate the float32 storage, rounded at 6."""
+    def byte_expr(i: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1))"
+        )
+
+    def feat_expr(j: int) -> str:
+        u = " + ".join(f"{byte_expr((4 * j + b) % 16)} * {256 ** b}" for b in range(4))
+        return f"ROUND(CAST(CAST(({u}) / 4294967295.0 AS REAL) AS DOUBLE), 6)"
+
+    return f"""
+WITH h AS (SELECT doc_id AS media_id, 'image' AS kind,
+                  CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS hx
+           FROM documents)
+SELECT media_id, kind, n_bytes, {feat_expr(0)} AS f0, {feat_expr(1)} AS f1
+FROM h
+"""
+
+
+SQL_MEDIA_FEATURES = _media_features_sql()
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs_with_planted_dups(spark, sf)
     return simhash64(d)
@@ -1239,6 +1294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_priority_status": q_pivot_priority_status,
     "user_gap_stats": q_user_gap_stats,
     "named_capture_extract": q_named_capture_extract,
+    "media_features": q_media_features,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1283,6 +1339,7 @@ ORACLES: dict[str, str] = {
     "pivot_priority_status": SQL_PIVOT_PRIORITY_STATUS,
     "user_gap_stats": SQL_USER_GAP_STATS,
     "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
+    "media_features": SQL_MEDIA_FEATURES,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position

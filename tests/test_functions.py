@@ -190,6 +190,48 @@ def test_multimodal_features(spark):
     assert all(r.media_id == 2 for r in frames)
 
 
+def test_wav_decode_real_path(spark):
+    """RIFF/WAVE payloads take the REAL stdlib decode: duration, channels,
+    rate, and RMS come from the actual samples, not the md5 fake."""
+    import io
+    import math
+    import wave
+
+    from logparserhelper_spark.functions.multimodal import auto_decode, fake_decode
+
+    sr, secs = 8000, 2
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        samples = [
+            int(16384 * math.sin(2 * math.pi * 440 * i / sr)) for i in range(sr * secs)
+        ]
+        w.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in samples))
+    payload = buf.getvalue()
+
+    feats = auto_decode(payload)
+    assert abs(feats[0] - secs) < 1e-6  # duration_s
+    assert feats[1] == 1.0  # channels
+    assert abs(feats[2] - sr / 1e5) < 1e-6  # float32 storage
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(feats[3] - 0.5 / math.sqrt(2)) < 0.01
+    assert list(feats) != list(fake_decode(payload))
+
+    # and through the Spark operator end-to-end
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(payload), None, None, secs * 1000)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    from logparserhelper_spark.functions.multimodal import extract_media_features
+
+    row = extract_media_features(df).collect()[0]
+    assert abs(row.features[0] - secs) < 1e-6
+    assert row.n_bytes == len(payload)
+
+
 def test_ivf_topk_recall(spark, vectors):
     from logparserhelper_spark.functions.ivf import ivf_topk, kmeans_fit, with_cluster_ids
 
