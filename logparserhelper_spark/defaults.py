@@ -40,6 +40,30 @@ def default_pattern_bank() -> PatternBank:
     return load_pattern_bank(DEFAULT_PATTERN_BANK_PATH)
 
 
+def pii_transform_bank() -> TransformBank:
+    """PII scrubbing as a TransformBank — the reference's transform machinery
+    (O7 chain) applied to the training-data concern of redaction. Patterns
+    stay in the Python-re ∩ RE2 shared dialect so the DuckDB oracle can
+    mirror the chain with nested regexp_replace. Order is semantic: emails
+    first (they contain dot-digit runs an IP pattern could nibble)."""
+    return TransformBank(
+        entries=(
+            TransformEntry(
+                pattern=r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                replacement="<EMAIL>",
+            ),
+            TransformEntry(
+                pattern=r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+                replacement="<IP>",
+            ),
+            TransformEntry(
+                pattern=r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+                replacement="<PHONE>",
+            ),
+        )
+    )
+
+
 def default_transform_bank() -> TransformBank:
     """Date -> token canonicalization: every bank pattern replaced with
     "<DATE>" (the reference's default replacement, gui/log_generator.py:42).

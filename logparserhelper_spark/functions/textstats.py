@@ -103,6 +103,63 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                      fr.alias("hits_fr"), lang.alias("lang_pred"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of word
+    occurrences belonging to repeated words, and the share of the most
+    frequent word bigram (bigrams counted with multiplicity, not distinct —
+    repetition is the signal here, unlike shingling).
+
+    Pure built-ins + two hash aggregations; no UDF. Output: (id_col, n_words,
+    dup_words, dup_word_frac, top_bigram_n, n_bigrams, top_bigram_frac) —
+    frac columns null when the denominator is empty."""
+    from logparserhelper_spark.functions.dedup import normalize_text_col
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("_ws"),
+    )
+    wc = (
+        base.select("_id", F.explode("_ws").alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = wc.groupBy("_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("dup_words"),
+    )
+    ws = F.col("_ws")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+        ),
+    )
+    bc = (
+        base.filter(F.size(ws) >= 2)
+        .select("_id", F.explode(bigrams).alias("bg"))
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bc.groupBy("_id").agg(
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    return (
+        word_stats.join(bg_stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "dup_words",
+            F.round(F.col("dup_words") / F.col("n_words"), 6).alias("dup_word_frac"),
+            "top_bigram_n",
+            "n_bigrams",
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4,
                 id_col: str = "doc_id") -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling

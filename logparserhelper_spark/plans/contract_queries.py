@@ -1044,6 +1044,146 @@ FROM g GROUP BY user_id
 """
 
 
+def q_asof_purchase_last_view(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (union + ordered-window realization, operators/joins.py):
+    each purchase event picks up the most recent prior-or-equal 'view' value
+    for the same user. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from logparserhelper_spark.operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = asof_join(purch, views, by="user_id", ts_col="ts", right_value_cols=["view_value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        "view_value_asof",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).cast("long").alias("gap_s"),
+    )
+
+
+SQL_ASOF_PURCHASE_LAST_VIEW = """
+WITH v AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.value,
+       v.view_value AS view_value_asof,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_range_join_first_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (bucketed equi-join realization, operators/joins.py):
+    events contained in each user's [first_ts, first_ts + 1h] interval,
+    counted per user. Oracle = DuckDB inequality join."""
+    from logparserhelper_spark.operators.joins import range_join_bucketed
+
+    e = _t(spark, sf, "events")
+    iv = e.groupBy("user_id").agg(F.min("ts").alias("start")).withColumn(
+        "end", F.col("start") + F.expr("INTERVAL 1 HOUR")
+    )
+    pts = e.select("user_id", "ts", "event_id")
+    j = range_join_bucketed(pts, iv, by="user_id")
+    return j.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+SQL_RANGE_JOIN_FIRST_HOUR = """
+WITH iv AS (SELECT user_id, MIN(ts) AS s FROM events GROUP BY user_id)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN iv ON e.user_id = iv.user_id
+WHERE e.ts >= iv.s AND e.ts <= iv.s + INTERVAL 1 HOUR
+GROUP BY e.user_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/textstats.py): repeated-word
+    occurrence fraction and most-frequent-bigram share, per document."""
+    from logparserhelper_spark.functions.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(d)
+
+
+SQL_REPETITION_STATS = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+wstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_words
+           FROM wc GROUP BY doc_id),
+bx AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+       FROM w WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bx GROUP BY 1, 2),
+bstats AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                  CAST(SUM(c) AS BIGINT) AS n_bigrams
+           FROM bc GROUP BY doc_id)
+SELECT ws2.doc_id, ws2.n_words, ws2.dup_words,
+       ROUND(ws2.dup_words / CAST(ws2.n_words AS DOUBLE), 6) AS dup_word_frac,
+       b.top_bigram_n, b.n_bigrams,
+       ROUND(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+FROM wstats ws2 LEFT JOIN bstats b ON ws2.doc_id = b.doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing through the reference's transform machinery (O7 chain =
+    pii_transform_bank): deterministic PII planted per doc, then redacted.
+    The oracle mirrors the chain with nested regexp_replace in the shared
+    dialect."""
+    from logparserhelper_spark.defaults import pii_transform_bank
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call +555 123-4567"),
+        ).alias("text"),
+    )
+    return normalize_text(planted, pii_transform_bank()).select(
+        "doc_id", F.col("norm_text").alias("redacted")
+    )
+
+
+def _pii_redact_sql() -> str:
+    from logparserhelper_spark.defaults import pii_transform_bank
+
+    expr = "text"
+    for pat, repl in pii_transform_bank().spec():
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' call +555 123-4567' AS text
+  FROM documents)
+SELECT doc_id, {expr} AS redacted FROM planted
+"""
+
+
+SQL_PII_REDACT = _pii_redact_sql()
+
+
 def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Named-capture extraction to map<string,string> (SURVEY §1.2 D3/D4):
     first match's groupdict as a typed map via map_from_entries; map values
@@ -1295,6 +1435,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_gap_stats": q_user_gap_stats,
     "named_capture_extract": q_named_capture_extract,
     "media_features": q_media_features,
+    "asof_purchase_last_view": q_asof_purchase_last_view,
+    "range_join_first_hour": q_range_join_first_hour,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1340,6 +1484,10 @@ ORACLES: dict[str, str] = {
     "user_gap_stats": SQL_USER_GAP_STATS,
     "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
     "media_features": SQL_MEDIA_FEATURES,
+    "asof_purchase_last_view": SQL_ASOF_PURCHASE_LAST_VIEW,
+    "range_join_first_hour": SQL_RANGE_JOIN_FIRST_HOUR,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "pii_redact": SQL_PII_REDACT,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position

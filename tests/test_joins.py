@@ -1,0 +1,115 @@
+"""Temporal join operators (operators/joins.py) against brute-force oracles
+on hand-built fixtures: as-of semantics (backward inclusive, null when no
+prior right row, tie at equal ts matches) and range containment."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.operators.joins import asof_join, range_join_bucketed
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(5), 11.0),
+        (1, _ts(10), 12.0),
+        (2, _ts(3), 20.0),
+    ]
+    return spark.createDataFrame(rows, "key long, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, _ts(0), 100),   # equal ts -> inclusive match (10.0)
+        (1, _ts(4, 59), 101),  # before second quote -> 10.0
+        (1, _ts(5), 102),   # equal ts -> 11.0
+        (1, _ts(59), 103),  # after everything -> 12.0
+        (2, _ts(1), 200),   # before the only key-2 quote -> null
+        (3, _ts(1), 300),   # key with no quotes -> null
+    ]
+    return spark.createDataFrame(rows, "key long, ts timestamp, trade_id long")
+
+
+def test_asof_join_backward_inclusive(spark, quotes, trades):
+    got = {
+        r.trade_id: (r.px_asof, r.ts_asof)
+        for r in asof_join(trades, quotes, by="key", right_value_cols=["px"]).collect()
+    }
+    assert got[100] == (10.0, _ts(0))
+    assert got[101] == (10.0, _ts(0))
+    assert got[102] == (11.0, _ts(5))
+    assert got[103] == (12.0, _ts(10))
+    assert got[200] == (None, None)
+    assert got[300] == (None, None)
+    assert len(got) == 6  # every left row survives exactly once
+
+
+def test_asof_join_keeps_left_payload(spark, quotes, trades):
+    out = asof_join(trades, quotes, by="key", right_value_cols=["px"])
+    assert set(out.columns) == {"key", "ts", "trade_id", "px_asof", "ts_asof"}
+
+
+def test_range_join_bucketed_equals_filter_join(spark, trades):
+    iv_rows = [
+        (1, _ts(0), _ts(5)),     # inclusive both ends: trades 100,101,102
+        (1, _ts(30), _ts(59)),   # trade 103 at the inclusive end
+        (2, _ts(2), _ts(3)),     # no key-2 trade inside
+    ]
+    iv = spark.createDataFrame(iv_rows, "key long, start timestamp, end timestamp")
+    got = {
+        (r.trade_id, r.start)
+        for r in range_join_bucketed(trades, iv, by="key", bucket_secs=60).collect()
+    }
+    exp = {
+        (r.trade_id, r.start)
+        for r in trades.join(iv, "key")
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    }
+    assert got == exp
+    assert {t for t, _ in got} == {100, 101, 102, 103}
+
+
+def test_pii_bank_redacts(spark):
+    from logparserhelper_spark.defaults import pii_transform_bank
+    from logparserhelper_spark.oracle import apply_transform_bank
+
+    bank = pii_transform_bank()
+    out = apply_transform_bank(
+        "mail bob.smith@corp.io or 192.168.0.1 or +555 123-4567 end", bank
+    )
+    assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+    # emails run first so a dotted-quad local part is not nibbled by the IP
+    # pattern (the whole token, dots included, is one email)
+    assert apply_transform_bank("a1.2.3.4@x.io b", bank) == "<EMAIL> b"
+
+
+def test_repetition_stats_hand_values(spark):
+    from logparserhelper_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # words: a x3, b x2 -> all 5 duplicated
+            (2, "x y z"),           # no repetition
+            (3, "solo"),            # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_words == 5 and got[1].dup_words == 5
+    assert got[1].dup_word_frac == 1.0
+    # bigrams: 'a b' x2, 'b a' x2 -> top 2 of 4
+    assert got[1].top_bigram_n == 2 and got[1].n_bigrams == 4
+    assert got[1].top_bigram_frac == 0.5
+    assert got[2].dup_words == 0 and got[2].top_bigram_n == 1
+    assert got[3].n_bigrams is None and got[3].top_bigram_frac is None
