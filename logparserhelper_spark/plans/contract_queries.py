@@ -1184,6 +1184,118 @@ SELECT doc_id, {expr} AS redacted FROM planted
 SQL_PII_REDACT = _pii_redact_sql()
 
 
+def q_user_running_value_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window: per event, the user's value total over the
+    trailing hour (inclusive). Frame is defined on microsecond epoch so the
+    oracle's INTERVAL arithmetic agrees exactly; money in cents so the frame
+    sum is integer-exact."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast to an
+        # instant preserves the naive value and matches DuckDB's epoch_us
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("run_value_cents"),
+    )
+
+
+SQL_USER_RUNNING_VALUE_1H = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS run_value_cents
+FROM events
+"""
+
+
+def q_daily_purchase_error_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two daily aggregates — days with only one side
+    present keep the other side at 0."""
+    e = _t(spark, sf, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    r = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    return p.join(r, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+    )
+
+
+SQL_DAILY_PURCHASE_ERROR_MATRIX = """
+WITH p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, CAST(COUNT(*) AS BIGINT) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, CAST(COUNT(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT COALESCE(p.day, e.day) AS day,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors
+FROM p FULL OUTER JOIN e ON p.day = e.day
+"""
+
+
+def q_users_view_not_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (EXCEPT): users who viewed but never purchased."""
+    e = _t(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.subtract(p).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+SQL_USERS_VIEW_NOT_PURCHASE = """
+WITH u AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users, MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user
+FROM u
+"""
+
+
+def q_top_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k over a high-cardinality grouping: most frequent words
+    across the corpus (partial aggregation map-side, one shuffle, then
+    TakeOrderedAndProject)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+SQL_TOP_WORDS = r"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE trim(text) <> '')
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+"""
+
+
 def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Named-capture extraction to map<string,string> (SURVEY §1.2 D3/D4):
     first match's groupdict as a typed map via map_from_entries; map values
@@ -1439,6 +1551,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_first_hour": q_range_join_first_hour,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
+    "user_running_value_1h": q_user_running_value_1h,
+    "daily_purchase_error_matrix": q_daily_purchase_error_matrix,
+    "users_view_not_purchase": q_users_view_not_purchase,
+    "top_words": q_top_words,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1488,6 +1604,10 @@ ORACLES: dict[str, str] = {
     "range_join_first_hour": SQL_RANGE_JOIN_FIRST_HOUR,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_redact": SQL_PII_REDACT,
+    "user_running_value_1h": SQL_USER_RUNNING_VALUE_1H,
+    "daily_purchase_error_matrix": SQL_DAILY_PURCHASE_ERROR_MATRIX,
+    "users_view_not_purchase": SQL_USERS_VIEW_NOT_PURCHASE,
+    "top_words": SQL_TOP_WORDS,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position

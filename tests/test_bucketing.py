@@ -1,0 +1,73 @@
+"""Bucketed tables: the co-located join path for 100 TB fact-fact joins.
+
+Writing both sides with the same bucketBy spec lets SortMergeJoin consume
+the bucket layout directly — no shuffle exchange on either side. This is
+the layout `sources/transcripts.py` prescribes for the production
+transcripts table (bucket(conv_id)); here it is pinned as an executable
+property, not just a docstring claim.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, no_broadcast):
+    left = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v1")
+    )
+    right = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("v2")
+    )
+    for name, df, sub in (("bk_l", left, "l"), ("bk_r", right, "r")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / sub))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        j = spark.table("bk_l").join(spark.table("bk_r"), "k")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket layout reused
+        # correctness: equals the plain (shuffled) join
+        assert n == left.join(right, "k").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_l")
+        spark.sql("DROP TABLE IF EXISTS bk_r")
+
+
+def test_bucketed_aggregation_without_shuffle(spark, tmp_path, no_broadcast):
+    """groupBy on the bucket key also reuses the layout — partial and final
+    aggregation collapse into one stage with no exchange."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 499).alias("k"), F.col("id").alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS bk_agg")
+    (
+        df.write.bucketBy(8, "k")
+        .option("path", str(tmp_path / "agg"))
+        .mode("overwrite")
+        .saveAsTable("bk_agg")
+    )
+    try:
+        agg = spark.table("bk_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        rows = agg.count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert rows == 499
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_agg")
