@@ -33,28 +33,25 @@ data_dir = generate_transcripts(f"/tmp/lph_data_{{scale}}", scale)
 n_turns = json.load(open(os.path.join(data_dir, "_MANIFEST.json")))["rows"]
 spark = build_session(parallelism=cpus, app_name=f"scaling-{{cpus}}")
 out = f"/tmp/lph_scaling_out_{{cpus}}"
-best = None
-for rep in range({repeats}):
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    cfg = PipelineConfig(
-        input_path=data_dir, out_dir=out,
-        transform_bank=default_transform_bank(),
-        role_dim_path=os.path.join(data_dir, "role_dim.parquet"),
-        tool_dim_path=os.path.join(data_dir, "tool_dim.parquet"),
-        n_buckets=1)
-    t0 = time.monotonic()
-    run_pipeline(spark, cfg)
-    dt = time.monotonic() - t0
-    best = dt if best is None else min(best, dt)
+if os.path.isdir(out):
+    shutil.rmtree(out)
+cfg = PipelineConfig(
+    input_path=data_dir, out_dir=out,
+    transform_bank=default_transform_bank(),
+    role_dim_path=os.path.join(data_dir, "role_dim.parquet"),
+    tool_dim_path=os.path.join(data_dir, "tool_dim.parquet"),
+    n_buckets=1)
+t0 = time.monotonic()
+run_pipeline(spark, cfg)
+dt = time.monotonic() - t0
 spark.stop()
-print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": best, "turns": n_turns,
-                               "turns_per_sec": n_turns / best}}))
+print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": dt, "turns": n_turns,
+                               "turns_per_sec": n_turns / dt}}))
 """
 
 
-def run_one(cpus: int, scale: str, repeats: int) -> dict:
-    code = RUNNER.format(repo=REPO, scale=scale, cpus=cpus, repeats=repeats)
+def _run_subprocess(cpus: int, scale: str) -> dict:
+    code = RUNNER.format(repo=REPO, scale=scale, cpus=cpus)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -63,6 +60,24 @@ def run_one(cpus: int, scale: str, repeats: int) -> dict:
             return json.loads(line[len("RESULT "):])
     sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-5000:])
     raise RuntimeError(f"no RESULT line from cpus={cpus}")
+
+
+def run_interleaved(n: int, n4: int, scale: str, repeats: int) -> tuple[dict, dict]:
+    """Alternate the two parallelism levels rep by rep (fresh JVM each) so
+    thermal/throttle drift on this box hits both levels equally, and take
+    the best wall per level — the comparable statistic across reps."""
+    best: dict[int, dict] = {}
+    for rep in range(repeats):
+        for cpus in (n, n4):
+            r = _run_subprocess(cpus, scale)
+            print(
+                f"rep {rep} local[{cpus}]: {r['wall_sec']:.1f}s "
+                f"({r['turns_per_sec']:.0f} turns/s)",
+                flush=True,
+            )
+            if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
+                best[cpus] = r
+    return best[n], best[n4]
 
 
 def hardware_ceiling(n: int, n4: int, scale: str) -> dict:
@@ -119,8 +134,7 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=8)
     args = ap.parse_args()
 
-    lo = run_one(args.n, args.scale, args.repeats)
-    hi = run_one(args.n4, args.scale, args.repeats)
+    lo, hi = run_interleaved(args.n, args.n4, args.scale, args.repeats)
     factor = args.n4 / args.n
     speedup = lo["wall_sec"] / hi["wall_sec"]
     efficiency = speedup / factor

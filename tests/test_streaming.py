@@ -146,3 +146,34 @@ def test_stateful_conv_rollup_across_batches(spark, tiny_dir, tmp_path):
         ), cid
     # state really crossed batches: some conversation appears in both files
     assert any(r.n_turns > e.n_turns for cid, e in exp.items() for r in rows if r.conv_id == cid) or len(rows) > len(exp)
+
+
+def test_foreach_batch_exactly_once_sink(spark, tiny_dir, tmp_path):
+    """The foreachBatch sink commits each micro-batch once: a replayed
+    (batch_id, data) pair — Structured Streaming's at-least-once contract —
+    is a no-op, so downstream rows are never duplicated."""
+    from logparserhelper_spark.streaming.sink import (
+        committed_batches,
+        exactly_once_parquet_sink,
+    )
+
+    out = str(tmp_path / "eo_sink")
+    path = os.path.join(tiny_dir, "stream_src")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    sink = exactly_once_parquet_sink(out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    _drain(q)
+    batches = committed_batches(out)
+    assert batches  # at least one micro-batch committed
+    n_rows = spark.read.parquet(os.path.join(out, "batch_id=*")).count()
+    assert n_rows == spark.read.parquet(path).count()
+
+    # simulate the failure-replay: re-deliver an already-committed batch id
+    replay_df = spark.read.parquet(path)
+    sink(replay_df, max(batches))
+    n_after = spark.read.parquet(os.path.join(out, "batch_id=*")).count()
+    assert n_after == n_rows  # idempotent: no duplicate rows
