@@ -1,0 +1,88 @@
+"""Dataset curation operators for training-data pipelines: deterministic
+hash splits, per-group quality top-k, and sequence packing.
+
+All three stay in built-in functions (JVM-side, codegen'd, oracle-able):
+
+- ``hash_split``: content-addressed train/val/test assignment. The split is
+  a pure function of the id (first 8 hex chars of md5 as a fraction of
+  2^32), so it is stable under reprocessing, shard-count changes, and
+  engine changes — the property that keeps a held-out set held out across
+  pipeline re-runs. Cutoffs like 0.8 are never exactly k/2^32, so there is
+  no boundary ambiguity between engines.
+- ``quality_topk_per_group``: per-group top-k by a score column with a
+  deterministic tiebreak — the domain-mixing primitive (e.g. best N docs
+  per language). row_number + filter plans as WindowGroupLimit in Spark 4:
+  each task pre-ranks locally, so the exchange carries at most k rows per
+  group per task.
+- ``pack_offsets``: offset-based sequence packing — documents get a bin id
+  by prefix token count within a deterministic shard, bins hold ~``budget``
+  tokens (documents may straddle bin boundaries; true greedy packing is
+  stateful and serial). Packing WITHIN a shard keeps the prefix-sum window
+  partitioned — never a single global sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def hash_fraction(id_col) -> F.Column:
+    """Deterministic uniform fraction in [0, 1) from an id: first 8 hex chars
+    of md5(id-as-string) over 2^32. Engine-portable (DuckDB: CAST('0x'||...)."""
+    h = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return F.conv(h, 16, 10).cast("double") / F.lit(float(2**32))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    out_col: str = "split",
+) -> DataFrame:
+    frac = hash_fraction(F.col(id_col))
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(splits[-1][0]) if expr is not None else F.lit(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def quality_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Adds (shard, bin): shard = pmod(id, n_shards); bin = exclusive prefix
+    token count within the shard (ordered by id) div budget."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return out.withColumn("bin", F.floor(prefix / budget).cast("int"))

@@ -1296,6 +1296,109 @@ LIMIT 50
 """
 
 
+def q_hash_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split
+    (functions/curation.py:hash_split): stable under reprocessing and engine
+    changes — verified by the DuckDB mirror computing identical md5-derived
+    fractions."""
+    from logparserhelper_spark.functions.curation import hash_split
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return hash_split(d).groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+SQL_HASH_SPLIT_COUNTS = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents)
+SELECT CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM f GROUP BY 1
+"""
+
+
+def q_quality_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixing curation: the k highest-quality documents per language
+    (window top-k with deterministic tiebreak; WindowGroupLimit partial
+    top-k keeps the exchange at <= k rows per group per task)."""
+    from logparserhelper_spark.functions.curation import quality_topk_per_group
+    from logparserhelper_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    scored = quality_score(d).select("doc_id", "lang", "quality")
+    return quality_topk_per_group(scored, "lang", "quality", k=5).select(
+        "lang", "doc_id", "quality", "rnk"
+    )
+
+
+SQL_QUALITY_TOPK_PER_LANG = rf"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS INT) AS q_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS q_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS q_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS q_stopwords
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * LEAST(q_tokens / 100.0, 1.0)
+               + 0.4 * LEAST((CASE WHEN q_tokens > 0 THEN CAST(q_stopwords AS DOUBLE) / q_tokens ELSE 0.0 END) * 5, 1.0)
+               + 0.2 * (1 - CASE WHEN q_chars > 0 THEN CAST(q_punct AS DOUBLE) / q_chars ELSE 0.0 END), 4) AS quality
+  FROM b)
+SELECT lang, doc_id, quality, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
+def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (offset binning within deterministic shards,
+    functions/curation.py:pack_offsets): per (shard, bin) document and token
+    totals for a 2048-token budget."""
+    from logparserhelper_spark.functions.curation import pack_offsets
+    from logparserhelper_spark.functions.textstats import token_count
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_offsets(d, budget=2048, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+SQL_TOKEN_PACKING = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(doc_id % 16 AS INT) AS shard
+  FROM documents),
+p AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS INT) AS bin
+  FROM t)
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM p GROUP BY shard, bin
+"""
+
+
 def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Named-capture extraction to map<string,string> (SURVEY §1.2 D3/D4):
     first match's groupdict as a typed map via map_from_entries; map values
@@ -1555,6 +1658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_purchase_error_matrix": q_daily_purchase_error_matrix,
     "users_view_not_purchase": q_users_view_not_purchase,
     "top_words": q_top_words,
+    "hash_split_counts": q_hash_split_counts,
+    "quality_topk_per_lang": q_quality_topk_per_lang,
+    "token_packing": q_token_packing,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1608,6 +1714,9 @@ ORACLES: dict[str, str] = {
     "daily_purchase_error_matrix": SQL_DAILY_PURCHASE_ERROR_MATRIX,
     "users_view_not_purchase": SQL_USERS_VIEW_NOT_PURCHASE,
     "top_words": SQL_TOP_WORDS,
+    "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
+    "quality_topk_per_lang": SQL_QUALITY_TOPK_PER_LANG,
+    "token_packing": SQL_TOKEN_PACKING,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position

@@ -1,0 +1,75 @@
+"""Curation operators: hash-split determinism and proportions, per-group
+top-k semantics, packing invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.functions.curation import (
+    hash_split,
+    pack_offsets,
+    quality_topk_per_group,
+)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.split for r in hash_split(df).collect()}
+
+    # pure function of the id: matches an independent pure-Python mirror
+    def py_split(i: int) -> str:
+        frac = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if frac < 0.8 else ("val" if frac < 0.9 else "test")
+
+    for i in (0, 1, 42, 9999, 5000):
+        assert got[i] == py_split(i), i
+    # ~80/10/10 within a loose tolerance at n=10k
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert abs(c["train"] / 10000 - 0.8) < 0.02
+    assert abs(c["val"] / 10000 - 0.1) < 0.02
+    assert abs(c["test"] / 10000 - 0.1) < 0.02
+    # stable across recomputation (same assignment, not a sample())
+    again = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert again == got
+
+
+def test_quality_topk_per_group(spark):
+    rows = [(i, "a" if i < 6 else "b", float(i % 7)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = quality_topk_per_group(df, "grp", "score", k=2).collect()
+    by_grp: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.rnk)):
+        by_grp.setdefault(r.grp, []).append((r.doc_id, r.score, r.rnk))
+    # group a scores: 0..5 -> top2 = ids 5 (5.0), 4 (4.0)
+    assert by_grp["a"] == [(5, 5.0, 1), (4, 4.0, 2)]
+    # group b scores: i%7 for 6..11 -> 6,0,1,2,3,4 -> top2 = ids 6? no: i=6->6.0, 11->4.0
+    assert by_grp["b"][0] == (6, 6.0, 1)
+    assert by_grp["b"][1] == (11, 4.0, 2)
+
+
+def test_pack_offsets_invariants(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300 + 1).alias("n_tokens")
+    )
+    packed = pack_offsets(df, budget=500, n_shards=4)
+    rows = packed.collect()
+    # every doc assigned exactly once; shard = id % 4
+    assert len(rows) == 1000
+    assert all(r.shard == r.doc_id % 4 for r in rows)
+    # bins are contiguous from 0 within each shard and non-decreasing in id
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        assert rs[0].bin == 0
+        bins = [r.bin for r in rs]
+        assert bins == sorted(bins)
+        # bin boundary = exclusive prefix sum crossing the budget
+        prefix = 0
+        for r in rs:
+            assert r.bin == prefix // 500, (shard, r.doc_id)
+            prefix += r.n_tokens
