@@ -48,6 +48,25 @@ def read_dim(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Transcripts from headered CSV (explicit schema — no inference pass,
+    which would double-scan the input at scale)."""
+    return (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
+def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
+    """Transcripts from JSON Lines (explicit schema; malformed rows go to
+    null columns under the default PERMISSIVE mode — the pipeline's
+    quarantine filter picks them up, matching the reference's
+    degrade-don't-fail loading)."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+
+
 def read_text_logs_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Dev-mode source: raw text log files as a transcripts-shaped DataFrame
     (one conversation per file, one line per turn) — the Spark equivalent of

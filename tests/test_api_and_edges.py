@@ -143,3 +143,29 @@ def test_pipeline_quarantines_malformed_rows(spark, tmp_path):
     routed = spark.read.parquet(os.path.join(out, "routed"))
     assert routed.filter((F.col("turn_idx") == 4) & (F.col("sink") == "unmatched")).count() == 1
     assert routed.filter(F.col("pattern_id") == 0).count() == 1  # ISO matched
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    """CSV and JSON-lines transcript sources read back row-identical to the
+    parquet source (explicit schema, no inference scan)."""
+    from logparserhelper_spark.datagen import generate_transcripts
+    from logparserhelper_spark.sources.transcripts import (
+        read_transcripts,
+        read_transcripts_csv,
+        read_transcripts_json,
+    )
+
+    d = generate_transcripts(str(tmp_path / "fmt"), "tiny")
+    base = read_transcripts(spark, d)
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    base.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+    ).csv(csv_dir)
+    base.write.mode("overwrite").json(json_dir)
+
+    key = lambda r: (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+    exp = sorted(map(key, base.collect()))
+    got_csv = sorted(map(key, read_transcripts_csv(spark, csv_dir).collect()))
+    got_json = sorted(map(key, read_transcripts_json(spark, json_dir).collect()))
+    assert got_json == exp
+    assert got_csv == exp
