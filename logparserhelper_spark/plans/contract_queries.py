@@ -1592,6 +1592,45 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fingerprint_sql(k: int = 5, window: int = 4) -> str:
+    """DuckDB mirror of winnowing (Schleimer'03): rolling k-gram md5 hashes
+    (first 8 bytes, signed big-endian — built from two 8-hex-char halves,
+    DuckDB can't cast 16 hex chars directly), per-position window MIN over
+    the next ``window`` hashes, distinct mins = fingerprint. Window starts
+    run 1..n_hashes-window+1 (or just 1 when fewer hashes than the window,
+    where the frame degrades to min-of-all — the same edge case the Python
+    implementation's max(1, ...) handles)."""
+    md = f"md5(substr(text, i, {k}))"
+    u = (
+        f"CAST(CAST(('0x' || substr({md}, 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296"
+        f" + CAST(('0x' || substr({md}, 9, 8)) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, text, unnest(generate_series(1, n - {k} + 1)) AS i
+        FROM d WHERE n >= {k}),
+h AS (SELECT doc_id, i,
+             CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN u - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE u END AS BIGINT) AS hv
+      FROM (SELECT doc_id, i, {u} AS u FROM pos)),
+m AS (SELECT doc_id, i,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_hashes
+      FROM h),
+fp AS (SELECT doc_id, CAST(COUNT(DISTINCT wmin) AS INT) AS n_fp,
+              MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+       FROM m WHERE i <= GREATEST(n_hashes - {window} + 1, 1)
+       GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(fp.n_fp, 0) AS INT) AS n_fp, fp.fp_min, fp.fp_max
+FROM d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+SQL_FINGERPRINT = _fingerprint_sql()
+
+
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -1706,6 +1745,7 @@ ORACLES: dict[str, str] = {
     "user_gap_stats": SQL_USER_GAP_STATS,
     "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
     "media_features": SQL_MEDIA_FEATURES,
+    "fingerprint": SQL_FINGERPRINT,
     "asof_purchase_last_view": SQL_ASOF_PURCHASE_LAST_VIEW,
     "range_join_first_hour": SQL_RANGE_JOIN_FIRST_HOUR,
     "repetition_stats": SQL_REPETITION_STATS,
@@ -1719,8 +1759,7 @@ ORACLES: dict[str, str] = {
     "token_packing": SQL_TOKEN_PACKING,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
-    # fingerprint / ivf_topk: rows-only. Winnowing needs a per-position
-    # rolling argmin over overlapping windows, and IVF needs iterative
-    # k-means state — neither is reasonably ANSI-SQL-expressible; both are
-    # pinned by pytest against pure-Python oracles instead.
+    # ivf_topk: the one remaining rows-only query — IVF needs iterative
+    # k-means state, which is not reasonably ANSI-SQL-expressible; recall
+    # vs brute force is pinned by pytest instead.
 }
