@@ -68,6 +68,34 @@ def quality_topk_per_group(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per train document, the number of distinct
+    word n-grams it shares with a benchmark corpus (only contaminated docs
+    are returned — inner join on the shingle). The benchmark shingle set is
+    broadcast by default (eval sets are tiny next to a training corpus); at
+    100 TB the train side streams through the broadcast filter at scan
+    speed with no shuffle of train data."""
+    from logparserhelper_spark.functions.dedup import word_shingles
+
+    tsh = word_shingles(train, text_col, id_col, k=n)
+    bsh = word_shingles(bench, text_col, id_col, k=n).select("shingle").distinct()
+    if broadcast_bench:
+        bsh = F.broadcast(bsh)
+    return (
+        tsh.join(bsh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # tsh is distinct per doc
+        .select(F.col("id").alias(id_col), F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     tokens_col: str = "n_tokens",

@@ -1399,6 +1399,33 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (functions/curation.py): distinct 5-gram
+    overlap of every document against a deterministic 'benchmark' subset
+    (doc_id % 97 == 0); only contaminated docs return."""
+    from logparserhelper_spark.functions.curation import contamination_overlap
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_overlap(d, bench, n=5)
+
+
+SQL_CONTAMINATION = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+tsh AS (SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w WHERE len(ws) >= 5),
+bsh AS (SELECT DISTINCT shingle FROM tsh WHERE id % 97 = 0)
+SELECT t.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tsh t JOIN bsh USING (shingle)
+GROUP BY t.id
+"""
+
+
 def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Named-capture extraction to map<string,string> (SURVEY §1.2 D3/D4):
     first match's groupdict as a typed map via map_from_entries; map values
@@ -1700,6 +1727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_counts": q_hash_split_counts,
     "quality_topk_per_lang": q_quality_topk_per_lang,
     "token_packing": q_token_packing,
+    "contamination": q_contamination,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1757,6 +1785,7 @@ ORACLES: dict[str, str] = {
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
     "quality_topk_per_lang": SQL_QUALITY_TOPK_PER_LANG,
     "token_packing": SQL_TOKEN_PACKING,
+    "contamination": SQL_CONTAMINATION,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative

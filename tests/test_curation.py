@@ -73,3 +73,22 @@ def test_pack_offsets_invariants(spark):
         for r in rs:
             assert r.bin == prefix // 500, (shard, r.doc_id)
             prefix += r.n_tokens
+
+
+def test_contamination_overlap(spark):
+    from logparserhelper_spark.functions.curation import contamination_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains the bench 5-gram
+            (2, "totally unrelated words here now ok"),
+            (3, "x alpha beta gamma delta epsilon tail"), # shares the bench run shifted
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_hits for r in contamination_overlap(train, bench, n=5).collect()}
+    # bench has exactly one 5-gram; docs 1 and 3 contain it, doc 2 does not
+    assert got == {1: 1, 3: 1}
