@@ -138,6 +138,31 @@ def with_named_captures(
     return df.withColumn(out_col, F.map_from_entries(entries))
 
 
+def make_regex_matches_udtf():
+    """Python UDTF (Spark 4, Arrow-optimized): one output row per regex match
+    with Python-``re`` span positions — the table-function surface of O4.
+    Row-at-a-time by design (UDTFs are); the pipeline hot path stays the
+    Arrow-batched scalar UDF + explode (extract.py module docstring). The
+    pattern compiles once per (worker, pattern) via the module cache."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start int, end int, match string", useArrow=True)
+    class RegexMatches:
+        def eval(self, text: str, pattern: str):
+            import re
+
+            if not isinstance(text, str):
+                return
+            try:
+                rx = re.compile(pattern)  # re module caches compiled patterns
+            except re.error:
+                return
+            for m in rx.finditer(text):
+                yield (m.start(), m.end(), m.group(0))
+
+    return RegexMatches
+
+
 PARSE_NORM_TYPE = T.StructType(
     [
         T.StructField("norm_text", T.StringType()),

@@ -1399,6 +1399,74 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_udtf_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF surface: per-doc match counts through a LATERAL join against the
+    Python regex table function (positions computed but projected out —
+    DuckDB's regexp_extract_all has no position form, so the oracle compares
+    counts and first match)."""
+    from logparserhelper_spark.operators.extract import make_regex_matches_udtf
+
+    spark.udtf.register("regex_matches", make_regex_matches_udtf())
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d.createOrReplaceTempView("_udtf_docs")
+    # leftmost match via min_by(match, start): the UDTF's start positions
+    # order the matches; DuckDB mirrors it as regexp_extract_all(...)[1]
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN_BY(match, start) AS first_match
+        FROM _udtf_docs,
+             LATERAL regex_matches(text, 'spark|\\bjoin\\b') AS m
+        GROUP BY doc_id
+        """
+    )
+
+
+SQL_UDTF_MATCHES = r"""
+WITH m AS (SELECT doc_id, regexp_extract_all(text, 'spark|\bjoin\b') AS ms
+           FROM documents)
+SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_matches, ms[1] AS first_match
+FROM m WHERE len(ms) > 0
+"""
+
+
+def q_sql_frontend_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL front-end parity: the engine's users can speak ANSI SQL through
+    spark.sql over registered views — multi-join + year grouping + HAVING,
+    planned by the same Catalyst pipeline as the DataFrame queries."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf, t).createOrReplaceTempView(f"_sqlf_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               date_format(o.o_orderdate, 'yyyy') AS year,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM _sqlf_orders o
+        JOIN _sqlf_customer c ON o.o_custkey = c.c_custkey
+        JOIN _sqlf_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN _sqlf_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, date_format(o.o_orderdate, 'yyyy')
+        HAVING COUNT(*) > 10
+        """
+    )
+
+
+SQL_SQL_FRONTEND_REVENUE = """
+SELECT r.r_name,
+       strftime(o.o_orderdate, '%Y') AS year,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, strftime(o.o_orderdate, '%Y')
+HAVING COUNT(*) > 10
+"""
+
+
 def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (functions/curation.py): distinct 5-gram
     overlap of every document against a deterministic 'benchmark' subset
@@ -1728,6 +1796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_topk_per_lang": q_quality_topk_per_lang,
     "token_packing": q_token_packing,
     "contamination": q_contamination,
+    "udtf_matches": q_udtf_matches,
+    "sql_frontend_revenue": q_sql_frontend_revenue,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1786,6 +1856,8 @@ ORACLES: dict[str, str] = {
     "quality_topk_per_lang": SQL_QUALITY_TOPK_PER_LANG,
     "token_packing": SQL_TOKEN_PACKING,
     "contamination": SQL_CONTAMINATION,
+    "udtf_matches": SQL_UDTF_MATCHES,
+    "sql_frontend_revenue": SQL_SQL_FRONTEND_REVENUE,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative
