@@ -63,18 +63,21 @@ class PipelineConfig:
     n_buckets: int = 4
     dedup_strategy: str = "agg"
     salt: int = 16
-    # partitions for the Python-UDF parse stage. 0 (default) -> run the parse
-    # in the dedup exchange's own stage: the dedup shuffle already hashes on
-    # (conv_id, turn_idx), which is turn-granular — mega-conversations spread
-    # across tasks for free — and AQE's parallelismFirst coalescing keeps the
-    # stage at >= defaultParallelism tasks, so the CPU-bound regex never
-    # under-parallelizes. Measured ~18% faster end-to-end than an extra
-    # cores-sized repartition at 3.4M turns (the shuffle it saves carries all
-    # text bytes). Set N>0 to force an explicit salted repartition — needed
-    # when the source arrives pre-partitioned too coarsely for the CPU work
-    # (e.g. a conv_id-bucketed Iceberg scan with storage-partitioned dedup,
-    # where no exchange precedes the parse); None -> 2x defaultParallelism.
-    parse_partitions: int | None = 0
+    # partitions for the parse stage. The input is explicitly repartitioned
+    # to this count on (conv_id, turn_idx) BEFORE dedup; the dedup groupBy's
+    # clustering requirement is satisfied by that exchange, so dedup + the
+    # CPU-bound parse UDF + the turns write all run in the SAME stage with
+    # exactly this many tasks — ONE shuffle total (r01 shipped two: the
+    # dedup exchange plus a post-dedup salted repartition; eliding the
+    # second measured ~18% faster at 3.4M turns). Explicit-N repartitions
+    # are exempt from AQE coalescing, which would otherwise size this
+    # CPU-bound stage by shuffle BYTES and collapse small-but-expensive
+    # inputs into one task (a 60k-turn hot conversation measured 1 task
+    # under byte-sized coalescing; (conv_id, turn_idx) hashing spreads it).
+    # None -> 2x defaultParallelism; 0 -> no explicit repartition (let the
+    # dedup exchange + AQE size it — right when the source is already
+    # bucket-partitioned, e.g. a conv_id-bucketed Iceberg scan).
+    parse_partitions: int | None = None
     # test hook: raise after committing this many buckets (resume test)
     fail_after_buckets: int | None = None
 
@@ -216,16 +219,16 @@ def _run_bucket(
     bucket_src.filter(malformed_cond).write.mode("overwrite").parquet(rejected_dir)
     bucket_src = bucket_src.filter(~malformed_cond)
 
-    turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
     n_parse = (
         cfg.parse_partitions
         if cfg.parse_partitions is not None
         else spark.sparkContext.defaultParallelism * 2
     )
     if n_parse > 0:
-        turns = turns.repartition(
-            n_parse, "conv_id", F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt))
-        )
+        # pre-dedup: the dedup groupBy reuses this exchange (its clustering
+        # requirement is exactly these keys), so no second shuffle follows
+        bucket_src = bucket_src.repartition(n_parse, "conv_id", "turn_idx")
+    turns = stable_order_dedup(bucket_src, strategy=cfg.dedup_strategy)
     # provenance: the physical partition each turn was parsed in
     turns = turns.withColumn("src_partition_id", F.spark_partition_id())
     # fused O7 normalize + O4 extract: ONE Python crossing per turn. The

@@ -304,3 +304,63 @@ def test_reference_corpus_golden_through_pipeline(spark, tmp_path):
     cm = spark.read.parquet(os.path.join(out, "aggregates", "conv_match_rollup"))
     linux = {r.conv_id: r for r in cm.collect()}["Linux_2k"]
     assert linux.n_matched_turns == 454 and linux.n_spans == 710
+
+
+def test_pipeline_mega_conversation_skew(spark, tmp_path):
+    """One conversation holding ~95% of all turns — the skew shape the
+    salted rollups and turn-granular parse partitioning claim to survive.
+    Asserts correctness (counts + rollup) and that no single task saw the
+    whole hot conversation during the parse stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    n_hot, n_cold_convs = 60000, 50
+    rows_conv, rows_idx, rows_text = [], [], []
+    for i in range(n_hot):
+        rows_conv.append("hot")
+        rows_idx.append(i)
+        rows_text.append(f"turn {i} at 2025-06-06T01:02:03 ok")
+    for c in range(n_cold_convs):
+        for i in range(10):
+            rows_conv.append(f"cold_{c}")
+            rows_idx.append(i)
+            rows_text.append(f"cold {c} {i}")
+    n = len(rows_conv)
+    base_ts = dt.datetime(2025, 6, 6)
+    table = pa.table(
+        {
+            "conv_id": pa.array(rows_conv, pa.string()),
+            "turn_idx": pa.array(rows_idx, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(rows_text, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([base_ts] * n, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    d = str(tmp_path / "skew")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "transcripts.parquet"))
+
+    out = str(tmp_path / "skew_out")
+    cfg = PipelineConfig(input_path=d, out_dir=out, transform_bank=None, n_buckets=1)
+    metrics = run_pipeline(spark, cfg)
+    b = metrics["buckets"][0]
+    assert b["turns_in"] == n
+    assert b["span_rows"] == n_hot  # every hot turn has exactly one date span
+
+    # rollup correctness under skew (salted two-level agg)
+    cr = spark.read.parquet(os.path.join(out, "aggregates", "conv_rollup"))
+    got = {r.conv_id: r.n_turns for r in cr.collect()}
+    assert got["hot"] == n_hot and got["cold_0"] == 10 and len(got) == n_cold_convs + 1
+
+    # the hot conversation was parsed across many tasks, not one:
+    # src_partition_id is stamped inside the parse stage
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    n_parts = (
+        turns.filter(F.col("conv_id") == "hot")
+        .select("src_partition_id")
+        .distinct()
+        .count()
+    )
+    assert n_parts >= 4, f"hot conversation parsed in only {n_parts} task(s)"
