@@ -113,3 +113,36 @@ def test_repetition_stats_hand_values(spark):
     assert got[1].top_bigram_frac == 0.5
     assert got[2].dup_words == 0 and got[2].top_bigram_n == 1
     assert got[3].n_bigrams is None and got[3].top_bigram_frac is None
+
+
+def test_asof_join_randomized_vs_python_oracle(spark):
+    """500 random events across 20 keys, duplicated timestamps on the left,
+    vs a brute-force python oracle (max right ts <= left ts per key)."""
+    import random
+
+    rng = random.Random(7)
+    rights = [
+        (k, _ts(rng.randrange(0, 59), rng.randrange(0, 60)), float(i))
+        for i, k in enumerate(rng.choices(range(20), k=200))
+    ]
+    # unique (key, ts) on the right, as the operator contract requires
+    seen = set()
+    rights = [r for r in rights if not (r[:2] in seen or seen.add(r[:2]))]
+    lefts = [
+        (k, _ts(rng.randrange(0, 59), rng.randrange(0, 60)), 1000 + i)
+        for i, k in enumerate(rng.choices(range(22), k=300))
+    ]
+    rdf = spark.createDataFrame(rights, "key long, ts timestamp, px double")
+    ldf = spark.createDataFrame(lefts, "key long, ts timestamp, trade_id long")
+    got = {
+        r.trade_id: r.px_asof
+        for r in asof_join(ldf, rdf, by="key", right_value_cols=["px"]).collect()
+    }
+    by_key: dict[int, list] = {}
+    for k, ts, px in rights:
+        by_key.setdefault(k, []).append((ts, px))
+    for k, ts, tid in lefts:
+        cands = [(t, p) for (t, p) in by_key.get(k, []) if t <= ts]
+        exp = max(cands)[1] if cands else None
+        assert got[tid] == exp, tid
+    assert len(got) == len(lefts)

@@ -177,3 +177,29 @@ def test_foreach_batch_exactly_once_sink(spark, tiny_dir, tmp_path):
     sink(replay_df, max(batches))
     n_after = spark.read.parquet(os.path.join(out, "batch_id=*")).count()
     assert n_after == n_rows  # idempotent: no duplicate rows
+
+
+def test_streaming_dedup_with_watermark(spark, tiny_dir, tmp_path):
+    """dropDuplicates over a keyed stream: duplicated (conv_id, turn_idx)
+    input yields each key once in the sink."""
+    path = os.path.join(tiny_dir, "stream_src")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_stream").collect()
+    keys = {(r.conv_id, r.turn_idx) for r in got}
+    assert len(got) == len(keys)  # exactly one row per key
+    batch_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(path).select("conv_id", "turn_idx").distinct().collect()
+    }
+    assert keys == batch_keys
