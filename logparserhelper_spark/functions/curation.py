@@ -104,7 +104,10 @@ def pack_offsets(
     n_shards: int = 16,
 ) -> DataFrame:
     """Adds (shard, bin): shard = pmod(id, n_shards); bin = exclusive prefix
-    token count within the shard (ordered by id) div budget."""
+    token count within the shard (ordered by id) div budget.
+
+    n_shards bounds the packing parallelism (one sorted window per shard) —
+    size it to ~4x the executor-core count at scale; 16 suits the sandbox."""
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
     out = df.withColumn("shard", shard)
     w = (

@@ -33,6 +33,8 @@ SNAPSHOT_QUERIES = [
     "embedding_topk",
     "embedding_near_dup",
     "lsh_topk",
+    "asof_purchase_last_view",
+    "contamination",
 ]
 
 _NORMALIZERS = [
