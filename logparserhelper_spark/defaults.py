@@ -49,7 +49,9 @@ def pii_transform_bank() -> TransformBank:
     return TransformBank(
         entries=(
             TransformEntry(
-                pattern=r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                # explicit a-zA-Z classes, not (?i): stays in the shared
+                # dialect and real emails are routinely mixed-case
+                pattern=r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
                 replacement="<EMAIL>",
             ),
             TransformEntry(

@@ -117,20 +117,15 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda a: F.transform(
-                    "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
-    )
+    # two chained explodes keep per-row memory at O(k) (one id + the posting
+    # list) instead of materializing the full k^2/2 pair array in one row —
+    # a df-1000 shingle would otherwise build a ~500k-struct array value
     inter = (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.filter("ids", lambda b: b > F.col("id_a"))).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -111,10 +111,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     Pure built-ins + two hash aggregations; no UDF. Output: (id_col, n_words,
     dup_words, dup_word_frac, top_bigram_n, n_bigrams, top_bigram_frac) —
-    frac columns null when the denominator is empty."""
+    frac columns null when the denominator is empty. Empty/whitespace-only
+    documents have no words and are excluded (split('') would otherwise
+    count one phantom '' word, making an empty doc look like a 1-word doc)."""
     from logparserhelper_spark.functions.dedup import normalize_text_col
 
-    base = df.select(
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("_id"),
         F.split(normalize_text_col(F.col(text_col)), " ").alias("_ws"),
     )

@@ -42,27 +42,38 @@ def asof_join(
     The right side should be unique per (by, ts): ties between right rows at
     the identical timestamp are ambiguous in every as-of formulation —
     pre-aggregate (e.g. ``max_by``) before calling.
+
+    Null handling: right rows with a null timestamp can never be "the most
+    recent prior row" (a null comparison matches nothing in any as-of
+    semantics) and are dropped — left alone they would sort nulls-first and
+    leak their values into every left row. Left rows with a null timestamp
+    survive with null match columns.
     """
+    right = right.filter(F.col(ts_col).isNotNull())
     left_only = [c for c in left.columns if c not in (by, ts_col)]
     rv = right_value_cols or [c for c in right.columns if c not in (by, ts_col)]
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
+    # the matched right row is carried as ONE struct: last(ignorenulls) then
+    # skips left rows (struct null there) but never skips a right row whose
+    # VALUE columns are null — per-column fills would forward-fill past a
+    # legitimately-null value and could stitch columns from different rows
+    rstruct = F.struct(F.col(ts_col).alias("_ts"), *[F.col(c).alias(c) for c in rv])
 
     l2 = left.select(
         by,
         ts_col,
         F.lit(1).alias("_side"),
         *left_only,
-        *[F.lit(None).cast(rtypes[c]).alias(f"{c}{suffix}") for c in rv],
-        F.lit(None).cast(ltypes[ts_col]).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("_r")).schema["_r"].dataType.simpleString()
+        ).alias("_r"),
     )
     r2 = right.select(
         by,
         ts_col,
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rv],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        rstruct.alias("_r"),
     )
     u = l2.unionByName(r2)
     w = (
@@ -70,15 +81,23 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{c}{suffix}" for c in rv] + [f"{ts_col}{suffix}"]
     filled = u.select(
         by,
         ts_col,
         "_side",
         *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            by,
+            ts_col,
+            *left_only,
+            *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in rv],
+            F.col("_r._ts").alias(f"{ts_col}{suffix}"),
+        )
+    )
 
 
 def range_join_bucketed(

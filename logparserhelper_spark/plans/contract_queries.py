@@ -955,7 +955,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding"),
     )
     d = e.unionByName(planted)
-    return embedding_near_dup_pairs(d, threshold=0.99, n_bits=6, n_tables=8)
+    return embedding_near_dup_pairs(d, threshold=0.99, dim=64, n_bits=6, n_tables=8)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -1116,7 +1116,7 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
 SQL_REPETITION_STATS = r"""
 WITH w AS (SELECT doc_id,
                   regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
-           FROM documents),
+           FROM documents WHERE trim(text) <> ''),
 wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
 wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
 wstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,

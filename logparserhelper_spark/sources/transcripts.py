@@ -80,12 +80,18 @@ def read_text_logs_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
     follow file offsets for files larger than maxPartitionBytes.) Whole-file
     rows cap the practical file size — this is the dev source; the production
     source is the table scan above."""
-    raw = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("_file"), "value"
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("_file"), "value")
+        # an empty file reads as one '' row; the line reader emits no rows
+        # for it, so neither do we (a legitimately empty FIRST line of a
+        # non-empty file is preserved — its file value is not '')
+        .filter(F.col("value") != "")
     )
-    # split on \r?\n like the text reader; drop the phantom element a
-    # trailing newline produces so row count matches line count
-    lines = F.split(F.col("value"), r"\r?\n")
+    # split on \r\n, lone \r, or \n (Hadoop LineRecordReader's three line
+    # endings); drop the phantom element a trailing terminator produces so
+    # row count matches line count
+    lines = F.split(F.col("value"), r"\r\n|\r|\n")
     lines = F.when(
         (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),
         F.slice(lines, 1, F.size(lines) - 1),

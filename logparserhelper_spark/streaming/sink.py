@@ -33,7 +33,9 @@ def exactly_once_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
         os.makedirs(markers, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "rows": df.count()}, f)
+            # no row count here: df.count() would re-execute the whole
+            # micro-batch lineage a second time just for bookkeeping
+            json.dump({"batch_id": batch_id}, f)
         os.rename(tmp, marker)  # atomic commit point
 
     return write

@@ -41,7 +41,6 @@ _NORMALIZERS = [
     (re.compile(r"#\d+"), "#N"),               # exprIds
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"\[codegen id : \d+\]"), "[codegen id : N]"),
-    (re.compile(r"\[id=#N\]"), "[id=#N]"),
     (re.compile(r"file:[^\],\s]*"), "file:PATH"),
     (re.compile(r"Location: \S+"), "Location: PATH"),
     (re.compile(r"cteId=\d+"), "cteId=N"),

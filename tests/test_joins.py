@@ -89,6 +89,8 @@ def test_pii_bank_redacts(spark):
         "mail bob.smith@corp.io or 192.168.0.1 or +555 123-4567 end", bank
     )
     assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+    # mixed-case emails are PII too
+    assert apply_transform_bank("see John.Doe@Example.COM now", bank) == "see <EMAIL> now"
     # emails run first so a dotted-quad local part is not nibbled by the IP
     # pattern (the whole token, dots included, is one email)
     assert apply_transform_bank("a1.2.3.4@x.io b", bank) == "<EMAIL> b"
@@ -105,6 +107,8 @@ def test_repetition_stats_hand_values(spark):
         ],
         "doc_id long, text string",
     )
+    empty = spark.createDataFrame([(9, ""), (10, "   ")], "doc_id long, text string")
+    assert repetition_stats(empty).count() == 0  # no phantom '' word rows
     got = {r.doc_id: r for r in repetition_stats(docs).collect()}
     assert got[1].n_words == 5 and got[1].dup_words == 5
     assert got[1].dup_word_frac == 1.0
@@ -146,3 +150,38 @@ def test_asof_join_randomized_vs_python_oracle(spark):
         exp = max(cands)[1] if cands else None
         assert got[tid] == exp, tid
     assert len(got) == len(lefts)
+
+
+def test_asof_join_null_timestamps(spark):
+    """Null-ts right rows never match (they would otherwise sort nulls-first
+    and leak into every left row); null-ts left rows survive unmatched."""
+    quotes = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(5), 11.0)], "key long, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(1), 100), (1, _ts(6), 101), (1, None, 102)],
+        "key long, ts timestamp, trade_id long",
+    )
+    got = {
+        r.trade_id: r.px_asof
+        for r in asof_join(trades, quotes, by="key", right_value_cols=["px"]).collect()
+    }
+    assert got == {100: None, 101: 11.0, 102: None}
+
+
+def test_asof_join_null_right_values_not_forward_filled(spark):
+    """A matched right row whose VALUE is null must yield null — not the
+    previous non-null value (per-column ignorenulls would forward-fill and
+    could stitch columns from different right rows)."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 10.0, 1.0), (1, _ts(5), None, 2.0)],
+        "key long, ts timestamp, px double, qty double",
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(6), 100)], "key long, ts timestamp, trade_id long"
+    )
+    row = asof_join(trades, quotes, by="key", right_value_cols=["px", "qty"]).collect()[0]
+    # the t=5 row is the match: px null, qty 2.0, ts_asof t=5 — one coherent row
+    assert row.px_asof is None
+    assert row.qty_asof == 2.0
+    assert row.ts_asof == _ts(5)
