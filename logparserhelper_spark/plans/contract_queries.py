@@ -1399,6 +1399,40 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (functions/sketch.py) vs the exact count:
+    deterministic md5-fraction hashes make the ESTIMATE itself
+    oracle-checkable bit-for-bit — impossible for HLL-family sketches."""
+    from logparserhelper_spark.functions.sketch import kmv_distinct
+
+    e = _t(spark, sf, "events")
+    sk = kmv_distinct(e, "event_type", "user_id", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_kept", "kth_hash", "est_distinct", "n_exact"
+    )
+
+
+SQL_KMV_DISTINCT_USERS = """
+WITH h AS (SELECT DISTINCT event_type AS g,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 AS hf
+           FROM events WHERE user_id IS NOT NULL),
+kept AS (SELECT g, hf, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hf ASC) AS rnk FROM h),
+agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hf) AS kth
+        FROM kept WHERE rnk <= 64 GROUP BY g),
+exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type)
+SELECT a.g AS event_type, a.n_kept, ROUND(a.kth, 6) AS kth_hash,
+       ROUND(CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS DOUBLE)
+                  ELSE 63.0 / a.kth END, 4) AS est_distinct,
+       e.n_exact
+FROM agg a JOIN exact e ON a.g = e.event_type
+"""
+
+
 def q_udtf_matches(spark: SparkSession, sf: str) -> DataFrame:
     """UDTF surface: per-doc match counts through a LATERAL join against the
     Python regex table function (positions computed but projected out —
@@ -1798,6 +1832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "udtf_matches": q_udtf_matches,
     "sql_frontend_revenue": q_sql_frontend_revenue,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1858,6 +1893,7 @@ ORACLES: dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "udtf_matches": SQL_UDTF_MATCHES,
     "sql_frontend_revenue": SQL_SQL_FRONTEND_REVENUE,
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative

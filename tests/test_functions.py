@@ -254,3 +254,22 @@ def test_ivf_topk_recall(spark, vectors):
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.6
     assert (0, 1) in approx  # the planted nearest neighbor is found
+
+
+def test_kmv_distinct_accuracy_and_exact_branch(spark):
+    from logparserhelper_spark.functions.sketch import kmv_distinct
+
+    # group 'big': 5000 distinct values (estimator branch, k=64);
+    # group 'small': 10 distinct (exact branch)
+    rows = [("big", i) for i in range(5000)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"].n_kept == 10 and got["small"].est_distinct == 10.0
+    big = got["big"]
+    assert big.n_kept == 64
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert abs(big.est_distinct - 5000) / 5000 < 0.38, big.est_distinct
+    # duplicates never inflate the estimate
+    dup = df.union(df)
+    got2 = {r.g: r.est_distinct for r in kmv_distinct(dup, "g", "v", k=64).collect()}
+    assert got2["big"] == big.est_distinct and got2["small"] == 10.0
