@@ -482,6 +482,42 @@ FROM l GROUP BY user_id
 """
 
 
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window (the streaming-capable session operator — the
+    same expression works under readStream with a watermark) in batch mode:
+    per-user session count and largest session. Boundary semantics: a gap of
+    EXACTLY the timeout starts a new session (windows are [start, end));
+    the oracle's islands SQL mirrors that with >= on microsecond epochs."""
+    e = _t(spark, sf, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH l AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+per AS (SELECT user_id, sid, COUNT(*) AS n FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per GROUP BY user_id
+"""
+
+
 def q_top_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return (
@@ -1795,6 +1831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_volume": q_brand_volume,
     "event_type_stats": q_event_type_stats,
     "sessionization": q_sessionization,
+    "session_windows": q_session_windows,
     "top_users_by_value": q_top_users_by_value,
     "props_extract": q_props_extract,
     "hourly_event_counts": q_hourly_event_counts,
@@ -1855,6 +1892,7 @@ ORACLES: dict[str, str] = {
     "brand_volume": SQL_BRAND_VOLUME,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "sessionization": SQL_SESSIONIZATION,
+    "session_windows": SQL_SESSION_WINDOWS,
     "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
     "props_extract": SQL_PROPS_EXTRACT,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
