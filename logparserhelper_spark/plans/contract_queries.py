@@ -673,7 +673,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_band_sql() -> str:
+def _lsh_band_ctes() -> str:
+    """Shared CTE chain ending in ``pairs(id_a, id_b, n_shared_bands)`` —
+    reused by the raw LSH-pairs oracle and the split-leakage oracle."""
     sig_cols = ", ".join(
         f"MIN(md5('{s}:' || shingle)) AS sig_{s}" for s in range(12)
     )
@@ -685,14 +687,15 @@ def _lsh_band_sql() -> str:
 WITH {SQL_DOCS_PLANTED},
 {_SHINGLE_CTES},
 sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
-banded AS ({band_rows})
-SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-GROUP BY a.id, b.id
+banded AS ({band_rows}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  GROUP BY a.id, b.id)
 """
 
 
-SQL_MINHASH_LSH_PAIRS = _lsh_band_sql()
+SQL_MINHASH_LSH_PAIRS = _lsh_band_ctes() + "SELECT id_a, id_b, n_shared_bands FROM pairs"
 
 
 def q_ngram_top_similar(spark: SparkSession, sf: str) -> DataFrame:
@@ -1435,6 +1438,117 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """A realistic curation funnel composed from the engine's own operators —
+    language filter -> quality threshold -> exact-dedup canonical -> length
+    band — with cumulative survivor counts per stage in ONE pass
+    (conditional aggregation over stage flags; the dedup-canonical flag is a
+    row_number over normalized text)."""
+    from logparserhelper_spark.functions.dedup import normalize_text_col
+    from logparserhelper_spark.functions.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    scored = quality_score(lang_id(d))
+    w = Window.partitionBy(normalize_text_col(F.col("text"))).orderBy("doc_id")
+    flagged = scored.withColumn("_canon", F.row_number().over(w) == 1).withColumn(
+        "_ntok", token_count(F.col("text"))
+    )
+    f1 = F.col("lang_pred") == "en"
+    f2 = f1 & (F.col("quality") >= 0.5)
+    f3 = f2 & F.col("_canon")
+    f4 = f3 & F.col("_ntok").between(20, 2000)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        cnt(f1).alias("n_lang_en"),
+        cnt(f2).alias("n_quality"),
+        cnt(f3).alias("n_canonical"),
+        cnt(f4).alias("n_length"),
+    )
+
+
+SQL_CURATION_FUNNEL = rf"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS INT) AS q_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS q_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS q_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS hits_en,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_DE_SQL}, w))) AS INT) AS hits_de,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_FR_SQL}, w))) AS INT) AS hits_fr,
+         ROW_NUMBER() OVER (PARTITION BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                            ORDER BY doc_id) = 1 AS canon
+  FROM documents),
+s AS (
+  SELECT *,
+         ROUND(0.4 * LEAST(q_tokens / 100.0, 1.0)
+               + 0.4 * LEAST((CASE WHEN q_tokens > 0 THEN CAST(hits_en AS DOUBLE) / q_tokens ELSE 0.0 END) * 5, 1.0)
+               + 0.2 * (1 - CASE WHEN q_chars > 0 THEN CAST(q_punct AS DOUBLE) / q_chars ELSE 0.0 END), 4) AS quality,
+         CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+              WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+              WHEN hits_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+  FROM b),
+f AS (
+  SELECT lang_pred = 'en' AS f1,
+         lang_pred = 'en' AND quality >= 0.5 AS f2,
+         lang_pred = 'en' AND quality >= 0.5 AND canon AS f3,
+         lang_pred = 'en' AND quality >= 0.5 AND canon
+           AND q_tokens BETWEEN 20 AND 2000 AS f4
+  FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COALESCE(SUM(CASE WHEN f1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lang_en,
+       CAST(COALESCE(SUM(CASE WHEN f2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(SUM(CASE WHEN f3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_canonical,
+       CAST(COALESCE(SUM(CASE WHEN f4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_length
+FROM f
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split hygiene: near-duplicate pairs (MinHash-LSH candidates over the
+    planted-dup corpus) that CROSS the deterministic train/val/test boundary
+    — fuzzy leakage the hash split cannot prevent (near-copies hash to
+    different splits). Composition of two engine operators; counts per
+    (split_a, split_b) with sides ordered for a stable grouping key."""
+    from logparserhelper_spark.functions.curation import hash_split
+
+    d = _docs_with_planted_dups(spark, sf)
+    pairs = minhash_lsh_pairs(d, n_hashes=12, bands=4)
+    splits = hash_split(d.select("doc_id")).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    return (
+        tagged.filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_pairs"))
+    )
+
+
+SQL_SPLIT_LEAKAGE = _lsh_band_ctes().replace("WITH ", "WITH sp AS (\n  SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split\n  FROM (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS frac\n        FROM (SELECT doc_id FROM documents UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 10 = 0 UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 5))),\n", 1) + """
+, tagged AS (
+  SELECT sa.split AS s_a, sb.split AS s_b
+  FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id JOIN sp sb ON p.id_b = sb.doc_id
+  WHERE sa.split <> sb.split)
+SELECT LEAST(s_a, s_b) AS split_a, GREATEST(s_a, s_b) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+FROM tagged GROUP BY 1, 2
+"""
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """KMV bottom-k distinct sketch (functions/sketch.py) vs the exact count:
     deterministic md5-fraction hashes make the ESTIMATE itself
@@ -1870,6 +1984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_matches": q_udtf_matches,
     "sql_frontend_revenue": q_sql_frontend_revenue,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "curation_funnel": q_curation_funnel,
+    "split_leakage": q_split_leakage,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -1932,6 +2048,8 @@ ORACLES: dict[str, str] = {
     "udtf_matches": SQL_UDTF_MATCHES,
     "sql_frontend_revenue": SQL_SQL_FRONTEND_REVENUE,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "curation_funnel": SQL_CURATION_FUNNEL,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative

@@ -71,3 +71,22 @@ def test_bucketed_aggregation_without_shuffle(spark, tmp_path, no_broadcast):
         assert rows == 499
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_agg")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter: the scan must
+    prune to the matching directory (PartitionFilters in the plan, not a
+    post-scan Filter over all files)."""
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 5).cast("string").alias("etype"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "parts")
+    df.write.mode("overwrite").partitionBy("etype").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("etype") == "3")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "etype" in plan.split("PartitionFilters")[1][:120]
+    assert q.count() == 600
+    # and column pruning: selecting one column reads one column
+    q2 = spark.read.parquet(out).select("v")
+    scan = q2._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<v:bigint>" in scan
