@@ -65,7 +65,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *left_only,
         F.lit(None).cast(
-            right.select(rstruct.alias("_r")).schema["_r"].dataType.simpleString()
+            right.select(rstruct.alias("_r")).schema["_r"].dataType
         ).alias("_r"),
     )
     r2 = right.select(

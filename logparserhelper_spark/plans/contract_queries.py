@@ -673,9 +673,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_band_ctes() -> str:
+def _lsh_band_ctes(extra_ctes: str = "") -> str:
     """Shared CTE chain ending in ``pairs(id_a, id_b, n_shared_bands)`` —
-    reused by the raw LSH-pairs oracle and the split-leakage oracle."""
+    reused by the raw LSH-pairs oracle and the split-leakage oracle.
+    ``extra_ctes`` (a ``name AS (...),``-style prefix) is spliced in as the
+    first CTE, explicitly — no positional string surgery at the call site."""
     sig_cols = ", ".join(
         f"MIN(md5('{s}:' || shingle)) AS sig_{s}" for s in range(12)
     )
@@ -684,7 +686,7 @@ def _lsh_band_ctes() -> str:
         for b in range(4)
     )
     return f"""
-WITH {SQL_DOCS_PLANTED},
+WITH {extra_ctes}{SQL_DOCS_PLANTED},
 {_SHINGLE_CTES},
 sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
 banded AS ({band_rows}),
@@ -1445,22 +1447,18 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     (conditional aggregation over stage flags; the dedup-canonical flag is a
     row_number over normalized text)."""
     from logparserhelper_spark.functions.dedup import normalize_text_col
-    from logparserhelper_spark.functions.textstats import (
-        lang_id,
-        quality_score,
-        token_count,
-    )
+    from logparserhelper_spark.functions.textstats import lang_id, quality_score
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     scored = quality_score(lang_id(d))
     w = Window.partitionBy(normalize_text_col(F.col("text"))).orderBy("doc_id")
-    flagged = scored.withColumn("_canon", F.row_number().over(w) == 1).withColumn(
-        "_ntok", token_count(F.col("text"))
-    )
+    flagged = scored.withColumn("_canon", F.row_number().over(w) == 1)
     f1 = F.col("lang_pred") == "en"
     f2 = f1 & (F.col("quality") >= 0.5)
     f3 = f2 & F.col("_canon")
-    f4 = f3 & F.col("_ntok").between(20, 2000)
+    # q_tokens is quality_score's token count — reuse it (one definition,
+    # one evaluation; the oracle's length band reads the same column)
+    f4 = f3 & F.col("q_tokens").between(20, 2000)
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
     return flagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
@@ -1538,7 +1536,13 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_SPLIT_LEAKAGE = _lsh_band_ctes().replace("WITH ", "WITH sp AS (\n  SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split\n  FROM (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS frac\n        FROM (SELECT doc_id FROM documents UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 10 = 0 UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 5))),\n", 1) + """
+_SPLIT_CTE = """sp AS (
+  SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS frac
+        FROM (SELECT doc_id FROM documents UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 10 = 0 UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 5))),
+"""
+
+SQL_SPLIT_LEAKAGE = _lsh_band_ctes(extra_ctes=_SPLIT_CTE) + """
 , tagged AS (
   SELECT sa.split AS s_a, sb.split AS s_b
   FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id JOIN sp sb ON p.id_b = sb.doc_id
