@@ -162,6 +162,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality proxy: average log-probability of each
+    document under a character-bigram model trained on the corpus itself
+    (no external model needed; outlier/garbage text scores low). Two passes,
+    both built-ins:
+
+    1. model: corpus-wide bigram counts and prefix-char counts — two small
+       aggregations (vocab^2 rows), joined back (Catalyst broadcasts them).
+    2. score: per doc, mean over bigrams of log(count(bigram)/count(prefix)).
+
+    Per-doc mean is computed as sum/n with the sum in a deterministic
+    aggregation; rounded to 4 so engine summation order cannot flip a
+    comparison. Docs shorter than 2 chars get a null score."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t")
+    ).filter(F.length("_t") >= 2)
+    n = F.length("_t")
+    idx = F.sequence(F.lit(1), n - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.col("_t").substr(i.cast("int"), F.lit(2))
+    )
+    bg = base.select("_id", F.explode(bigrams).alias("bg"))
+    model_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    model_pre = (
+        bg.select(F.substring("bg", 1, 1).alias("pre"))
+        .groupBy("pre")
+        .agg(F.count(F.lit(1)).alias("c_pre"))
+    )
+    scored = (
+        bg.join(model_bg, "bg")
+        .withColumn("pre", F.substring("bg", 1, 1))
+        .join(model_pre, "pre")
+        .withColumn("lp", F.log(F.col("c_bg") / F.col("c_pre")))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4,
                 id_col: str = "doc_id") -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling

@@ -1440,6 +1440,32 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_char_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality proxy (functions/textstats.py:
+    char_bigram_logprob): per-doc average log-prob under a corpus-trained
+    character-bigram model. The model and the scoring are both exact
+    aggregations, so DuckDB reproduces the score."""
+    from logparserhelper_spark.functions.textstats import char_bigram_logprob
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return char_bigram_logprob(d)
+
+
+SQL_CHAR_LM_QUALITY = """
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 1),
+                                            i -> substr(t, CAST(i AS INT), 2))) AS bg
+       FROM base),
+m_bg AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+m_pre AS (SELECT substr(bg, 1, 1) AS pre, COUNT(*) AS c_pre FROM bg GROUP BY 1)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(LN(CAST(m.c_bg AS DOUBLE) / p.c_pre)) / COUNT(*), 4) AS avg_logprob
+FROM bg b JOIN m_bg m ON b.bg = m.bg
+          JOIN m_pre p ON substr(b.bg, 1, 1) = p.pre
+GROUP BY b.doc_id
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """A realistic curation funnel composed from the engine's own operators —
     language filter -> quality threshold -> exact-dedup canonical -> length
@@ -1990,6 +2016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "curation_funnel": q_curation_funnel,
     "split_leakage": q_split_leakage,
+    "char_lm_quality": q_char_lm_quality,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -2054,6 +2081,7 @@ ORACLES: dict[str, str] = {
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "char_lm_quality": SQL_CHAR_LM_QUALITY,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative

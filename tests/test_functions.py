@@ -273,3 +273,22 @@ def test_kmv_distinct_accuracy_and_exact_branch(spark):
     dup = df.union(df)
     got2 = {r.g: r.est_distinct for r in kmv_distinct(dup, "g", "v", k=64).collect()}
     assert got2["big"] == big.est_distinct and got2["small"] == 10.0
+
+
+def test_char_lm_quality_ranks_garbage_low(spark):
+    from logparserhelper_spark.functions.textstats import char_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table joins the table and the table joins again"),
+            (2, "the table scans the data and the rows sort fast"),
+            (3, "qzxv jkqp wvxz zqjx pqvk xzwq"),  # garbage under the corpus LM
+            (4, "a"),  # too short: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_bigram_logprob(docs).collect()}
+    assert 4 not in got  # sub-2-char docs have no score
+    assert got[3].avg_logprob < got[1].avg_logprob
+    assert got[3].avg_logprob < got[2].avg_logprob
+    assert got[1].n_bigrams == len("the table joins the table and the table joins again") - 1
