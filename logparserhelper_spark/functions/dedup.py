@@ -196,6 +196,76 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-dup PAIRS into duplicate CLUSTERS (one canonical doc per
+    component). Returns (id, component) with component = min id reachable.
+
+    The iterative-algorithm pattern done Spark-side: label propagation
+    (each node takes the min of its own and its neighbors' labels) as a
+    join + groupBy-min per round, loop on the driver until a round changes
+    nothing. Converges in O(graph diameter) rounds — dedup graphs are
+    near-stars, so 2-4 in practice; each round is one shuffle of
+    (node, label) pairs, never an adjacency explosion. localCheckpoint per
+    round truncates the lineage so the plan does not grow exponentially."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        # materialize once: every iteration joins edges, and without this
+        # the whole upstream pair-generation pipeline re-runs per round
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("_nmin", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: (cluster_id = min member,
+    n_members, max_member). Only multi-member clusters exist by
+    construction (every node appears in >= 1 pair)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("id").alias("max_member"),
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc (Charikar'02): per-token md5-derived 64-bit
     hash; signature bit b = sign of the sum of (+1/-1) votes across tokens.

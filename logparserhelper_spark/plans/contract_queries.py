@@ -673,11 +673,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_band_ctes(extra_ctes: str = "") -> str:
+def _lsh_band_ctes(extra_ctes: str = "", recursive: bool = False) -> str:
     """Shared CTE chain ending in ``pairs(id_a, id_b, n_shared_bands)`` —
-    reused by the raw LSH-pairs oracle and the split-leakage oracle.
+    reused by the LSH-pairs, split-leakage, and dedup-clusters oracles.
     ``extra_ctes`` (a ``name AS (...),``-style prefix) is spliced in as the
-    first CTE, explicitly — no positional string surgery at the call site."""
+    first CTE, explicitly — no positional string surgery at the call site;
+    ``recursive`` emits WITH RECURSIVE for callers appending recursive CTEs."""
     sig_cols = ", ".join(
         f"MIN(md5('{s}:' || shingle)) AS sig_{s}" for s in range(12)
     )
@@ -686,7 +687,7 @@ def _lsh_band_ctes(extra_ctes: str = "") -> str:
         for b in range(4)
     )
     return f"""
-WITH {extra_ctes}{SQL_DOCS_PLANTED},
+WITH {"RECURSIVE " if recursive else ""}{extra_ctes}{SQL_DOCS_PLANTED},
 {_SHINGLE_CTES},
 sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
 banded AS ({band_rows}),
@@ -1440,6 +1441,33 @@ FROM p GROUP BY shard, bin
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components
+    (iterative Spark label propagation) -> one row per multi-member cluster.
+    Oracle = DuckDB WITH RECURSIVE transitive closure over the same pair
+    CTEs — an independent formulation of the same graph semantics."""
+    from logparserhelper_spark.functions.dedup import duplicate_clusters
+
+    d = _docs_with_planted_dups(spark, sf)
+    pairs = minhash_lsh_pairs(d, n_hashes=12, bands=4)
+    return duplicate_clusters(pairs).select("cluster_id", "n_members", "max_member")
+
+
+SQL_DEDUP_CLUSTERS = _lsh_band_ctes(recursive=True) + """
+, edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root
+  FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(node) AS max_member
+FROM cc GROUP BY component
+"""
+
+
 def q_char_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality proxy (functions/textstats.py:
     char_bigram_logprob): per-doc average log-prob under a corpus-trained
@@ -2017,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "split_leakage": q_split_leakage,
     "char_lm_quality": q_char_lm_quality,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
@@ -2082,6 +2111,7 @@ ORACLES: dict[str, str] = {
     "curation_funnel": SQL_CURATION_FUNNEL,
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "char_lm_quality": SQL_CHAR_LM_QUALITY,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative

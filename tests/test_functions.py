@@ -292,3 +292,23 @@ def test_char_lm_quality_ranks_garbage_low(spark):
     assert got[3].avg_logprob < got[1].avg_logprob
     assert got[3].avg_logprob < got[2].avg_logprob
     assert got[1].n_bigrams == len("the table joins the table and the table joins again") - 1
+
+
+def test_connected_components_clusters(spark):
+    from logparserhelper_spark.functions.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # two components: a 4-chain {1-2-3-4} (diameter 3 — needs iteration)
+    # and a pair {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    clusters = {
+        r.cluster_id: (r.n_members, r.max_member)
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {1: (4, 4), 10: (2, 11)}
