@@ -228,6 +228,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -247,9 +248,19 @@ def connected_components(
             )
         ).localCheckpoint()
         n_changed = new_labels.filter(F.col("_changed")).count()
+        # the new round is materialized; drop the previous round's blocks
+        # instead of accumulating max_iters label copies in storage
+        labels.unpersist()
         labels = new_labels.drop("_changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-propagated labels would silently fragment clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — raise max_iters"
+        )
     return labels
 
 

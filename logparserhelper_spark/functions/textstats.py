@@ -168,13 +168,19 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     (no external model needed; outlier/garbage text scores low). Two passes,
     both built-ins:
 
-    1. model: corpus-wide bigram counts and prefix-char counts — two small
-       aggregations (vocab^2 rows), joined back (Catalyst broadcasts them).
+    1. model: corpus-wide bigram counts (one aggregation; prefix counts are
+       DERIVED from the tiny bigram model, not a second corpus pass),
+       joined back (Catalyst broadcasts them).
     2. score: per doc, mean over bigrams of log(count(bigram)/count(prefix)).
 
-    Per-doc mean is computed as sum/n with the sum in a deterministic
-    aggregation; rounded to 4 so engine summation order cannot flip a
-    comparison. Docs shorter than 2 chars get a null score."""
+    Determinism: the per-doc sum of logs is a float sum, whose value
+    depends on summation order — so the (c_bg, c_pre) pairs are packed into
+    integers, collected per doc, SORTED, and folded in that canonical order
+    (F.aggregate's left fold; DuckDB's list_sum over the same sorted list
+    is bitwise-identical, the property the SRP oracles already rely on).
+    Counts must fit 32 bits for the packing — fine anywhere a per-doc
+    collect is fine; at larger scales widen the packing. Docs shorter than
+    2 chars produce no row."""
     base = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t")
     ).filter(F.length("_t") >= 2)
@@ -185,21 +191,26 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
     bg = base.select("_id", F.explode(bigrams).alias("bg"))
     model_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    model_pre = (
-        bg.select(F.substring("bg", 1, 1).alias("pre"))
-        .groupBy("pre")
-        .agg(F.count(F.lit(1)).alias("c_pre"))
+    model_pre = model_bg.groupBy(F.substring("bg", 1, 1).alias("pre")).agg(
+        F.sum("c_bg").alias("c_pre")
     )
-    scored = (
+    packed = (
         bg.join(model_bg, "bg")
         .withColumn("pre", F.substring("bg", 1, 1))
         .join(model_pre, "pre")
-        .withColumn("lp", F.log(F.col("c_bg") / F.col("c_pre")))
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
-        )
+        .withColumn("_key", F.col("c_bg") * F.lit(4294967296) + F.col("c_pre"))
+    )
+    lp_sum = F.aggregate(
+        F.sort_array(F.collect_list("_key")),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.log(
+            F.shiftright(k, 32).cast("double") / k.bitwiseAND(F.lit(4294967295))
+        ),
+    )
+    scored = packed.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(lp_sum / F.count(F.lit(1)), 4).alias("avg_logprob"),
     )
     return scored.select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
 

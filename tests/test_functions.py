@@ -312,3 +312,18 @@ def test_connected_components_clusters(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert clusters == {1: (4, 4), 10: (2, 11)}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    # and with enough rounds the whole chain is one component
+    cc = {r.id: r.component for r in connected_components(chain, max_iters=15).collect()}
+    assert set(cc.values()) == {0}
