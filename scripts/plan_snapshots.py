@@ -35,6 +35,7 @@ SNAPSHOT_QUERIES = [
     "lsh_topk",
     "asof_purchase_last_view",
     "contamination",
+    "char_lm_quality",
 ]
 
 _NORMALIZERS = [

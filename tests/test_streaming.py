@@ -203,3 +203,48 @@ def test_streaming_dedup_with_watermark(spark, tiny_dir, tmp_path):
         for r in spark.read.parquet(path).select("conv_id", "turn_idx").distinct().collect()
     }
     assert keys == batch_keys
+
+
+def test_streaming_session_window_matches_batch(spark, tiny_dir, tmp_path):
+    """The same session_window expression runs under readStream: append mode
+    emits each session exactly once when the watermark passes its end; every
+    emitted session must equal its batch counterpart, and every batch
+    session that closed before the final watermark must have been emitted."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tiny_dir, "stream_src")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("conv_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("conv_id", F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.conv_id, r.ws): (r.we, r.n)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    src = spark.read.parquet(path)
+    batch = (
+        src.groupBy("conv_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("conv_id", F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+        .collect()
+    )
+    exp = {(r.conv_id, r.ws): (r.we, r.n) for r in batch}
+    # every emitted session is bit-identical to the batch session
+    for k, v in got.items():
+        assert exp[k] == v, k
+    # and every batch session closed before the final watermark was emitted
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    closed = {k for k, (we, _n) in exp.items() if we <= max_ts}
+    assert closed <= set(got)
+    assert got  # something actually closed on this data
