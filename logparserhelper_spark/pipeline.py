@@ -209,15 +209,23 @@ def _run_bucket(
     # quarantine malformed rows (null ordering keys) instead of crashing or
     # silently dropping — the pipeline analogue of the reference's
     # degrade-don't-fail bank loading (utils/json_utils.py:10-18). text may
-    # be null (parses to no spans); the ordering keys may not.
+    # be null (parses to no spans); the ordering keys may not. The malformed
+    # COUNT rides the main pass via observe(); the quarantine write (a
+    # second input scan) only runs when something was actually malformed —
+    # clean inputs, the common case, pay nothing.
     malformed_cond = (
         F.col("conv_id").isNull()
         | F.col("turn_idx").isNull()
         | F.col("role").isNull()
         | F.col("ts").isNull()
     )
-    bucket_src.filter(malformed_cond).write.mode("overwrite").parquet(rejected_dir)
-    bucket_src = bucket_src.filter(~malformed_cond)
+    bucket_src_raw = bucket_src  # un-observed: the conditional quarantine
+    # write below must not re-trigger the observation
+    mal_obs = Observation(f"malformed_{k}")
+    bucket_src = bucket_src.observe(
+        mal_obs,
+        F.sum(F.when(malformed_cond, 1).otherwise(0)).alias("n_malformed"),
+    ).filter(~malformed_cond)
 
     n_parse = (
         cfg.parse_partitions
@@ -269,6 +277,18 @@ def _run_bucket(
     turns.write.mode("overwrite").parquet(turns_dir)
     # sum() observes NULL on an empty bucket
     ometrics = {kk: int(vv) if vv is not None else 0 for kk, vv in obs.get.items()}
+    try:
+        n_malformed = int(mal_obs.get.get("n_malformed") or 0)
+    except Exception:
+        # with two observe() nodes in one query, the earlier one's metrics
+        # row is not registered when the plan degenerates to empty — fall
+        # back to an explicit (cheap, empty-input) scan
+        n_malformed = bucket_src_raw.filter(malformed_cond).count()
+    ometrics["n_malformed"] = n_malformed
+    if n_malformed > 0:
+        bucket_src_raw.filter(malformed_cond).write.mode("overwrite").parquet(
+            rejected_dir
+        )
 
     # everything below is derived from column-pruned read-backs of turns_dir
     back = spark.read.parquet(turns_dir)
