@@ -289,6 +289,10 @@ def _run_bucket(
         bucket_src_raw.filter(malformed_cond).write.mode("overwrite").parquet(
             rejected_dir
         )
+    elif os.path.isdir(rejected_dir):
+        # idempotence: a clean re-run must not leave a stale quarantine from
+        # a prior uncommitted attempt (re-runs overwrite byte-equivalently)
+        shutil.rmtree(rejected_dir)
 
     # everything below is derived from column-pruned read-backs of turns_dir
     back = spark.read.parquet(turns_dir)

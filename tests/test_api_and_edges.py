@@ -169,3 +169,27 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     got_json = sorted(map(key, read_transcripts_json(spark, json_dir).collect()))
     assert got_json == exp
     assert got_csv == exp
+
+
+def test_stale_quarantine_cleared_on_clean_rerun(spark, tmp_path):
+    """A re-run whose input no longer has malformed rows must remove the
+    previous attempt's quarantine output (outputs are pure functions of the
+    current input — no phantom rejected rows)."""
+    import datetime as dt
+
+    ts = dt.datetime(2025, 6, 6, tzinfo=dt.timezone.utc)
+    dirty = [("c1", 0, "user", "ok", None, ts), (None, 1, "user", "bad", None, ts)]
+    clean = [("c1", 0, "user", "ok", None, ts), ("c2", 1, "user", "ok2", None, ts)]
+    d = _write_transcripts(str(tmp_path / "redo"), dirty)
+    out = str(tmp_path / "out_redo")
+    cfg = PipelineConfig(input_path=d, out_dir=out, transform_bank=None, n_buckets=1)
+    run_pipeline(spark, cfg)
+    assert spark.read.parquet(os.path.join(out, "rejected")).count() == 1
+
+    # same path, fixed data; wipe the progress marker to force recompute
+    _write_transcripts(d, clean)
+    for fn in os.listdir(os.path.join(out, "_progress")):
+        if fn.startswith("bucket_"):
+            os.remove(os.path.join(out, "_progress", fn))
+    run_pipeline(spark, cfg)
+    assert not os.path.isdir(os.path.join(out, "rejected", "bucket=0"))
