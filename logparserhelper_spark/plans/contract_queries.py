@@ -1827,6 +1827,44 @@ FROM h
 SQL_MEDIA_FEATURES = _media_features_sql()
 
 
+def q_frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: a deterministic video table
+    (duration derived from doc_id) expanded one row per sampled frame offset
+    through the mapInPandas operator; the oracle mirrors the expansion with
+    generate_series. Decode itself stays stubbed (no codecs in the image) —
+    the partition fan-out shape is what this pins."""
+    from logparserhelper_spark.functions.multimodal import frame_sample_stub
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 10 + 1) * 1500).cast("int").alias("duration_ms"),
+    )
+    frames = frame_sample_stub(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max("frame_ms").alias("last_frame_ms"),
+    )
+
+
+SQL_FRAME_SAMPLING = """
+WITH v AS (SELECT doc_id AS media_id,
+                  CAST((doc_id % 10 + 1) * 1500 AS INT) AS duration_ms
+           FROM documents WHERE doc_id % 7 = 0),
+f AS (SELECT media_id,
+             unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_ms
+      FROM v)
+SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(frame_ms) AS INT) AS last_frame_ms
+FROM f GROUP BY media_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs_with_planted_dups(spark, sf)
     return simhash64(d)
@@ -2034,6 +2072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_gap_stats": q_user_gap_stats,
     "named_capture_extract": q_named_capture_extract,
     "media_features": q_media_features,
+    "frame_sampling": q_frame_sampling,
     "asof_purchase_last_view": q_asof_purchase_last_view,
     "range_join_first_hour": q_range_join_first_hour,
     "repetition_stats": q_repetition_stats,
@@ -2099,6 +2138,7 @@ ORACLES: dict[str, str] = {
     "user_gap_stats": SQL_USER_GAP_STATS,
     "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
     "media_features": SQL_MEDIA_FEATURES,
+    "frame_sampling": SQL_FRAME_SAMPLING,
     "fingerprint": SQL_FINGERPRINT,
     "asof_purchase_last_view": SQL_ASOF_PURCHASE_LAST_VIEW,
     "range_join_first_hour": SQL_RANGE_JOIN_FIRST_HOUR,
