@@ -2032,136 +2032,393 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# E. merged contract queries — the driver's correctness file records at most
+#    ~50 entries (CORRECTNESS_r02 stopped at 50 of 63), so near-duplicate
+#    coverage is consolidated: one exposed query per row below carries the
+#    semantics of 2-3 former queries as extra columns, with a single oracle
+#    that computes every column. The original single-purpose queries remain
+#    in EXTRA_QUERIES (still oracle-checked by tests/test_oracle.py and
+#    scripts/check_entry.py --extras); COVERAGE.md maps categories to rows.
+# ---------------------------------------------------------------------------
+
+
+def q_sessionization_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-gap sessionization AND native ``session_window`` in one result:
+    per user, the >30min-gap session count (lag path) next to the native
+    session-window count/max (the streaming-capable operator, boundary
+    semantics gap>=timeout). Joining both paths on user_id makes the oracle
+    prove each independently in one hash."""
+    lag_based = q_sessionization(spark, sf)
+    native = q_session_windows(spark, sf).select(
+        "user_id",
+        F.col("n_sessions").alias("n_sessions_native"),
+        "max_session_events",
+    )
+    return lag_based.join(native, "user_id")
+
+
+SQL_SESSIONIZATION_FULL = """
+WITH l AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+lagb AS (SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM l GROUP BY user_id),
+nl AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ng AS (SELECT user_id,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+       FROM nl),
+nper AS (SELECT user_id, sid, COUNT(*) AS n FROM ng GROUP BY 1, 2),
+nat AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions_native,
+               CAST(MAX(n) AS BIGINT) AS max_session_events
+        FROM nper GROUP BY user_id)
+SELECT lagb.user_id, lagb.n_sessions, lagb.n_events,
+       nat.n_sessions_native, nat.max_session_events
+FROM lagb JOIN nat ON lagb.user_id = nat.user_id
+"""
+
+
+def q_token_stats_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace AND BPE-ish tokenization (both JVM-side regex built-ins)
+    in one per-document row."""
+    from logparserhelper_spark.functions.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS_FULL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring + language ID + Gopher-style repetition signals in one
+    per-document row (each a pure-built-in column family; see
+    functions/textstats.py). Repetition columns are NULL for empty docs."""
+    from logparserhelper_spark.functions.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    q = quality_score(d).select(
+        "doc_id",
+        F.col("q_chars").cast("int").alias("q_chars"),
+        F.col("q_tokens").cast("int").alias("q_tokens"),
+        F.col("q_punct").cast("int").alias("q_punct"),
+        F.col("q_stopwords").cast("int").alias("q_stopwords"),
+        "quality",
+    )
+    lang = lang_id(d).select(
+        "doc_id",
+        F.col("hits_en").cast("int").alias("hits_en"),
+        F.col("hits_de").cast("int").alias("hits_de"),
+        F.col("hits_fr").cast("int").alias("hits_fr"),
+        "lang_pred",
+    )
+    rep = repetition_stats(d).select(
+        "doc_id", "n_words", "dup_words", "dup_word_frac",
+        "top_bigram_n", "n_bigrams", "top_bigram_frac",
+    )
+    return q.join(lang, "doc_id").join(rep, "doc_id", "left")
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS q_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS q_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS q_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS q_stopwords,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_DE_SQL}, w))) AS INT) AS hits_de,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_FR_SQL}, w))) AS INT) AS hits_fr
+  FROM documents),
+qs AS (SELECT doc_id, q_chars, q_tokens, q_punct, q_stopwords,
+              q_stopwords AS hits_en, hits_de, hits_fr,
+              ROUND(0.4 * LEAST(q_tokens / 100.0, 1.0)
+                    + 0.4 * LEAST((CASE WHEN q_tokens > 0 THEN CAST(q_stopwords AS DOUBLE) / q_tokens ELSE 0.0 END) * 5, 1.0)
+                    + 0.2 * (1 - CASE WHEN q_chars > 0 THEN CAST(q_punct AS DOUBLE) / q_chars ELSE 0.0 END), 4) AS quality,
+              CASE WHEN q_stopwords >= hits_de AND q_stopwords >= hits_fr AND q_stopwords > 0 THEN 'en'
+                   WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                   WHEN hits_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_pred
+       FROM b),
+w AS (SELECT doc_id,
+             regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+      FROM documents WHERE trim(text) <> ''),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+wstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_words
+           FROM wc GROUP BY doc_id),
+bx AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+       FROM w WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bx GROUP BY 1, 2),
+bstats AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                  CAST(SUM(c) AS BIGINT) AS n_bigrams
+           FROM bc GROUP BY doc_id),
+rep AS (SELECT ws2.doc_id, ws2.n_words, ws2.dup_words,
+               ROUND(ws2.dup_words / CAST(ws2.n_words AS DOUBLE), 6) AS dup_word_frac,
+               b2.top_bigram_n, b2.n_bigrams,
+               ROUND(b2.top_bigram_n / CAST(b2.n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+        FROM wstats ws2 LEFT JOIN bstats b2 ON ws2.doc_id = b2.doc_id)
+SELECT qs.doc_id, qs.q_chars, qs.q_tokens, qs.q_punct, qs.q_stopwords, qs.quality,
+       qs.hits_en, qs.hits_de, qs.hits_fr, qs.lang_pred,
+       rep.n_words, rep.dup_words, rep.dup_word_frac,
+       rep.top_bigram_n, rep.n_bigrams, rep.top_bigram_frac
+FROM qs LEFT JOIN rep ON qs.doc_id = rep.doc_id
+"""
+
+
+def q_doc_normalize_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """The O7 transform chain twice in one row: the word-bank normalization
+    (backref templates, re.error fallback, disabled-entry filter) AND the PII
+    redaction chain over deterministically planted PII."""
+    norm = q_doc_normalize(spark, sf)
+    redacted = q_pii_redact(spark, sf)
+    return norm.join(redacted, "doc_id")
+
+
+def _doc_normalize_redact_sql() -> str:
+    from logparserhelper_spark.defaults import pii_transform_bank
+
+    expr = "ptext"
+    for pat, repl in pii_transform_bank().spec():
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return rf"""
+WITH p AS (
+  SELECT doc_id, text,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' call +555 123-4567' AS ptext
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '\bthe\b', '<ART>', 'g'), '\d+', '<NUM>', 'g') AS norm_text,
+       {expr} AS redacted
+FROM p
+"""
+
+
+SQL_DOC_NORMALIZE_REDACT = _doc_normalize_redact_sql()
+
+
+def q_user_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT and EXCEPT over user sets, tagged into one result."""
+    e = _t(spark, sf, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id")
+    err = e.filter(F.col("event_type") == "error").select("user_id")
+    view = e.filter(F.col("event_type") == "view").select("user_id")
+
+    def _summ(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        ).select(F.lit(tag).alias("op"), "n_users", "min_user", "max_user")
+
+    return _summ(pur.intersect(err), "purchase_and_error").unionAll(
+        _summ(view.subtract(pur), "view_not_purchase")
+    )
+
+
+SQL_USER_SET_OPS = """
+WITH i AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'),
+x AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'purchase_and_error' AS op, CAST(COUNT(*) AS BIGINT) AS n_users,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user FROM i
+UNION ALL
+SELECT 'view_not_purchase' AS op, CAST(COUNT(*) AS BIGINT) AS n_users,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user FROM x
+"""
+
+
+# Exactly 50 exposed queries (the driver's correctness file records 50):
+# reference Table-A parity first, then the operators that were above the
+# 50-entry window in round 2 (highest risk of never getting a driver row),
+# then the long-established relational/LLM-pipeline rows. Former standalone
+# queries whose semantics now ride inside a merged row live in EXTRA_QUERIES.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference Table-A parity
     "doc_pattern_coverage": q_doc_pattern_coverage,
     "doc_route_counts": q_doc_route_counts,
     "doc_match_histogram": q_doc_match_histogram,
-    "doc_normalize": q_doc_normalize,
+    "doc_normalize": q_doc_normalize_redact,
+    # round-2 overflow (driver never recorded these — front of the line)
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "char_lm_quality": q_char_lm_quality,
+    "dedup_clusters": q_dedup_clusters,
+    "split_leakage": q_split_leakage,
+    "curation_funnel": q_curation_funnel,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "token_packing": q_token_packing,
+    "contamination": q_contamination,
+    "udtf_matches": q_udtf_matches,
+    "sql_frontend_revenue": q_sql_frontend_revenue,
+    # relational core
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "regional_revenue": q_regional_revenue,
     "order_priority": q_order_priority,
     "top_suppliers_per_nation": q_top_suppliers_per_nation,
     "monthly_order_volume": q_monthly_order_volume,
-    "mktsegment_stats": q_mktsegment_stats,
     "unpivot_acctbal": q_unpivot_acctbal,
-    "brand_volume": q_brand_volume,
     "event_type_stats": q_event_type_stats,
-    "sessionization": q_sessionization,
-    "session_windows": q_session_windows,
-    "top_users_by_value": q_top_users_by_value,
-    "props_extract": q_props_extract,
-    "hourly_event_counts": q_hourly_event_counts,
+    "sessionization": q_sessionization_full,
+    "props_json_map": q_props_json_map,
     "value_percentiles": q_value_percentiles,
-    "exact_dedup": q_exact_dedup,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_top_similar": q_ngram_top_similar,
-    "token_stats": q_token_stats,
-    "bpe_token_stats": q_bpe_token_stats,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "embedding_topk": q_embedding_topk,
-    "embedding_label_centroids": q_embedding_label_centroids,
     "customers_without_orders": q_customers_without_orders,
     "rollup_revenue": q_rollup_revenue,
-    "users_purchase_and_error": q_users_purchase_and_error,
-    "props_json_map": q_props_json_map,
-    "embedding_near_dup": q_embedding_near_dup,
+    "user_set_ops": q_user_set_ops,
     "pivot_priority_status": q_pivot_priority_status,
     "user_gap_stats": q_user_gap_stats,
     "named_capture_extract": q_named_capture_extract,
-    "media_features": q_media_features,
-    "frame_sampling": q_frame_sampling,
     "asof_purchase_last_view": q_asof_purchase_last_view,
     "range_join_first_hour": q_range_join_first_hour,
-    "repetition_stats": q_repetition_stats,
-    "pii_redact": q_pii_redact,
     "user_running_value_1h": q_user_running_value_1h,
     "daily_purchase_error_matrix": q_daily_purchase_error_matrix,
-    "users_view_not_purchase": q_users_view_not_purchase,
     "top_words": q_top_words,
+    # LLM-data-pipeline
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_top_similar": q_ngram_top_similar,
+    "token_stats": q_token_stats_full,
+    "quality_score": q_text_quality,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_features": q_media_features,
+    "frame_sampling": q_frame_sampling,
     "hash_split_counts": q_hash_split_counts,
     "quality_topk_per_lang": q_quality_topk_per_lang,
-    "token_packing": q_token_packing,
-    "contamination": q_contamination,
-    "udtf_matches": q_udtf_matches,
-    "sql_frontend_revenue": q_sql_frontend_revenue,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "curation_funnel": q_curation_funnel,
-    "split_leakage": q_split_leakage,
-    "char_lm_quality": q_char_lm_quality,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
-    "fingerprint": q_fingerprint,
-    "lsh_topk": q_lsh_topk,
-    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
     "doc_pattern_coverage": SQL_DOC_PATTERN_COVERAGE,
     "doc_route_counts": SQL_DOC_ROUTE_COUNTS,
     "doc_match_histogram": SQL_DOC_MATCH_HISTOGRAM,
-    "doc_normalize": SQL_DOC_NORMALIZE,
+    "doc_normalize": SQL_DOC_NORMALIZE_REDACT,
+    "simhash": SQL_SIMHASH,
+    "fingerprint": SQL_FINGERPRINT,
+    "lsh_topk": SQL_LSH_TOPK,
+    "char_lm_quality": SQL_CHAR_LM_QUALITY,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
+    "curation_funnel": SQL_CURATION_FUNNEL,
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "token_packing": SQL_TOKEN_PACKING,
+    "contamination": SQL_CONTAMINATION,
+    "udtf_matches": SQL_UDTF_MATCHES,
+    "sql_frontend_revenue": SQL_SQL_FRONTEND_REVENUE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "order_priority": SQL_ORDER_PRIORITY,
     "top_suppliers_per_nation": SQL_TOP_SUPPLIERS_PER_NATION,
     "monthly_order_volume": SQL_MONTHLY_ORDER_VOLUME,
-    "mktsegment_stats": SQL_MKTSEGMENT_STATS,
     "unpivot_acctbal": SQL_UNPIVOT_ACCTBAL,
-    "brand_volume": SQL_BRAND_VOLUME,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
-    "sessionization": SQL_SESSIONIZATION,
-    "session_windows": SQL_SESSION_WINDOWS,
-    "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
-    "props_extract": SQL_PROPS_EXTRACT,
-    "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "sessionization": SQL_SESSIONIZATION_FULL,
+    "props_json_map": SQL_PROPS_JSON_MAP,
     "value_percentiles": SQL_VALUE_PERCENTILES,
-    "exact_dedup": SQL_EXACT_DEDUP,
-    "minhash_signatures": SQL_MINHASH_SIGNATURES,
-    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
-    "ngram_top_similar": SQL_NGRAM_TOP_SIMILAR,
-    "token_stats": SQL_TOKEN_STATS,
-    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
-    "quality_score": SQL_QUALITY_SCORE,
-    "lang_id": SQL_LANG_ID,
-    "embedding_topk": SQL_EMBEDDING_TOPK,
-    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
-    "users_purchase_and_error": SQL_USERS_PURCHASE_AND_ERROR,
-    "props_json_map": SQL_PROPS_JSON_MAP,
-    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "user_set_ops": SQL_USER_SET_OPS,
     "pivot_priority_status": SQL_PIVOT_PRIORITY_STATUS,
     "user_gap_stats": SQL_USER_GAP_STATS,
     "named_capture_extract": SQL_NAMED_CAPTURE_EXTRACT,
-    "media_features": SQL_MEDIA_FEATURES,
-    "frame_sampling": SQL_FRAME_SAMPLING,
-    "fingerprint": SQL_FINGERPRINT,
     "asof_purchase_last_view": SQL_ASOF_PURCHASE_LAST_VIEW,
     "range_join_first_hour": SQL_RANGE_JOIN_FIRST_HOUR,
-    "repetition_stats": SQL_REPETITION_STATS,
-    "pii_redact": SQL_PII_REDACT,
     "user_running_value_1h": SQL_USER_RUNNING_VALUE_1H,
     "daily_purchase_error_matrix": SQL_DAILY_PURCHASE_ERROR_MATRIX,
-    "users_view_not_purchase": SQL_USERS_VIEW_NOT_PURCHASE,
     "top_words": SQL_TOP_WORDS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "ngram_top_similar": SQL_NGRAM_TOP_SIMILAR,
+    "token_stats": SQL_TOKEN_STATS_FULL,
+    "quality_score": SQL_TEXT_QUALITY,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "media_features": SQL_MEDIA_FEATURES,
+    "frame_sampling": SQL_FRAME_SAMPLING,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
     "quality_topk_per_lang": SQL_QUALITY_TOPK_PER_LANG,
-    "token_packing": SQL_TOKEN_PACKING,
-    "contamination": SQL_CONTAMINATION,
-    "udtf_matches": SQL_UDTF_MATCHES,
-    "sql_frontend_revenue": SQL_SQL_FRONTEND_REVENUE,
-    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
-    "curation_funnel": SQL_CURATION_FUNNEL,
-    "split_leakage": SQL_SPLIT_LEAKAGE,
-    "char_lm_quality": SQL_CHAR_LM_QUALITY,
-    "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "simhash": SQL_SIMHASH,
-    "lsh_topk": SQL_LSH_TOPK,
     # ivf_topk: the one remaining rows-only query — IVF needs iterative
     # k-means state, which is not reasonably ANSI-SQL-expressible; recall
     # vs brute force is pinned by pytest instead.
+}
+
+# Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
+# runs these through the same gate), just not exposed to the driver so the
+# exposed registry fits its 50-row correctness file. Each one's semantics is
+# also carried by a merged exposed query (see section E / COVERAGE.md).
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "session_windows": q_session_windows,
+    "sessionization_lag": q_sessionization,
+    "bpe_token_stats": q_bpe_token_stats,
+    "lang_id": q_lang_id,
+    "repetition_stats": q_repetition_stats,
+    "quality_score_only": q_quality_score,
+    "pii_redact": q_pii_redact,
+    "doc_normalize_only": q_doc_normalize,
+    "users_purchase_and_error": q_users_purchase_and_error,
+    "users_view_not_purchase": q_users_view_not_purchase,
+    "minhash_signatures": q_minhash_signatures,
+    "mktsegment_stats": q_mktsegment_stats,
+    "brand_volume": q_brand_volume,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "top_users_by_value": q_top_users_by_value,
+    "props_extract": q_props_extract,
+    "hourly_event_counts": q_hourly_event_counts,
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "session_windows": SQL_SESSION_WINDOWS,
+    "sessionization_lag": SQL_SESSIONIZATION,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "lang_id": SQL_LANG_ID,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "quality_score_only": SQL_QUALITY_SCORE,
+    "pii_redact": SQL_PII_REDACT,
+    "doc_normalize_only": SQL_DOC_NORMALIZE,
+    "users_purchase_and_error": SQL_USERS_PURCHASE_AND_ERROR,
+    "users_view_not_purchase": SQL_USERS_VIEW_NOT_PURCHASE,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "mktsegment_stats": SQL_MKTSEGMENT_STATS,
+    "brand_volume": SQL_BRAND_VOLUME,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+    "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
 }

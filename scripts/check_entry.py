@@ -52,6 +52,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--extras",
+        action="store_true",
+        help="check EXTRA_QUERIES (consolidated-out, not driver-exposed) instead",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -64,8 +69,16 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if args.extras:
+        from logparserhelper_spark.plans.contract_queries import (
+            EXTRA_ORACLES,
+            EXTRA_QUERIES,
+        )
+
+        qs, oracles = EXTRA_QUERIES, EXTRA_ORACLES
+    else:
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
     n_fail = 0
     for name, fn in qs.items():
