@@ -87,6 +87,103 @@ def with_cluster_ids(
     return df.withColumn("cluster_id", assign(F.col(vec_col)))
 
 
+def load_centroid_fixture(path: str | None = None) -> np.ndarray:
+    """The committed IVF model (data/ivf_centroids_v1.json): unit-norm
+    float64 centroids fit once by scripts/fit_ivf_centroids.py. JSON floats
+    round-trip exactly (shortest-repr), so every reader sees identical
+    doubles — the property the oracle-checkable query path relies on."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "ivf_centroids_v1.json",
+        )
+    with open(path, "r", encoding="utf-8") as f:
+        doc = json.load(f)
+    return np.array(doc["centroids"], dtype=np.float64)
+
+
+def _fold_dot(vec_col, centroid: np.ndarray):
+    """Sequential left-fold dot product of an array column with a literal
+    centroid — the same fold DuckDB's list_sum performs, so the resulting
+    double is bit-identical on both sides (the property the lsh_topk oracle
+    established for SRP keys)."""
+    lits = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def centroid_dots(vec_col, centroids: np.ndarray):
+    """array<struct<d: double, nj: int>> of (dot, -index) per centroid.
+    ``array_max`` / descending ``sort_array`` on it order by dot first, then
+    by -index — i.e. ties break toward the LOWEST centroid index, matching
+    the oracle's ORDER BY dot DESC, j ASC."""
+    return F.array(*[
+        F.struct(
+            _fold_dot(vec_col, centroids[j]).alias("d"),
+            F.lit(-j).alias("nj"),
+        )
+        for j in range(centroids.shape[0])
+    ])
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF probe + re-rank with a FIXED committed model, entirely JVM-side
+    (whole-stage-codegen fold dots, no Python workers) and deterministic to
+    the bit — the oracle-checkable contract path. Same plan shape as
+    ``ivf_topk``: corpus assignment is scan-shaped, the small probed query
+    set broadcasts, shuffle volume ~ candidate rows. Prefer this path when
+    the model is a deployed artifact (the common production case: fit once
+    on a sample, serve many scans); ``ivf_topk`` + ``kmeans_fit`` is the
+    in-job-training variant (numpy matmul assignment, faster at large k)."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_probe = min(nprobe, c.shape[0])
+
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn(
+        "cluster_id", -F.array_max(centroid_dots(F.col("_cv"), c))["nj"]
+    )
+    probes = F.transform(
+        F.slice(
+            F.sort_array(centroid_dots(F.col("_qv"), c), asc=False),
+            1,
+            n_probe,
+        ),
+        lambda s: -s["nj"],
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("cluster_id", F.explode(probes))
+    cand = cc.join(F.broadcast(qq), "cluster_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine_similarity_col(F.col("_cv"), F.col("_qv")), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2020,12 +2020,80 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from logparserhelper_spark.functions.ivf import ivf_topk, kmeans_fit
+    """IVF probe + re-rank off the COMMITTED centroid model
+    (data/ivf_centroids_v1.json, fit once by scripts/fit_ivf_centroids.py) —
+    fully deterministic and oracle-checkable: both sides embed the same
+    literal doubles and compute assignment with the same sequential fold.
+    The in-job k-means fit (kmeans_fit + ivf_topk) stays pinned by the
+    recall pytest."""
+    from logparserhelper_spark.functions.ivf import (
+        ivf_topk_exact,
+        load_centroid_fixture,
+    )
 
     e = _t(spark, sf, "embeddings")
-    cents = kmeans_fit(e, k=8, iters=3, seed=42)
     queries = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(e, queries, cents, k=5, nprobe=3)
+    return ivf_topk_exact(e, queries, load_centroid_fixture(), k=5, nprobe=3)
+
+
+def _ivf_topk_sql(k: int = 5, nprobe: int = 3) -> str:
+    """DuckDB mirror of ivf_topk_exact: the committed centroids as
+    repr-round-trip-exact double literals, list_sum fold dots (bitwise equal
+    to Spark's F.aggregate fold — the lsh_topk-established property),
+    ROW_NUMBER assignment (dot DESC, j ASC = the struct tie-break), same
+    exact-cosine re-rank as SQL_LSH_TOPK."""
+    from logparserhelper_spark.functions.ivf import (
+        _normalize,
+        load_centroid_fixture,
+    )
+
+    cents = _normalize(load_centroid_fixture())
+
+    def dot_expr(v: str, j: int) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({v}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    qd = " UNION ALL ".join(
+        f"SELECT query_id, {j} AS j, {dot_expr('qv', j)} AS dot FROM q"
+        for j in range(cents.shape[0])
+    )
+    cd = " UNION ALL ".join(
+        f"SELECT neighbor_id, {j} AS j, {dot_expr('cv', j)} AS dot FROM c"
+        for j in range(cents.shape[0])
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+qd AS ({qd}),
+cd AS ({cd}),
+qprobe AS (SELECT query_id, j AS cluster_id FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, j ASC) AS rn FROM qd)
+           WHERE rn <= {nprobe}),
+cassign AS (SELECT neighbor_id, j AS cluster_id FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY dot DESC, j ASC) AS rn FROM cd)
+            WHERE rn = 1),
+cand AS (SELECT qprobe.query_id, cassign.neighbor_id
+         FROM qprobe JOIN cassign ON qprobe.cluster_id = cassign.cluster_id
+         WHERE cassign.neighbor_id <> qprobe.query_id),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(c.cv, q.qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cos_sim
+  FROM cand JOIN c ON cand.neighbor_id = c.neighbor_id
+            JOIN q ON cand.query_id = q.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM s)
+WHERE rnk <= {k}
+"""
+
+
+SQL_IVF_TOPK = _ivf_topk_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2374,9 +2442,10 @@ ORACLES: dict[str, str] = {
     "frame_sampling": SQL_FRAME_SAMPLING,
     "hash_split_counts": SQL_HASH_SPLIT_COUNTS,
     "quality_topk_per_lang": SQL_QUALITY_TOPK_PER_LANG,
-    # ivf_topk: the one remaining rows-only query — IVF needs iterative
-    # k-means state, which is not reasonably ANSI-SQL-expressible; recall
-    # vs brute force is pinned by pytest instead.
+    # ivf_topk became oracle-checkable in round 3: the model is a committed
+    # fixture (not an in-query k-means fit), so both sides embed the same
+    # literal centroids; the live kmeans_fit is pinned by the recall pytest.
+    "ivf_topk": SQL_IVF_TOPK,
 }
 
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py

@@ -75,8 +75,7 @@ def test_registry_contract():
     # exactly 50 exposed (the driver's correctness-file envelope), every
     # exposed oracle keyed to an exposed query, extras fully oracle-covered
     assert len(QUERIES) == 50
-    assert set(ORACLES) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLES) == {"ivf_topk"}  # rows-only by design
+    assert set(ORACLES) == set(QUERIES)  # every exposed query oracle-checked
     assert set(EXTRA_ORACLES) == set(EXTRA_QUERIES)
     assert not set(EXTRA_QUERIES) & set(QUERIES)
 
