@@ -173,14 +173,16 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
        joined back (Catalyst broadcasts them).
     2. score: per doc, mean over bigrams of log(count(bigram)/count(prefix)).
 
-    Determinism: the per-doc sum of logs is a float sum, whose value
-    depends on summation order — so the (c_bg, c_pre) pairs are packed into
-    integers, collected per doc, SORTED, and folded in that canonical order
-    (F.aggregate's left fold; DuckDB's list_sum over the same sorted list
-    is bitwise-identical, the property the SRP oracles already rely on).
-    Counts must fit 32 bits for the packing — fine anywhere a per-doc
-    collect is fine; at larger scales widen the packing. Docs shorter than
-    2 chars produce no row."""
+    Determinism: a per-doc float sum would depend on summation order, so
+    each occurrence's log-prob is converted to FIXED POINT first —
+    round(log(c_bg/c_pre) * 1e6) micro-nats as a long — and summed as an
+    integer, which is associative and order-free: no per-doc collect, no
+    canonical sort, any partitioning gives the same bits. Range: |logprob|
+    <= ln(corpus bigram total) ≈ 50 nats = 5e7 micro-nats per occurrence,
+    so a single document needs > 1.8e11 bigrams (~180 GB of text in ONE
+    row) before the int64 sum could overflow. The 1e-6-nat quantization is
+    absorbed by the 4-decimal output rounding. Docs shorter than 2 chars
+    produce no row."""
     base = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t")
     ).filter(F.length("_t") >= 2)
@@ -194,23 +196,21 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     model_pre = model_bg.groupBy(F.substring("bg", 1, 1).alias("pre")).agg(
         F.sum("c_bg").alias("c_pre")
     )
+    lp_micro = F.round(
+        F.log(F.col("c_bg").cast("double") / F.col("c_pre")) * 1000000.0, 0
+    ).cast("long")
     packed = (
         bg.join(model_bg, "bg")
         .withColumn("pre", F.substring("bg", 1, 1))
         .join(model_pre, "pre")
-        .withColumn("_key", F.col("c_bg") * F.lit(4294967296) + F.col("c_pre"))
+        .withColumn("_lp_micro", lp_micro)
     )
-    lp_sum = F.aggregate(
-        F.sort_array(F.collect_list("_key")),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.log(
-            F.shiftright(k, 32).cast("double") / k.bitwiseAND(F.lit(4294967295))
-        ),
-    )
+    n_bg = F.count(F.lit(1)).cast("long")
     scored = packed.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(lp_sum / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        n_bg.alias("n_bigrams"),
+        F.round(
+            F.sum("_lp_micro").cast("double") / 1000000.0 / n_bg, 4
+        ).alias("avg_logprob"),
     )
     return scored.select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
 

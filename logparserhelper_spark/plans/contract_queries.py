@@ -1486,18 +1486,15 @@ bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 1),
        FROM base),
 m_bg AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
 m_pre AS (SELECT substr(bg, 1, 1) AS pre, SUM(c_bg) AS c_pre FROM m_bg GROUP BY 1),
-packed AS (
-  SELECT b.doc_id, m.c_bg * 4294967296 + p.c_pre AS k
+scored AS (
+  -- fixed-point micro-nats: integer sum is order-free, mirroring Spark
+  SELECT b.doc_id,
+         CAST(ROUND(LN(CAST(m.c_bg AS DOUBLE) / p.c_pre) * 1000000.0, 0) AS BIGINT) AS lp_micro
   FROM bg b JOIN m_bg m ON b.bg = m.bg
-            JOIN m_pre p ON substr(b.bg, 1, 1) = p.pre),
-per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               list_sort(list(k)) AS keys
-        FROM packed GROUP BY doc_id)
-SELECT doc_id, n_bigrams,
-       ROUND(list_sum(list_transform(keys,
-                 k -> LN(CAST((k >> 32) AS DOUBLE) / (k & 4294967295))))
-             / n_bigrams, 4) AS avg_logprob
-FROM per
+            JOIN m_pre p ON substr(b.bg, 1, 1) = p.pre)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS BIGINT), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
 """
 
 
