@@ -10,9 +10,10 @@ realization per the build rules) — no Pandas UDF, no nested-loop join:
   and ``last(value, ignorenulls=True)`` over an unbounded-preceding window
   carries the most recent right payload onto every left row. ONE shuffle by
   key — never the O(|L|x|R|) inequality join Catalyst would otherwise plan.
-  At 100 TB the window sort is per-key; a single mega-key serializes — for
-  that shape pre-partition by (key, coarse time range) and run per range
-  with boundary carry-in.
+  At 100 TB the window sort is per-key; a single mega-key serializes — pass
+  ``coarse_bucket_secs`` to re-key the window on (key, coarse time bucket)
+  with per-bucket boundary carry-in, restoring parallelism ∝ key x buckets
+  (equality with the plain path is pinned by a hot-key test).
 - ``range_join_bucketed``: interval containment via time-bucket equi-join.
   Intervals explode into the fixed-width buckets they cover; points carry
   exactly one bucket, so each qualifying (point, interval) pair meets on
@@ -27,6 +28,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_ASOF_INTERNALS = ("_r", "_side", "_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,6 +38,7 @@ def asof_join(
     ts_col: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    coarse_bucket_secs: int | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: each left row gains the right row's
     value columns from the most recent right timestamp <= left timestamp in
@@ -48,10 +53,34 @@ def asof_join(
     semantics) and are dropped — left alone they would sort nulls-first and
     leak their values into every left row. Left rows with a null timestamp
     survive with null match columns.
+
+    ``coarse_bucket_secs``: hot-key mitigation. The plain path sorts each
+    ``by`` group in one window partition — a single mega-key serializes on
+    one task. With a bucket width set, the window re-keys on (by, coarse
+    time bucket) and each bucket is seeded with a carry-in pseudo-row
+    holding the latest right row of any EARLIER bucket (a bucket-level
+    running ``last(ignorenulls)`` — per-key serial but over bucket counts,
+    not row counts). Costs two extra small shuffles; same results bit for
+    bit. Pick a width that puts ~10^5-10^6 rows per (key, bucket).
     """
     right = right.filter(F.col(ts_col).isNotNull())
     left_only = [c for c in left.columns if c not in (by, ts_col)]
     rv = right_value_cols or [c for c in right.columns if c not in (by, ts_col)]
+    reserved = set(_ASOF_INTERNALS)
+    for side_name, cols in (("left", left.columns), ("right", right.columns)):
+        hit = reserved & set(cols)
+        if hit:
+            raise ValueError(
+                f"asof_join: {side_name} input uses reserved internal column "
+                f"name(s) {sorted(hit)}; rename them before joining"
+            )
+    out_names = [f"{c}{suffix}" for c in rv] + [f"{ts_col}{suffix}"]
+    clash = set(out_names) & set([by, ts_col, *left_only])
+    if clash:
+        raise ValueError(
+            f"asof_join: output name(s) {sorted(clash)} collide with kept "
+            f"left columns; pass a different suffix or right_value_cols"
+        )
     ltypes = dict(left.dtypes)
     # the matched right row is carried as ONE struct: last(ignorenulls) then
     # skips left rows (struct null there) but never skips a right row whose
@@ -76,11 +105,59 @@ def asof_join(
         rstruct.alias("_r"),
     )
     u = l2.unionByName(r2)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if coarse_bucket_secs is None:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        ts_type = dict(u.dtypes)[ts_col]
+        ts_num = (
+            F.unix_timestamp(F.col(ts_col))
+            if ts_type.startswith("timestamp") or ts_type == "date"
+            else F.col(ts_col)
+        )
+        bucket = F.floor(ts_num / coarse_bucket_secs)
+        u = u.withColumn("_bucket", bucket)
+        # latest right row per (key, bucket) -> bucket-level running last
+        # shifted one bucket back = the carry-in each bucket starts from.
+        # The grid is ALL (key, bucket) pairs seen on either side, so a
+        # bucket containing only left rows still receives carry across it.
+        last_in_bucket = (
+            u.filter(F.col("_side") == 0)
+            .groupBy(by, "_bucket")
+            .agg(F.max_by("_r", ts_col).alias("_r"))
+        )
+        grid = u.filter(F.col("_bucket").isNotNull()).select(by, "_bucket").distinct()
+        wb = (
+            Window.partitionBy(by)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            grid.join(last_in_bucket, [by, "_bucket"], "left")
+            .select(
+                by,
+                "_bucket",
+                F.last("_r", ignorenulls=True).over(wb).alias("_r"),
+            )
+            .filter(F.col("_r").isNotNull())
+            .select(
+                by,
+                F.lit(None).cast(dict(u.dtypes)[ts_col]).alias(ts_col),
+                F.lit(-1).alias("_side"),  # null ts + side -1 sorts first
+                *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
+                "_r",
+                "_bucket",
+            )
+        )
+        u = u.unionByName(carry)
+        w = (
+            Window.partitionBy(by, "_bucket")
+            .orderBy(F.asc_nulls_first(ts_col), "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     filled = u.select(
         by,
         ts_col,

@@ -185,3 +185,87 @@ def test_asof_join_null_right_values_not_forward_filled(spark):
     assert row.px_asof is None
     assert row.qty_asof == 2.0
     assert row.ts_asof == _ts(5)
+
+
+def test_asof_join_bucketed_equals_plain_hot_key(spark):
+    """Mega-key mitigation: one key with 1e6 left rows beside normal keys.
+    The (key, coarse-bucket) windowed path with boundary carry-in must
+    return byte-identical rows to the single-window plain path."""
+    hot_left = spark.range(1_000_000).select(
+        F.lit(1).alias("key"),
+        F.timestamp_seconds((F.col("id") * 7) % 864000).alias("ts"),
+        F.col("id").alias("trade_id"),
+    )
+    cold_left = spark.range(1_000).select(
+        F.lit(2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 11).alias("ts"),
+        (F.col("id") + 2_000_000).alias("trade_id"),
+    )
+    orphan_left = spark.range(50).select(
+        F.lit(3).alias("key"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        (F.col("id") + 3_000_000).alias("trade_id"),
+    )
+    left = hot_left.unionByName(cold_left).unionByName(orphan_left)
+    right = spark.range(10_000).select(
+        F.lit(1).alias("key"),
+        F.timestamp_seconds(F.col("id") * 86).alias("ts"),  # unique (key, ts)
+        F.col("id").cast("double").alias("px"),
+    ).unionByName(
+        spark.range(10).select(
+            F.lit(2).alias("key"),
+            F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+            (F.col("id") + 10_000).cast("double").alias("px"),
+        )
+    )
+    plain = asof_join(left, right, by="key", right_value_cols=["px"])
+    bucketed = asof_join(
+        left, right, by="key", right_value_cols=["px"], coarse_bucket_secs=3600
+    )
+    assert bucketed.count() == 1_001_050
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+
+def test_asof_join_bucketed_equals_plain_with_nulls(spark):
+    """Randomized plain-vs-bucketed equality including null left timestamps
+    and buckets that contain only left rows (carry must cross them)."""
+    import random
+
+    rng = random.Random(11)
+    rights = [(k, _ts(m, s), float(100 * k + m)) for k in range(3)
+              for m, s in {(rng.randrange(0, 59), rng.randrange(0, 60))
+                           for _ in range(40)}]
+    lefts = [
+        (k, None if i % 17 == 0 else _ts(rng.randrange(0, 59), rng.randrange(0, 60)), i)
+        for i, k in enumerate(rng.choices(range(4), k=400))
+    ]
+    rdf = spark.createDataFrame(rights, "key long, ts timestamp, px double")
+    ldf = spark.createDataFrame(lefts, "key long, ts timestamp, trade_id long")
+    plain = asof_join(ldf, rdf, by="key", right_value_cols=["px"])
+    bucketed = asof_join(
+        ldf, rdf, by="key", right_value_cols=["px"], coarse_bucket_secs=120
+    )
+    p = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in bucketed.collect()}
+    assert p == b
+    assert len(p) == 400
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    import pytest as _pytest
+
+    base_r = spark.createDataFrame([(1, _ts(0), 1.0)], "key long, ts timestamp, px double")
+    bad_left = spark.createDataFrame([(1, _ts(1), 5)], "key long, ts timestamp, _r long")
+    with _pytest.raises(ValueError, match="reserved internal"):
+        asof_join(bad_left, base_r, by="key", right_value_cols=["px"])
+    bad_right = spark.createDataFrame([(1, _ts(0), 0)], "key long, ts timestamp, _side long")
+    good_left = spark.createDataFrame([(1, _ts(1), 7)], "key long, ts timestamp, trade_id long")
+    with _pytest.raises(ValueError, match="reserved internal"):
+        asof_join(good_left, bad_right, by="key")
+    # output-name collision: right value 'trade' + suffix '_id'... use exact:
+    clash_left = spark.createDataFrame(
+        [(1, _ts(1), 7, 9.0)], "key long, ts timestamp, trade_id long, px_asof double"
+    )
+    with _pytest.raises(ValueError, match="collide with kept left"):
+        asof_join(clash_left, base_r, by="key", right_value_cols=["px"])
