@@ -7,7 +7,10 @@ modality (the accepted boundary for this image):
 
 - audio/WAV: REAL decode via the stdlib ``wave`` module (``wav_decode``) —
   duration/channels/rate plus global and windowed RMS features.
-- image, video, non-WAV audio: STUBBED — the sandbox ships no codec
+- image/BMP: REAL decode via stdlib ``struct`` parsing (``bmp_decode``) —
+  uncompressed 8/24/32-bit DIBs, bottom-up or top-down, row padding
+  handled; features are dimensions + per-channel means + band luminances.
+- other images, video, non-WAV audio: STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the
   plumbing is testable end-to-end (and oracle-checkable: the driver
@@ -15,7 +18,8 @@ modality (the accepted boundary for this image):
   real decoder by passing ``decode_fn`` in production.
 
 The default ``auto_decode`` dispatches on container magic bytes: RIFF/WAVE
-payloads take the real path, everything else the deterministic fake.
+and BM payloads take the real paths, everything else the deterministic
+fake.
 
 At 100 TB: binary payloads dominate row size, so media tables must set
 ``spark.sql.files.maxPartitionBytes`` low enough that one Arrow batch of
@@ -87,6 +91,75 @@ def wav_decode(payload: bytes) -> np.ndarray:
     return np.array([dur, float(ch), sr / 1e5, rms] + win_rms, dtype=np.float32)
 
 
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for BMP payloads (pure stdlib ``struct``):
+    uncompressed (BI_RGB) 8-bit grayscale-palette-free, 24-bit BGR, or
+    32-bit BGRA DIBs; bottom-up (positive height) or top-down (negative),
+    4-byte row padding. FEATURE_DIM floats =
+    [width, height, bits-per-pixel, mean_B, mean_G, mean_R] + 10 horizontal
+    band mean luminances ((B+G+R)/3/255, top band first). Anything the
+    parser doesn't support raises (callers fall back to fake_decode)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h_abs = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                       count=stride * h_abs)
+    rows = px.reshape(h_abs, stride)[:, : w * nch]
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage -> top-first
+    img = rows.reshape(h_abs, w, nch).astype(np.float64)
+    if nch == 1:
+        bgr = np.repeat(img, 3, axis=2)
+    else:
+        bgr = img[:, :, :3]  # drop alpha for 32-bit
+    means = bgr.reshape(-1, 3).mean(axis=0) / 255.0
+    lum = bgr.mean(axis=(1, 2)) / 255.0  # per-row luminance
+    bands = [
+        float(np.mean(c)) if c.size else 0.0
+        for c in np.array_split(lum, FEATURE_DIM - 6)
+    ]
+    return np.array(
+        [float(w), float(h_abs), float(bpp), means[0], means[1], means[2]]
+        + bands,
+        dtype=np.float32,
+    )
+
+
+def make_bmp(width: int, height: int, pixels_rgb) -> bytes:
+    """Serialize a 24-bit bottom-up BMP from ``pixels_rgb`` — an iterable of
+    rows (top-first) of (r, g, b) tuples. Deterministic; used by tests and
+    the contract-query fixture (and doubles as the write path a real media
+    sink would use)."""
+    import struct
+
+    rows = [list(r) for r in pixels_rgb]
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + pad
+        for row in reversed(rows)  # bottom-up
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
 def auto_decode(payload: bytes) -> np.ndarray:
     """Default decoder: dispatch on container magic. RIFF/WAVE -> real stdlib
     decode; other formats have no codec in this image -> deterministic fake."""
@@ -98,6 +171,11 @@ def auto_decode(payload: bytes) -> np.ndarray:
     ):
         try:
             return wav_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and len(payload) >= 54 and payload[:2] == b"BM":
+        try:
+            return bmp_decode(payload)
         except Exception:
             return fake_decode(payload)
     return fake_decode(payload)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1770,20 +1771,37 @@ FROM (SELECT doc_id,
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing, driver-checkable: a deterministic media table
-    (payload = utf-8 bytes of each document) pushed through the real
-    mapInPandas feature extractor; the sandbox fake decoder's md5-derived
-    features are reproduced bit-for-bit by the DuckDB oracle. (WAV payloads
-    take the REAL stdlib decode path — pinned by pytest, not this query,
+    """Multimodal decode, driver-checkable across BOTH paths: every 5th
+    document becomes a REAL 4x2 24-bit BMP (solid color derived from
+    doc_id, serialized by make_bmp, parsed back pixel-by-pixel by
+    bmp_decode inside the mapInPandas extractor), the rest stay opaque
+    payloads on the deterministic fake path. The oracle reproduces the BMP
+    rows in closed form from the generating color — if the stdlib BMP
+    parser mis-read the pixel array, the channel means would not match.
+    (WAV payloads take the real stdlib audio path — pinned by pytest,
     since the testdata tables carry no audio.)"""
-    from logparserhelper_spark.functions.multimodal import extract_media_features
+    from logparserhelper_spark.functions.multimodal import (
+        extract_media_features,
+        make_bmp,
+    )
+
+    @F.pandas_udf("binary")
+    def bmp_payload(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: make_bmp(
+                4, 2, [[(i % 256, (i * 7) % 256, (i * 13) % 256)] * 4] * 2
+            )
+        )
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
+    is_bmp = F.col("doc_id") % 5 == 0
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.lit("image/fake").alias("mime"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.when(is_bmp, F.lit("image/bmp")).otherwise(F.lit("image/fake")).alias("mime"),
+        F.when(is_bmp, bmp_payload("doc_id"))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("payload"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
@@ -1795,13 +1813,17 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_bytes").cast("int").alias("n_bytes"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
         F.round(F.element_at("features", 2).cast("double"), 6).alias("f1"),
+        F.round(F.element_at("features", 4).cast("double"), 6).alias("f3"),
     )
 
 
 def _media_features_sql() -> str:
-    """DuckDB mirror of fake_decode: little-endian uint32 words of the md5
-    digest (repeated to FEATURE_DIM), divided by 2^32-1, cast through REAL
-    to replicate the float32 storage, rounded at 6."""
+    """DuckDB mirror of both decode paths. Fake: little-endian uint32 words
+    of the md5 digest (repeated to FEATURE_DIM), divided by 2^32-1, cast
+    through REAL to replicate the float32 storage, rounded at 6. BMP: the
+    4x2 solid-color fixture in closed form — f0=width, f1=height,
+    f3=mean_B=((doc_id*13)%256)/255 through the same REAL cast; n_bytes =
+    54-byte headers + 2 rows x 12-byte stride = 78."""
     def byte_expr(i: int) -> str:
         return (
             f"((strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1) * 16"
@@ -1813,10 +1835,16 @@ def _media_features_sql() -> str:
         return f"ROUND(CAST(CAST(({u}) / 4294967295.0 AS REAL) AS DOUBLE), 6)"
 
     return f"""
-WITH h AS (SELECT doc_id AS media_id, 'image' AS kind,
-                  CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS hx
-           FROM documents)
-SELECT media_id, kind, n_bytes, {feat_expr(0)} AS f0, {feat_expr(1)} AS f1
+WITH h AS (SELECT doc_id AS media_id, 'image' AS kind, doc_id % 5 = 0 AS is_bmp,
+                  CAST(strlen(text) AS INT) AS text_bytes, md5(text) AS hx,
+                  doc_id FROM documents)
+SELECT media_id, kind,
+       CASE WHEN is_bmp THEN 78 ELSE text_bytes END AS n_bytes,
+       CASE WHEN is_bmp THEN 4.0 ELSE {feat_expr(0)} END AS f0,
+       CASE WHEN is_bmp THEN 2.0 ELSE {feat_expr(1)} END AS f1,
+       CASE WHEN is_bmp
+            THEN ROUND(CAST(CAST(((doc_id * 13) % 256) / 255.0 AS REAL) AS DOUBLE), 6)
+            ELSE {feat_expr(3)} END AS f3
 FROM h
 """
 

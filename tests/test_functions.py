@@ -327,3 +327,97 @@ def test_connected_components_raises_when_not_converged(spark):
     # and with enough rounds the whole chain is one component
     cc = {r.id: r.component for r in connected_components(chain, max_iters=15).collect()}
     assert set(cc.values()) == {0}
+
+
+def test_bmp_decode_real_path():
+    """Pixel-exact BMP parsing: gradient image with row padding (w=3 ->
+    9-byte rows padded to 12), means vs direct numpy computation."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import (
+        auto_decode,
+        bmp_decode,
+        make_bmp,
+    )
+
+    px = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(200, 150, 100), (1, 2, 3), (255, 255, 255)],
+    ]
+    f = bmp_decode(make_bmp(3, 2, px))
+    arr = np.array(px, dtype=np.float64)
+    exp_r, exp_g, exp_b = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    assert (f[0], f[1], f[2]) == (3.0, 2.0, 24.0)
+    assert abs(f[3] - exp_b) < 1e-6 and abs(f[4] - exp_g) < 1e-6 and abs(f[5] - exp_r) < 1e-6
+    # band luminances: first two bands = the two rows, rest empty -> 0
+    lum = arr.mean(axis=(1, 2)) / 255.0
+    assert abs(f[6] - lum[0]) < 1e-6 and abs(f[7] - lum[1]) < 1e-6
+    # auto_decode dispatches BM magic to the real parser
+    assert np.allclose(auto_decode(make_bmp(3, 2, px)), f)
+
+
+def test_bmp_decode_top_down_and_32bit():
+    """Negative-height (top-down) DIBs and 32-bit BGRA payloads parse to the
+    same features as their bottom-up 24-bit equivalents."""
+    import struct
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import bmp_decode, make_bmp
+
+    px = [[(9, 18, 27), (36, 45, 54)], [(63, 72, 81), (90, 99, 108)]]
+    base = bmp_decode(make_bmp(2, 2, px))
+
+    # top-down: height negative, rows NOT reversed
+    body = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * 2
+        for row in px
+    )
+    off = 54
+    td = (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    assert np.allclose(bmp_decode(td), base)
+
+    # 32-bit BGRA bottom-up (alpha=7 ignored), no padding needed
+    body32 = b"".join(
+        b"".join(bytes((b, g, r, 7)) for (r, g, b) in row)
+        for row in reversed(px)
+    )
+    b32 = (
+        struct.pack("<2sIHHI", b"BM", off + len(body32), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(body32), 0, 0, 0, 0)
+        + body32
+    )
+    f32 = bmp_decode(b32)
+    assert f32[2] == 32.0
+    assert np.allclose(f32[3:], base[3:])
+
+
+def test_bmp_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.multimodal import (
+        bmp_decode,
+        fake_decode,
+        auto_decode,
+        make_bmp,
+    )
+    import struct
+
+    with _pytest.raises(ValueError):
+        bmp_decode(b"NOTABMP" + b"\x00" * 60)
+    # RLE-compressed header -> raises in bmp_decode, falls back in auto
+    body = b"\x00" * 8
+    rle = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 1, len(body), 0, 0, 0, 0)
+        + body
+    )
+    with _pytest.raises(ValueError):
+        bmp_decode(rle)
+    import numpy as np
+
+    assert np.allclose(auto_decode(rle), fake_decode(rle))
