@@ -166,7 +166,15 @@ _UNSAFE_FOR_ALTERNATION = re.compile(r"\\\d|\(\?P=|\\g<")
 # \x0A, \012, or \u000A escapes and character-class ranges like [\t-\r] — so the
 # gate walks the re parse tree instead and rejects on any construct that
 # could touch '\n', any string anchor, or anything it does not recognize.
-from re import _parser as _re_parser  # CPython parse tree (3.11+); analysis only
+try:
+    # CPython parse tree (3.11+); analysis only. Private module — if a
+    # future CPython renames it (or an alternate interpreter lacks it),
+    # only the batch fast path is lost, never the package import:
+    # _pattern_batch_safe then answers False for everything and extraction
+    # falls back to per-row matching.
+    from re import _parser as _re_parser
+except ImportError:  # pragma: no cover - interpreter-dependent
+    _re_parser = None
 
 _NL = 0x0A
 
@@ -252,6 +260,8 @@ def _nodes_batch_safe(nodes, dotall: bool) -> bool:
 
 
 def _pattern_batch_safe(pattern: str) -> bool:
+    if _re_parser is None:
+        return False  # no parse tree available: per-row path only
     try:
         parsed = _re_parser.parse(pattern)
     except Exception:

@@ -90,11 +90,15 @@ def _progress_dir(cfg: PipelineConfig) -> str:
     return os.path.join(cfg.out_dir, "_progress")
 
 
-def _run_fingerprint(cfg: PipelineConfig) -> dict:
+def _run_fingerprint(cfg: PipelineConfig, effective_parse_partitions: int) -> dict:
     """Everything a committed bucket's bytes depend on. Resume is only valid
     when ALL of it matches — otherwise merged outputs would mix versions,
     breaking the 'outputs are pure functions of (bank version, input)'
-    invariant."""
+    invariant. ``effective_parse_partitions`` is the RESOLVED parse
+    partition count (cfg.parse_partitions or the session default x2):
+    committed turns embed src_partition_id, which depends on it, so a
+    resume under a different parallelism must invalidate rather than mix
+    provenance spaces across buckets."""
     import hashlib
 
     tspec = cfg.transform_bank.spec() if cfg.transform_bank is not None else ()
@@ -105,14 +109,17 @@ def _run_fingerprint(cfg: PipelineConfig) -> dict:
         "input_path": os.path.abspath(cfg.input_path),
         "dedup_strategy": cfg.dedup_strategy,
         "salt": cfg.salt,
+        "parse_partitions": effective_parse_partitions,
     }
 
 
-def _validate_or_reset_progress(cfg: PipelineConfig) -> None:
+def _validate_or_reset_progress(
+    cfg: PipelineConfig, effective_parse_partitions: int
+) -> None:
     """E2 semantics (edit the bank, re-run): a config/input change makes every
     committed bucket stale, so the whole out_dir is invalidated and recomputed
     (the reference's idempotent full recompute). Same fingerprint -> resume."""
-    fp = _run_fingerprint(cfg)
+    fp = _run_fingerprint(cfg, effective_parse_partitions)
     manifest = os.path.join(_progress_dir(cfg), "manifest.json")
     if os.path.exists(manifest):
         try:
@@ -163,7 +170,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     tool_dim = read_dim(spark, cfg.tool_dim_path) if cfg.tool_dim_path else None
 
     src = read_transcripts(spark, cfg.input_path)
-    _validate_or_reset_progress(cfg)
+    effective_parse = (
+        cfg.parse_partitions
+        if cfg.parse_partitions is not None
+        else spark.sparkContext.defaultParallelism * 2
+    )
+    _validate_or_reset_progress(cfg, effective_parse)
     committed = _committed_buckets(cfg)
     metrics: dict = {"buckets": {}, "bank_version": bank.version}
 
