@@ -201,44 +201,19 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     return metrics
 
 
-def _run_bucket(
+def build_turns_plan(
     spark: SparkSession,
     cfg: PipelineConfig,
     bucket_src: DataFrame,
     bank: PatternBank,
     tbank: TransformBank | None,
-    bdim: DataFrame,
     role_dim: DataFrame | None,
     tool_dim: DataFrame | None,
-    k: int,
-) -> dict:
-    turns_dir = os.path.join(cfg.out_dir, "turns", f"bucket={k}")
-    routed_dir = os.path.join(cfg.out_dir, "routed", f"bucket={k}")
-    lineage_dir = os.path.join(cfg.out_dir, "lineage", f"bucket={k}")
-    rejected_dir = os.path.join(cfg.out_dir, "rejected", f"bucket={k}")
-    partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
-
-    # quarantine malformed rows (null ordering keys) instead of crashing or
-    # silently dropping — the pipeline analogue of the reference's
-    # degrade-don't-fail bank loading (utils/json_utils.py:10-18). text may
-    # be null (parses to no spans); the ordering keys may not. The malformed
-    # COUNT rides the main pass via observe(); the quarantine write (a
-    # second input scan) only runs when something was actually malformed —
-    # clean inputs, the common case, pay nothing.
-    malformed_cond = (
-        F.col("conv_id").isNull()
-        | F.col("turn_idx").isNull()
-        | F.col("role").isNull()
-        | F.col("ts").isNull()
-    )
-    bucket_src_raw = bucket_src  # un-observed: the conditional quarantine
-    # write below must not re-trigger the observation
-    mal_obs = Observation(f"malformed_{k}")
-    bucket_src = bucket_src.observe(
-        mal_obs,
-        F.sum(F.when(malformed_cond, 1).otherwise(0)).alias("n_malformed"),
-    ).filter(~malformed_cond)
-
+) -> DataFrame:
+    """The expensive subtree of a bucket as a LAZY DataFrame: one explicit
+    (conv_id, turn_idx) exchange feeding dedup -> fused parse/normalize ->
+    enrich. Shared by _run_bucket and scripts/plan_snapshots.py so plan
+    drift (a lost fusion, an extra shuffle) fails the snapshot check."""
     n_parse = (
         cfg.parse_partitions
         if cfg.parse_partitions is not None
@@ -278,6 +253,73 @@ def _run_bucket(
     for c, t in enrich_types.items():
         if c not in turns.columns:
             turns = turns.withColumn(c, F.lit(None).cast(t))
+    return turns
+
+
+def build_routed_plan(back: DataFrame, bdim: DataFrame) -> DataFrame:
+    """Multicast routing subtree over the turns read-back: explode spans
+    (null row for unmatched), broadcast bank-dim join — shuffle-free."""
+    dim = bdim.select("pattern_id", "pattern_name", "sink", "color")
+    return (
+        back.select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            "src_partition_id", "bank_version",
+            F.explode_outer("spans").alias("_s"),
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            "src_partition_id", "bank_version",
+            F.col("_s.pattern_id").alias("pattern_id"),
+            F.col("_s.start").alias("start"),
+            F.col("_s.end").alias("end"),
+            F.col("_s.match").alias("match"),
+        )
+        .join(F.broadcast(dim), "pattern_id", "left")
+        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("unmatched")))
+    )
+
+
+def _run_bucket(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    bucket_src: DataFrame,
+    bank: PatternBank,
+    tbank: TransformBank | None,
+    bdim: DataFrame,
+    role_dim: DataFrame | None,
+    tool_dim: DataFrame | None,
+    k: int,
+) -> dict:
+    turns_dir = os.path.join(cfg.out_dir, "turns", f"bucket={k}")
+    routed_dir = os.path.join(cfg.out_dir, "routed", f"bucket={k}")
+    lineage_dir = os.path.join(cfg.out_dir, "lineage", f"bucket={k}")
+    rejected_dir = os.path.join(cfg.out_dir, "rejected", f"bucket={k}")
+    partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
+
+    # quarantine malformed rows (null ordering keys) instead of crashing or
+    # silently dropping — the pipeline analogue of the reference's
+    # degrade-don't-fail bank loading (utils/json_utils.py:10-18). text may
+    # be null (parses to no spans); the ordering keys may not. The malformed
+    # COUNT rides the main pass via observe(); the quarantine write (a
+    # second input scan) only runs when something was actually malformed —
+    # clean inputs, the common case, pay nothing.
+    malformed_cond = (
+        F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("role").isNull()
+        | F.col("ts").isNull()
+    )
+    bucket_src_raw = bucket_src  # un-observed: the conditional quarantine
+    # write below must not re-trigger the observation
+    mal_obs = Observation(f"malformed_{k}")
+    bucket_src = bucket_src.observe(
+        mal_obs,
+        F.sum(F.when(malformed_cond, 1).otherwise(0)).alias("n_malformed"),
+    ).filter(~malformed_cond)
+
+    turns = build_turns_plan(
+        spark, cfg, bucket_src, bank, tbank, role_dim, tool_dim
+    )
 
     obs = Observation(f"bucket_{k}")
     turns = turns.observe(
@@ -309,26 +351,7 @@ def _run_bucket(
     # everything below is derived from column-pruned read-backs of turns_dir
     back = spark.read.parquet(turns_dir)
 
-    # multicast routing: explode spans (null row for unmatched), broadcast
-    # bank-dim join, per-sink partitioned write — shuffle-free
-    dim = bdim.select("pattern_id", "pattern_name", "sink", "color")
-    routed = (
-        back.select(
-            "conv_id", "turn_idx", "role", "tool", "ts",
-            "src_partition_id", "bank_version",
-            F.explode_outer("spans").alias("_s"),
-        )
-        .select(
-            "conv_id", "turn_idx", "role", "tool", "ts",
-            "src_partition_id", "bank_version",
-            F.col("_s.pattern_id").alias("pattern_id"),
-            F.col("_s.start").alias("start"),
-            F.col("_s.end").alias("end"),
-            F.col("_s.match").alias("match"),
-        )
-        .join(F.broadcast(dim), "pattern_id", "left")
-        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("unmatched")))
-    )
+    routed = build_routed_plan(back, bdim)
     lineage = (
         back.groupBy("src_partition_id", "bank_version")
         .agg(

@@ -45,6 +45,7 @@ _NORMALIZERS = [
     (re.compile(r"file:[^\],\s]*"), "file:PATH"),
     (re.compile(r"Location: \S+"), "Location: PATH"),
     (re.compile(r"cteId=\d+"), "cteId=N"),
+    (re.compile(r"MapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[N]"),
     (re.compile(r"statsEstimate=\S+"), "stats=N"),
 ]
 
@@ -60,6 +61,43 @@ def formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _pipeline_plans(spark) -> dict[str, "object"]:
+    """The flagship job's two regression-prone subtrees as LAZY DataFrames
+    (shared builders with _run_bucket): the single-exchange fused
+    parse stage and the broadcast-join routing stage. Tiny deterministic
+    input under /tmp keeps scan arguments stable."""
+    from pyspark.sql import functions as F
+
+    from logparserhelper_spark.datagen import generate_transcripts
+    from logparserhelper_spark.operators.enrich import bank_dim
+    from logparserhelper_spark.pipeline import (
+        PipelineConfig,
+        build_routed_plan,
+        build_turns_plan,
+    )
+    from logparserhelper_spark.sources.transcripts import read_transcripts
+
+    data_dir = "/tmp/plan_snap_pipeline"
+    generate_transcripts(data_dir, scale="tiny")
+    cfg = PipelineConfig(
+        input_path=os.path.join(data_dir, "transcripts.parquet"),
+        out_dir="/tmp/plan_snap_pipeline_out",
+        parse_partitions=16,
+    )
+    src = read_transcripts(spark, cfg.input_path)
+    bucket_src = src.filter(
+        F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)) == 0
+    )
+    turns = build_turns_plan(
+        spark, cfg, bucket_src, cfg.pattern_bank, cfg.transform_bank, None, None
+    )
+    turns_dir = os.path.join(cfg.out_dir, "turns_snapshot")
+    turns.write.mode("overwrite").parquet(turns_dir)
+    back = spark.read.parquet(turns_dir)
+    routed = build_routed_plan(back, bank_dim(spark, cfg.pattern_bank))
+    return {"transcript_pipeline_turns": turns, "transcript_pipeline_routed": routed}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
@@ -71,8 +109,12 @@ def main() -> int:
     spark = build_session(parallelism=8, app_name="plan_snapshots", shuffle_partitions=16)
     drift = 0
     os.makedirs(PLANS_DIR, exist_ok=True)
-    for name in SNAPSHOT_QUERIES:
-        df = QUERIES[name](spark, SF_DIR)
+    pipeline_dfs = _pipeline_plans(spark)
+    targets = [(n, None) for n in SNAPSHOT_QUERIES] + [
+        (n, df) for n, df in pipeline_dfs.items()
+    ]
+    for name, pre_built in targets:
+        df = pre_built if pre_built is not None else QUERIES[name](spark, SF_DIR)
         plan = normalize(formatted_plan(spark, df))
         path = os.path.join(PLANS_DIR, f"{name}.txt")
         if args.check:

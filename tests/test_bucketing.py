@@ -90,3 +90,23 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     q2 = spark.read.parquet(out).select("v")
     scan = q2._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<v:bigint>" in scan
+
+
+def test_ngram_top_similar_reuses_shingle_exchange_at_runtime(spark):
+    """The static ngram_top_similar plan shows the shingle-aggregation
+    subtree twice (sizes + intersections both read it); the one-pass claim
+    relies on AQE exchange reuse AT RUNTIME. Pin it: the executed adaptive
+    plan must contain ReusedExchange nodes, proving the posting-list
+    aggregation was computed once."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    from logparserhelper_spark.plans.contract_queries import QUERIES
+
+    df = QUERIES["ngram_top_similar"](spark, sf)
+    assert len(df.collect()) > 0  # collect() executes THIS df's plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]
