@@ -2212,16 +2212,15 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from logparserhelper_spark.functions.textstats import repetition_stats
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    q = quality_score(d).select(
+    # quality + lang columns are row-wise: chain them in ONE scan (no join);
+    # only the repetition aggregate needs its own subtree
+    base = quality_score(lang_id(d)).select(
         "doc_id",
         F.col("q_chars").cast("int").alias("q_chars"),
         F.col("q_tokens").cast("int").alias("q_tokens"),
         F.col("q_punct").cast("int").alias("q_punct"),
         F.col("q_stopwords").cast("int").alias("q_stopwords"),
         "quality",
-    )
-    lang = lang_id(d).select(
-        "doc_id",
         F.col("hits_en").cast("int").alias("hits_en"),
         F.col("hits_de").cast("int").alias("hits_de"),
         F.col("hits_fr").cast("int").alias("hits_fr"),
@@ -2231,7 +2230,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_words", "dup_words", "dup_word_frac",
         "top_bigram_n", "n_bigrams", "top_bigram_frac",
     )
-    return q.join(lang, "doc_id").join(rep, "doc_id", "left")
+    return base.join(rep, "doc_id", "left")
 
 
 SQL_TEXT_QUALITY = rf"""
@@ -2290,10 +2289,34 @@ FROM qs LEFT JOIN rep ON qs.doc_id = rep.doc_id
 def q_doc_normalize_redact(spark: SparkSession, sf: str) -> DataFrame:
     """The O7 transform chain twice in one row: the word-bank normalization
     (backref templates, re.error fallback, disabled-entry filter) AND the PII
-    redaction chain over deterministically planted PII."""
-    norm = q_doc_normalize(spark, sf)
-    redacted = q_pii_redact(spark, sf)
-    return norm.join(redacted, "doc_id")
+    redaction chain over deterministically planted PII. Both chains are
+    row-wise, so they run in ONE scan — no self-join on doc_id."""
+    from logparserhelper_spark.defaults import pii_transform_bank
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    tbank = TransformBank(
+        entries=(
+            TransformEntry(pattern=r"\bthe\b", replacement="<ART>"),
+            TransformEntry(pattern=r"\d+", replacement="<NUM>"),
+            TransformEntry(pattern=r"disabled", replacement="<X>", enabled=False),
+            TransformEntry(pattern=r"(bad", replacement="<X>"),  # re.error fallback
+        )
+    )
+    planted = F.concat(
+        "text",
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +555 123-4567"),
+    )
+    out = normalize_text(docs, tbank).withColumn("_ptext", planted)
+    out = normalize_text(
+        out, pii_transform_bank(), text_col="_ptext", out_col="redacted"
+    )
+    return out.select("doc_id", "norm_text", "redacted")
 
 
 def _doc_normalize_redact_sql() -> str:
