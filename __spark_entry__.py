@@ -1,9 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Thin adapter over ``logparserhelper_spark.plans.contract_queries``: one
-``queries()`` entry per implemented operator from SURVEY.md §2 plus the
-training-data-pipeline operators (dedup / similarity / text analysis), with
-DuckDB oracle SQL for every SQL-expressible one.
+Thin adapter over ``logparserhelper_spark.plans.contract_queries``: exactly
+50 exposed queries (the driver's correctness file records 50 rows) covering
+every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis),
+EVERY one with DuckDB oracle SQL. Near-duplicate coverage consolidated out
+of the exposed set in round 3 lives in ``EXTRA_QUERIES``/``EXTRA_ORACLES``
+(same gate, run by tests/test_extra_queries.py and
+``scripts/check_entry.py --extras``); COVERAGE.md maps the consolidation.
 """
 
 from __future__ import annotations
