@@ -273,6 +273,163 @@ def _pattern_batch_safe(pattern: str) -> bool:
     return _nodes_batch_safe(parsed, dotall=False)
 
 
+def _tree_zero_width_free(nodes) -> bool:
+    """No anchors/\\b (AT), no lookarounds (ASSERT/ASSERT_NOT): a pattern
+    with zero-width assertions can gain matches at a replacement seam
+    without consuming any replaced character."""
+    if _re_parser is None:
+        return False
+    for op, av in nodes:
+        opname = str(op)
+        if opname in ("AT", "ASSERT", "ASSERT_NOT"):
+            return False
+        if opname in ("LITERAL", "NOT_LITERAL", "IN", "ANY", "CATEGORY", "RANGE"):
+            continue
+        if opname == "SUBPATTERN":
+            if not _tree_zero_width_free(av[3]):
+                return False
+        elif opname in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            if not _tree_zero_width_free(av[2]):
+                return False
+        elif opname == "BRANCH":
+            if not all(_tree_zero_width_free(b) for b in av[1]):
+                return False
+        elif opname == "ATOMIC_GROUP":
+            if not _tree_zero_width_free(av):
+                return False
+        elif opname in ("GROUPREF", "FAILURE"):
+            continue
+        else:
+            return False  # unrecognized construct: fail safe
+    return True
+
+
+def _class_item_matches(op, av, ch: str) -> bool:
+    """Whether one IN-class item (or standalone LITERAL/CATEGORY node) can
+    match ``ch``. Unknown -> True (conservative: CAN match)."""
+    code = ord(ch)
+    opname = str(op)
+    if opname == "LITERAL":
+        return av == code
+    if opname == "NOT_LITERAL":
+        return av != code
+    if opname == "RANGE":
+        return av[0] <= code <= av[1]
+    if opname == "CATEGORY":
+        cat = str(av)
+        table = {
+            "CATEGORY_DIGIT": ch.isdigit(),
+            "CATEGORY_NOT_DIGIT": not ch.isdigit(),
+            "CATEGORY_WORD": ch.isalnum() or ch == "_",
+            "CATEGORY_NOT_WORD": not (ch.isalnum() or ch == "_"),
+            "CATEGORY_SPACE": ch.isspace(),
+            "CATEGORY_NOT_SPACE": not ch.isspace(),
+        }
+        return table.get(cat, True)
+    return True
+
+
+def _tree_can_consume(nodes, ch: str) -> bool:
+    """Whether ANY consuming position of the pattern could match ``ch``.
+    Unknown constructs -> True (conservative)."""
+    for op, av in nodes:
+        opname = str(op)
+        if opname == "ANY":
+            if ch != "\n":
+                return True
+        elif opname in ("LITERAL", "NOT_LITERAL", "CATEGORY", "RANGE"):
+            if _class_item_matches(op, av, ch):
+                return True
+        elif opname == "IN":
+            negate = any(str(o) == "NEGATE" for o, _ in av)
+            hit = any(
+                _class_item_matches(o, a, ch)
+                for o, a in av
+                if str(o) != "NEGATE"
+            )
+            if (not hit) if negate else hit:
+                return True
+        elif opname == "SUBPATTERN":
+            if _tree_can_consume(av[3], ch):
+                return True
+        elif opname in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            if _tree_can_consume(av[2], ch):
+                return True
+        elif opname == "BRANCH":
+            if any(_tree_can_consume(b, ch) for b in av[1]):
+                return True
+        elif opname == "ATOMIC_GROUP":
+            if _tree_can_consume(av, ch):
+                return True
+        elif opname in ("AT", "FAILURE"):
+            continue
+        else:
+            return True  # GROUPREF / unknown: fail safe
+    return False
+
+
+def transform_skip_safety(tspec: tuple[tuple[str, str], ...]) -> tuple[bool, ...]:
+    """Per enabled transform step: True iff ``sub()`` for that step is
+    PROVABLY a no-op on any text whose ORIGINAL form had no match for the
+    step's pattern, given only modifications made by EARLIER steps of the
+    chain. That is the soundness condition for skipping the step on rows
+    where span extraction (computed on the original text) found no match.
+
+    Argument: a match appearing only in the modified text must include at
+    least one character position inside an earlier replacement (unchanged
+    contiguous regions match iff the original did), or attach to a seam via
+    a zero-width assertion. So step i is safe when:
+      - its parse tree has no zero-width assertions (no \\b/anchors/
+        lookarounds — seam word-boundary flips);
+      - every EARLIER step's replacement is a constant (no backslash
+        templates — otherwise its output characters are unknown);
+      - the pattern cannot consume the first or last character of any
+        earlier replacement (a match crossing a seam must consume one);
+      - the pattern has no match strictly inside any earlier replacement's
+        interior (finite check: re.search on replacement[1:-1]).
+    Unknown regex constructs and parse failures fail safe (False =
+    always run). The FIRST step is safe whenever its own tree is clean —
+    no earlier modifications exist."""
+    out: list[bool] = []
+    earlier_repls: list[str] = []
+    for pattern, repl in tspec:
+        if not earlier_repls:
+            # no earlier step has modified the text: a no-match-on-original
+            # pattern cannot match, full stop
+            safe = True
+        elif _re_parser is None:
+            safe = False
+        else:
+            safe = True
+            try:
+                tree = _re_parser.parse(pattern)
+                rx = re.compile(pattern)
+            except Exception:
+                safe = False
+            else:
+                if tree.state.flags & (re.M | re.X | re.I | re.S | re.L):
+                    safe = False
+                elif not _tree_zero_width_free(tree):
+                    safe = False
+                else:
+                    for r in earlier_repls:
+                        if "\\" in r:
+                            safe = False  # templated: output chars unknown
+                            break
+                        if r and (
+                            _tree_can_consume(tree, r[0])
+                            or _tree_can_consume(tree, r[-1])
+                        ):
+                            safe = False
+                            break
+                        if len(r) > 2 and rx.search(r[1:-1]):
+                            safe = False
+                            break
+        out.append(safe)
+        earlier_repls.append(repl)
+    return tuple(out)
+
+
 class CompiledBank:
     """Per-worker compiled form of a PatternBank.
 
@@ -416,11 +573,19 @@ class CompiledTransforms:
 
     def __init__(self, spec: tuple[tuple[str, str], ...]):
         self.steps: list[tuple[re.Pattern, str]] = []
+        compiled_spec: list[tuple[str, str]] = []
         for pattern, replacement in spec:
             try:
                 self.steps.append((re.compile(pattern), replacement))
             except re.error:
                 continue  # identity: skip — output text unchanged by this entry
+            compiled_spec.append((pattern, replacement))
+        # aligned with self.steps (identity entries never modify text, so
+        # they are rightly absent from the earlier-replacement analysis)
+        self.patterns: tuple[str, ...] = tuple(p for p, _ in compiled_spec)
+        self.skip_safe: tuple[bool, ...] = transform_skip_safety(
+            tuple(compiled_spec)
+        )
 
     def apply(self, text: str) -> str:
         for rx, repl in self.steps:
@@ -428,6 +593,18 @@ class CompiledTransforms:
                 text = rx.sub(repl, text)
             except re.error:
                 # e.g. a replacement template referencing a missing group
+                continue
+        return text
+
+    def apply_steps(self, text: str, run: list[int]) -> str:
+        """Apply only the steps at the given indices, in chain order —
+        callers must have established (via ``skip_safe`` + original-text
+        match knowledge) that the omitted steps are no-ops."""
+        for j in run:
+            rx, repl = self.steps[j]
+            try:
+                text = rx.sub(repl, text)
+            except re.error:
                 continue
         return text
 

@@ -175,18 +175,21 @@ def make_parse_normalize_udf(bank: PatternBank, tbank: TransformBank | None):
     """Fused O4+O7: one Python crossing producing struct<norm_text, spans>.
     norm_text == text when tbank is None/empty.
 
-    When every transform pattern is also a bank pattern (the default chain
-    is exactly the bank with "<DATE>" replacements), a turn with ZERO spans
-    provably has no match for any transform pattern either, so the sub chain
-    is the identity on it — those rows skip normalization entirely. On log
-    corpora, where the common case is no match (4 of 6 reference corpora),
-    this halves the regex work of the fused stage; the exactness argument is
-    airtight because an un-matched row is never modified, so no replacement
-    can have created a later match."""
+    Per-row transform-step SKIPPING: extraction already computed, on the
+    ORIGINAL text, which bank patterns matched each row. A transform step
+    whose pattern is a bank pattern with zero spans in the row is a no-op —
+    provided replacements cannot CREATE a match for it at a seam, which
+    ``transform_skip_safety`` (banks.py) proves per step from the regex
+    parse trees (no zero-width assertions; earlier replacements constant;
+    the pattern can't consume a replacement's edge chars or match its
+    interior). Unsafe or non-bank steps always run; rows with zero spans
+    run only the unsafe steps (usually none — the identity). On the bench
+    corpus (~65% matched rows, typically 1-2 of 6 distinct patterns each)
+    this removes most of the normalize-side regex scans while staying
+    bit-equal to the sequential re.sub chain — pinned by the adversarial
+    + randomized equality tests in tests/test_property.py."""
     spec = bank.spec()
     tspec = tbank.spec() if tbank is not None else ()
-    bank_patterns = {p for _pid, _n, p, _s in spec}
-    skip_unmatched = bool(tspec) and all(p in bank_patterns for p, _r in tspec)
 
     @F.pandas_udf(PARSE_NORM_TYPE)
     def parse_norm(texts: pd.Series) -> pd.DataFrame:
@@ -194,26 +197,52 @@ def make_parse_normalize_udf(bank: PatternBank, tbank: TransformBank | None):
         ct = get_compiled_transforms(tspec)
         tl = texts.tolist()
         span_lists = cb.extract_batch(tl)
-        if skip_unmatched and ct.steps:
+        if ct.steps:
             norm = pd.Series(
-                [
-                    ct.apply(t) if sp and isinstance(t, str) else t
-                    for t, sp in zip(tl, span_lists)
-                ],
+                normalize_batch_with_span_knowledge(tl, span_lists, spec, ct),
                 index=texts.index,
                 dtype=object,
             )
         else:
             norm = texts
-            for rx, repl in ct.steps:
-                try:
-                    norm = norm.str.replace(rx, repl, regex=True)
-                except Exception:
-                    continue  # bad template: reference falls back to input
         spans = pd.Series(span_lists, index=texts.index, dtype=object)
         return pd.DataFrame({"norm_text": norm, "spans": spans})
 
     return parse_norm
+
+
+def normalize_batch_with_span_knowledge(texts, span_lists, spec, ct):
+    """The skip-aware normalize core (pure Python — property-tested directly
+    against the full sequential chain in tests/test_property.py). For each
+    row, runs only the transform steps that are (a) not provably skippable
+    (``ct.skip_safe`` seam analysis + bank membership) or (b) matched the
+    row's ORIGINAL text per the extraction spans."""
+    bank_patterns = {p for _pid, _n, p, _s in spec}
+    pid_to_pattern = {pid: p for pid, _n, p, _s in spec}
+    n_steps = len(ct.steps)
+    skippable_set = {
+        j
+        for j, (p, safe) in enumerate(zip(ct.patterns, ct.skip_safe))
+        if safe and p in bank_patterns
+    }
+    always_run = [j for j in range(n_steps) if j not in skippable_set]
+    out = []
+    for t, sp in zip(texts, span_lists):
+        if not isinstance(t, str):
+            out.append(t)
+        elif sp:
+            matched = {pid_to_pattern[s[0]] for s in sp}
+            run = [
+                j
+                for j in range(n_steps)
+                if j not in skippable_set or ct.patterns[j] in matched
+            ]
+            out.append(ct.apply(t) if len(run) == n_steps else ct.apply_steps(t, run))
+        elif always_run:
+            out.append(ct.apply_steps(t, always_run))
+        else:
+            out.append(t)
+    return out
 
 
 def parse_normalize_explode(

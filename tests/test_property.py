@@ -126,3 +126,83 @@ def test_batch_equals_per_row_empty_matchable(patterns, batch):
     cb = get_compiled_bank(bank.spec())
     assert cb.batch_safe
     assert cb.extract_batch(batch) == [cb.extract(t) for t in batch]
+
+
+# --- skip-aware normalization == full sequential chain -----------------------
+
+from logparserhelper_spark.banks import get_compiled_transforms  # noqa: E402
+from logparserhelper_spark.defaults import default_transform_bank  # noqa: E402
+from logparserhelper_spark.operators.extract import (  # noqa: E402
+    normalize_batch_with_span_knowledge,
+)
+
+TCT = get_compiled_transforms(default_transform_bank().spec())
+
+
+def _full_chain(text: str) -> str:
+    out = text
+    for rx, repl in TCT.steps:
+        out = rx.sub(repl, out)
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(texts)
+def test_skip_aware_normalize_equals_full_chain(text):
+    spans = [CB.extract(text)]
+    got = normalize_batch_with_span_knowledge([text], spans, BANK.spec(), TCT)
+    assert got == [_full_chain(text)]
+
+
+def test_skip_aware_normalize_adversarial_seams():
+    """Hand-built seam cases: adjacent timestamps of different patterns,
+    duplicate-pattern overlap, pre-existing <DATE> tokens, month-name
+    characters abutting a replaced region, and replacement-interior bait."""
+    cases = [
+        # two different patterns back-to-back (seam between replacements)
+        "2025-06-06T01:02:03Jun  9 06:06:19",
+        "Jun  9 06:06:192025-06-06 01:02:03,123",
+        # duplicate-pattern region (p4 == p5)
+        "x 2025-06-06 01:02:03,123 y",
+        # literal <DATE> already present around a real timestamp
+        "<DATE>2025-06-06T01:02:03<DATE>",
+        "pre <DATE 01/02/2025 03:04:05 DATE> post",
+        # month-name-ish letters directly before/after a match
+        "Mon2025-06-06T01:02:03Tue",
+        "DAT2025-06-06T01:02:03E",
+        # near-miss fragments that must NOT be replaced
+        "2025-06-06T01:02 Jun 9 06:06 01/02/2025",
+        # RFC2822 (matchable only via \w{3} word chars) next to ISO
+        "Mon, 9 Jun 2025 01:02:03 +0000 2025-06-06T01:02:03",
+        # empty and whitespace
+        "", "   ",
+    ]
+    spans = [CB.extract(t) for t in cases]
+    got = normalize_batch_with_span_knowledge(cases, spans, BANK.spec(), TCT)
+    assert got == [_full_chain(t) for t in cases]
+
+
+def test_skip_safety_conservative_on_unsafe_chains():
+    """Chains the analyzer must refuse to skip: zero-width assertions after
+    a replacement, templated replacements, interior/edge-consumable
+    replacements. Step 0 is always safe (nothing modified the text yet)."""
+    from logparserhelper_spark.banks import transform_skip_safety
+
+    assert transform_skip_safety(((r"\bfoo\b", "<X>"), (r"\bbar\b", "<Y>"))) == (
+        True,
+        False,
+    )
+    assert transform_skip_safety(((r"(\d)x", r"\1y"), (r"\d+", "<N>"))) == (
+        True,
+        False,
+    )
+    assert transform_skip_safety(((r"\d+", "<9>"), (r"\d+", "<N>"))) == (
+        True,
+        False,
+    )
+    assert transform_skip_safety(((r"\d+", "<N>"), (r"[A-Z<]+", "<U>"))) == (
+        True,
+        False,
+    )
+    # the shipped default chain is fully skippable
+    assert all(TCT.skip_safe)
