@@ -139,6 +139,48 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     )
 
 
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary PPM (P6) payloads: ASCII header
+    (magic, width, height, maxval; '#' comments allowed) then raw RGB
+    triplets. Same feature layout as bmp_decode —
+    [width, height, bits-per-pixel(=24), mean_B, mean_G, mean_R] + 10 band
+    luminances — so downstream consumers are container-agnostic."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM")
+    # tokenize header: magic, width, height, maxval (comments to EOL)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM (w={w}, h={h}, maxval={maxval})")
+    px = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=w * h * 3)
+    img = px.reshape(h, w, 3).astype(np.float64) * (255.0 / maxval)
+    rgb = img  # PPM stores RGB; features use the BGR mean order bmp uses
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0  # [R, G, B]
+    lum = rgb.mean(axis=(1, 2)) / 255.0
+    bands = [
+        float(np.mean(c)) if c.size else 0.0
+        for c in np.array_split(lum, FEATURE_DIM - 6)
+    ]
+    return np.array(
+        [float(w), float(h), 24.0, means[2], means[1], means[0]] + bands,
+        dtype=np.float32,
+    )
+
+
 def make_bmp(width: int, height: int, pixels_rgb) -> bytes:
     """Serialize a 24-bit bottom-up BMP from ``pixels_rgb`` — an iterable of
     rows (top-first) of (r, g, b) tuples. Deterministic; used by tests and
@@ -176,6 +218,11 @@ def auto_decode(payload: bytes) -> np.ndarray:
     if payload is not None and len(payload) >= 54 and payload[:2] == b"BM":
         try:
             return bmp_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and payload[:2] == b"P6":
+        try:
+            return ppm_decode(payload)
         except Exception:
             return fake_decode(payload)
     return fake_decode(payload)

@@ -421,3 +421,38 @@ def test_bmp_decode_rejects_unsupported():
     import numpy as np
 
     assert np.allclose(auto_decode(rle), fake_decode(rle))
+
+
+def test_ppm_decode_matches_bmp_features():
+    """Same pixels through PPM (P6, RGB, with header comment) and BMP must
+    yield identical features; maxval scaling and truncation rejects work."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import (
+        auto_decode,
+        bmp_decode,
+        make_bmp,
+        ppm_decode,
+    )
+
+    px = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(200, 150, 100), (1, 2, 3), (255, 255, 255)],
+    ]
+    body = b"".join(bytes(p) for row in px for p in row)
+    ppm = b"P6\n# comment\n3 2\n255\n" + body
+    f_ppm = ppm_decode(ppm)
+    f_bmp = bmp_decode(make_bmp(3, 2, px))
+    assert np.allclose(f_ppm, f_bmp)
+    assert np.allclose(auto_decode(ppm), f_ppm)
+    # maxval rescale: values at maxval=85 scale 3x
+    px1 = [[(85, 0, 0)]]
+    ppm1 = b"P6 1 1 85\n" + bytes((85, 0, 0))
+    f1 = ppm_decode(ppm1)
+    assert abs(f1[5] - 1.0) < 1e-6  # mean_R == 255/255
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ppm_decode(b"P5 1 1 255\n\x00")  # grayscale PGM: unsupported here
+    with _pytest.raises(ValueError):
+        ppm_decode(b"P6 2 2 70000\n" + b"\x00" * 12)  # 16-bit maxval
