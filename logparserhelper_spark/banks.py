@@ -274,9 +274,11 @@ def _pattern_batch_safe(pattern: str) -> bool:
 
 
 def _tree_zero_width_free(nodes) -> bool:
-    """No anchors/\\b (AT), no lookarounds (ASSERT/ASSERT_NOT): a pattern
-    with zero-width assertions can gain matches at a replacement seam
-    without consuming any replaced character."""
+    """No anchors/\\b (AT), no lookarounds (ASSERT/ASSERT_NOT), and no
+    SCOPED inline flags ((?i:...) etc. — they live on SUBPATTERN nodes, not
+    in state.flags, and silently change what literals/classes can match):
+    a pattern with zero-width assertions can gain matches at a replacement
+    seam without consuming any replaced character."""
     if _re_parser is None:
         return False
     for op, av in nodes:
@@ -286,6 +288,9 @@ def _tree_zero_width_free(nodes) -> bool:
         if opname in ("LITERAL", "NOT_LITERAL", "IN", "ANY", "CATEGORY", "RANGE"):
             continue
         if opname == "SUBPATTERN":
+            add_flags, del_flags = av[1], av[2]
+            if add_flags or del_flags:
+                return False  # scoped (?i:)/(?-i:) etc.: analysis unsound
             if not _tree_zero_width_free(av[3]):
                 return False
         elif opname in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
@@ -304,9 +309,21 @@ def _tree_zero_width_free(nodes) -> bool:
     return True
 
 
+_CATEGORY_RX = {
+    "CATEGORY_DIGIT": r"\d",
+    "CATEGORY_NOT_DIGIT": r"\D",
+    "CATEGORY_WORD": r"\w",
+    "CATEGORY_NOT_WORD": r"\W",
+    "CATEGORY_SPACE": r"\s",
+    "CATEGORY_NOT_SPACE": r"\S",
+}
+
+
 def _class_item_matches(op, av, ch: str) -> bool:
     """Whether one IN-class item (or standalone LITERAL/CATEGORY node) can
-    match ``ch``. Unknown -> True (conservative: CAN match)."""
+    match ``ch``. Categories are evaluated by ``re`` ITSELF (str predicates
+    like isdigit() are broader than \\d, which made \\D look unable to
+    match characters it does match). Unknown -> True (conservative)."""
     code = ord(ch)
     opname = str(op)
     if opname == "LITERAL":
@@ -316,22 +333,19 @@ def _class_item_matches(op, av, ch: str) -> bool:
     if opname == "RANGE":
         return av[0] <= code <= av[1]
     if opname == "CATEGORY":
-        cat = str(av)
-        table = {
-            "CATEGORY_DIGIT": ch.isdigit(),
-            "CATEGORY_NOT_DIGIT": not ch.isdigit(),
-            "CATEGORY_WORD": ch.isalnum() or ch == "_",
-            "CATEGORY_NOT_WORD": not (ch.isalnum() or ch == "_"),
-            "CATEGORY_SPACE": ch.isspace(),
-            "CATEGORY_NOT_SPACE": not ch.isspace(),
-        }
-        return table.get(cat, True)
+        rx = _CATEGORY_RX.get(str(av))
+        if rx is None:
+            return True
+        return re.match(rx, ch) is not None
     return True
 
 
 def _tree_can_consume(nodes, ch: str) -> bool:
     """Whether ANY consuming position of the pattern could match ``ch``.
-    Unknown constructs -> True (conservative)."""
+    Unknown constructs -> True (conservative). Callers must have rejected
+    scoped inline flags and global re.I/re.S/etc. first
+    (_tree_zero_width_free + the flag mask in transform_skip_safety) —
+    literal comparison here is flag-naive."""
     for op, av in nodes:
         opname = str(op)
         if opname == "ANY":
@@ -380,9 +394,12 @@ def transform_skip_safety(tspec: tuple[tuple[str, str], ...]) -> tuple[bool, ...
     contiguous regions match iff the original did), or attach to a seam via
     a zero-width assertion. So step i is safe when:
       - its parse tree has no zero-width assertions (no \\b/anchors/
-        lookarounds — seam word-boundary flips);
-      - every EARLIER step's replacement is a constant (no backslash
-        templates — otherwise its output characters are unknown);
+        lookarounds — seam word-boundary flips) and no scoped inline
+        flags ((?i:...) — they change class/literal semantics invisibly);
+      - every EARLIER step's replacement is a NON-EMPTY constant (no
+        backslash templates — output chars unknown; no deletions — a
+        deletion joins the flanks and can create a match that consumes no
+        replacement character);
       - the pattern cannot consume the first or last character of any
         earlier replacement (a match crossing a seam must consume one);
       - the pattern has no match strictly inside any earlier replacement's
@@ -416,9 +433,14 @@ def transform_skip_safety(tspec: tuple[tuple[str, str], ...]) -> tuple[bool, ...
                         if "\\" in r:
                             safe = False  # templated: output chars unknown
                             break
-                        if r and (
-                            _tree_can_consume(tree, r[0])
-                            or _tree_can_consume(tree, r[-1])
+                        if not r:
+                            # DELETION: splicing out a region joins the two
+                            # flanks, which can create a match that consumes
+                            # no replacement character at all
+                            safe = False
+                            break
+                        if _tree_can_consume(tree, r[0]) or _tree_can_consume(
+                            tree, r[-1]
                         ):
                             safe = False
                             break

@@ -30,6 +30,8 @@ All paths are tested equal to the pure-Python oracle and to each other.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -211,21 +213,34 @@ def make_parse_normalize_udf(bank: PatternBank, tbank: TransformBank | None):
     return parse_norm
 
 
+@_lru_cache(maxsize=64)
+def _skip_plan(spec, ct_patterns, ct_skip_safe):
+    """(pid -> pattern, skippable step indices, always-run step indices) —
+    invariant per (bank spec, compiled chain); cached so the per-Arrow-batch
+    hot loop doesn't rebuild dicts/sets it can never change."""
+    bank_patterns = {p for _pid, _n, p, _s in spec}
+    pid_to_pattern = {pid: p for pid, _n, p, _s in spec}
+    skippable_set = frozenset(
+        j
+        for j, (p, safe) in enumerate(zip(ct_patterns, ct_skip_safe))
+        if safe and p in bank_patterns
+    )
+    always_run = tuple(
+        j for j in range(len(ct_patterns)) if j not in skippable_set
+    )
+    return pid_to_pattern, skippable_set, always_run
+
+
 def normalize_batch_with_span_knowledge(texts, span_lists, spec, ct):
     """The skip-aware normalize core (pure Python — property-tested directly
     against the full sequential chain in tests/test_property.py). For each
     row, runs only the transform steps that are (a) not provably skippable
     (``ct.skip_safe`` seam analysis + bank membership) or (b) matched the
     row's ORIGINAL text per the extraction spans."""
-    bank_patterns = {p for _pid, _n, p, _s in spec}
-    pid_to_pattern = {pid: p for pid, _n, p, _s in spec}
+    pid_to_pattern, skippable_set, always_run = _skip_plan(
+        spec, ct.patterns, ct.skip_safe
+    )
     n_steps = len(ct.steps)
-    skippable_set = {
-        j
-        for j, (p, safe) in enumerate(zip(ct.patterns, ct.skip_safe))
-        if safe and p in bank_patterns
-    }
-    always_run = [j for j in range(n_steps) if j not in skippable_set]
     out = []
     for t, sp in zip(texts, span_lists):
         if not isinstance(t, str):

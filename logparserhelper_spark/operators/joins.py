@@ -60,13 +60,22 @@ def asof_join(
     time bucket) and each bucket is seeded with a carry-in pseudo-row
     holding the latest right row of any EARLIER bucket (a bucket-level
     running ``last(ignorenulls)`` — per-key serial but over bucket counts,
-    not row counts). Costs two extra small shuffles; same results bit for
-    bit. Pick a width that puts ~10^5-10^6 rows per (key, bucket).
+    not row counts). Costs two extra small shuffles; identical results to
+    the plain path for contract-conforming inputs (right unique per
+    (by, ts) — with tied right timestamps BOTH paths pick an arbitrary row
+    of the tie, each in its own way, per the ambiguity note above). Pick a
+    width that puts ~10^5-10^6 rows per (key, bucket).
     """
     right = right.filter(F.col(ts_col).isNotNull())
     left_only = [c for c in left.columns if c not in (by, ts_col)]
     rv = right_value_cols or [c for c in right.columns if c not in (by, ts_col)]
-    reserved = set(_ASOF_INTERNALS)
+    # _bucket is only materialized on the bucketed path; don't reject
+    # plain-path callers that legitimately carry a _bucket column
+    reserved = (
+        set(_ASOF_INTERNALS)
+        if coarse_bucket_secs is not None
+        else set(_ASOF_INTERNALS) - {"_bucket"}
+    )
     for side_name, cols in (("left", left.columns), ("right", right.columns)):
         hit = reserved & set(cols)
         if hit:

@@ -206,3 +206,51 @@ def test_skip_safety_conservative_on_unsafe_chains():
     )
     # the shipped default chain is fully skippable
     assert all(TCT.skip_safe)
+
+
+def test_skip_safety_deletion_and_scoped_flags_unsafe():
+    """Code-review repros: an EMPTY earlier replacement (deletion) joins
+    flanking characters and can create a later match without consuming any
+    replacement char; scoped inline flags change literal semantics the
+    analyzer can't see; \\D matches characters str.isdigit() calls digits.
+    All three must be marked unsafe — and the skip-aware path must still
+    equal the full chain when asked to normalize them."""
+    from logparserhelper_spark.banks import (
+        bank_from_dicts,
+        get_compiled_bank,
+        get_compiled_transforms,
+        transform_skip_safety,
+    )
+
+    # deletion seam: 'b-X' -> (delete '-') -> 'bX' -> '<T>'
+    assert transform_skip_safety((("-", ""), ("bX", "<T>"))) == (True, False)
+    # scoped ignorecase: replacement 'B' completes '(?i:b)x' on 'qx'->'Bx'
+    assert transform_skip_safety((("q", "B"), (r"(?i:b)x", "<T>"))) == (
+        True,
+        False,
+    )
+    # \D matches '²' although '²'.isdigit() is True
+    assert transform_skip_safety((("5", "²"), (r"\DX", "<T>"))) == (True, False)
+
+    # end-to-end: skip-aware output equals the full chain on the repros
+    from logparserhelper_spark.operators.extract import (
+        normalize_batch_with_span_knowledge,
+    )
+
+    for tspec, text in [
+        ((("-", ""), ("bX", "<T>")), "b-X"),
+        ((("q", "B"), (r"(?i:b)x", "<T>")), "qx"),
+        ((("5", "²"), (r"\DX", "<T>")), "5X"),
+    ]:
+        bank = bank_from_dicts(
+            [{"name": f"p{i}", "pattern": p} for i, (p, _r) in enumerate(tspec)]
+        )
+        cb = get_compiled_bank(bank.spec())
+        ct = get_compiled_transforms(tspec)
+        full = text
+        for rx, repl in ct.steps:
+            full = rx.sub(repl, full)
+        got = normalize_batch_with_span_knowledge(
+            [text], [cb.extract(text)], bank.spec(), ct
+        )
+        assert got == [full], (tspec, text, got, full)
