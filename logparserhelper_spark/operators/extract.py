@@ -214,10 +214,11 @@ def make_parse_normalize_udf(bank: PatternBank, tbank: TransformBank | None):
 
 
 @_lru_cache(maxsize=64)
-def _skip_plan(spec, ct_patterns, ct_skip_safe):
-    """(pid -> pattern, skippable step indices, always-run step indices) —
-    invariant per (bank spec, compiled chain); cached so the per-Arrow-batch
-    hot loop doesn't rebuild dicts/sets it can never change."""
+def _skip_plan(spec, ct_patterns, ct_skip_safe, ct_repls):
+    """(pid -> pattern, skippable step indices, always-run step indices,
+    per-step constant replacement or None) — invariant per (bank spec,
+    compiled chain); cached so the per-Arrow-batch hot loop doesn't rebuild
+    dicts/sets it can never change."""
     bank_patterns = {p for _pid, _n, p, _s in spec}
     pid_to_pattern = {pid: p for pid, _n, p, _s in spec}
     skippable_set = frozenset(
@@ -228,7 +229,61 @@ def _skip_plan(spec, ct_patterns, ct_skip_safe):
     always_run = tuple(
         j for j in range(len(ct_patterns)) if j not in skippable_set
     )
-    return pid_to_pattern, skippable_set, always_run
+    # a step is SPLICEABLE when its replacement is a plain constant (re.sub
+    # backslash templates depend on the matched text) AND it is skippable
+    # (skippable == its matches are knowable from the original-text spans)
+    splice_repls = tuple(
+        r if ("\\" not in r and j in skippable_set) else None
+        for j, r in enumerate(ct_repls)
+    )
+    return pid_to_pattern, skippable_set, always_run, splice_repls
+
+
+def _try_splice(text, sp, run, ct_patterns, splice_repls, pid_to_pattern):
+    """Synthesize the sequential constant-replacement chain by splicing the
+    ORIGINAL-text spans, without running any re.sub.
+
+    Sound exactly when (a) every step to run is spliceable and (b) no two
+    steps' spans overlap: then every original match survives the earlier
+    replacements intact (no clipping), seam safety (already established for
+    skippable steps) rules out replacement-created matches, and a remnant
+    of a clipped match — the one other source of new matches — requires an
+    overlap, which (b) excludes. Returns None when the preconditions fail
+    (caller falls back to the real sub chain).
+
+    Cost note (measured on 200k bench turns, 130k matched, 0 bails): on
+    short log lines this is at PARITY with running the 1-2 matching subs —
+    per-row Python bookkeeping dominates both. Its value is asymptotic:
+    splice work scales with span COUNT while each skipped re.sub scans the
+    full TEXT, so long documents (multi-KB turns) pay O(spans) instead of
+    O(len * steps)."""
+    pieces: list[tuple[int, int, str]] = []
+    for j in run:
+        repl = splice_repls[j]
+        if repl is None:
+            return None
+        pat = ct_patterns[j]
+        seen = set()
+        for s in sp:
+            if pid_to_pattern.get(s[0]) == pat and (s[1], s[2]) not in seen:
+                seen.add((s[1], s[2]))
+                pieces.append((s[1], s[2], repl))
+    pieces.sort(key=lambda t: (t[0], t[1]))
+    prev_end = -1
+    for start, end, _ in pieces:
+        if end <= start:
+            return None  # zero-width match: sub's adjacency rules differ
+        if start < prev_end:
+            return None  # cross-step overlap: chain semantics need real subs
+        prev_end = end
+    out = []
+    cursor = 0
+    for start, end, repl in pieces:
+        out.append(text[cursor:start])
+        out.append(repl)
+        cursor = end
+    out.append(text[cursor:])
+    return "".join(out)
 
 
 def normalize_batch_with_span_knowledge(texts, span_lists, spec, ct):
@@ -237,8 +292,11 @@ def normalize_batch_with_span_knowledge(texts, span_lists, spec, ct):
     row, runs only the transform steps that are (a) not provably skippable
     (``ct.skip_safe`` seam analysis + bank membership) or (b) matched the
     row's ORIGINAL text per the extraction spans."""
-    pid_to_pattern, skippable_set, always_run = _skip_plan(
-        spec, ct.patterns, ct.skip_safe
+    pid_to_pattern, skippable_set, always_run, splice_repls = _skip_plan(
+        spec,
+        ct.patterns,
+        ct.skip_safe,
+        tuple(r for _rx, r in ct.steps),
     )
     n_steps = len(ct.steps)
     out = []
@@ -252,7 +310,15 @@ def normalize_batch_with_span_knowledge(texts, span_lists, spec, ct):
                 for j in range(n_steps)
                 if j not in skippable_set or ct.patterns[j] in matched
             ]
-            out.append(ct.apply(t) if len(run) == n_steps else ct.apply_steps(t, run))
+            spliced = _try_splice(
+                t, sp, run, ct.patterns, splice_repls, pid_to_pattern
+            )
+            if spliced is not None:
+                out.append(spliced)
+            else:
+                out.append(
+                    ct.apply(t) if len(run) == n_steps else ct.apply_steps(t, run)
+                )
         elif always_run:
             out.append(ct.apply_steps(t, always_run))
         else:
