@@ -254,3 +254,23 @@ def test_skip_safety_deletion_and_scoped_flags_unsafe():
             [text], [cb.extract(text)], bank.spec(), ct
         )
         assert got == [full], (tspec, text, got, full)
+
+
+def test_skip_aware_normalize_long_document():
+    """Multi-KB single row (the asymptotic case the splice path exists
+    for): many embedded timestamps across formats, equality with the full
+    sequential chain."""
+    import random
+
+    rng = random.Random(3)
+    frags = [
+        "2025-06-06T01:02:03", "2025-06-06 01:02:03,123",
+        "01/02/2025 03:04:05", "Jun  9 06:06:19",
+        "Mon, 9 Jun 2025 01:02:03 +0000", "plain words here",
+        "numbers 123456 and 99:99", "<DATE> literal already",
+    ]
+    doc = " | ".join(rng.choice(frags) for _ in range(4000))  # ~90KB
+    spans = [CB.extract(doc)]
+    got = normalize_batch_with_span_knowledge([doc], spans, BANK.spec(), TCT)
+    assert got == [_full_chain(doc)]
+    assert "<DATE>" in got[0] and "2025-06-06T01:02:03" not in got[0]
