@@ -53,6 +53,24 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    keep_col: str = "_keep",
+) -> DataFrame:
+    """Deterministic stratified sampling: within every stratum, keep rows
+    whose md5 fraction of (stratum || '|' || id) is below ``fraction`` —
+    a pure per-row function, so the sample is stable under reprocessing,
+    repartitioning, and engine changes (unlike ``df.sample``, whose output
+    depends on partition layout), and including the stratum in the hash key
+    decorrelates the selection across strata (the same id can be sampled in
+    one stratum and not another). Scan-shaped: no shuffle, no state."""
+    key = F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string"))
+    return df.filter(hash_fraction(key) < F.lit(fraction))
+
+
 def quality_topk_per_group(
     df: DataFrame,
     group_col: str,

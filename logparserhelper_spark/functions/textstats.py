@@ -12,7 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic tiny stopword lists (ASCII) used by both quality scoring and
@@ -242,3 +242,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int =
         return pd.Series(out, index=texts.index, dtype=object)
 
     return df.select(id_col, fp(F.col(text_col)).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF, with the score kept in EXACT
+    integer space for engine-portable ranking: idf is quantized once per
+    term to micro-nats (round(ln((N+1)/(df+1)) * 1e6) as long — the same
+    fixed-point device as char_bigram_logprob) and multiplied by the
+    integer term frequency, so the ordering key tf * idf_micro is a plain
+    BIGINT and no float comparison can flip a rank between engines.
+
+    Plan shape at scale: one (doc, word) aggregation, one word-keyed df
+    aggregation (both map-side-combinable), a broadcast of the scalar N,
+    a word-keyed join, and a per-doc WindowGroupLimit top-k — no global
+    sort, no driver collection."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    idf_micro = F.round(
+        F.log((F.col("_n") + 1).cast("double") / (F.col("doc_freq") + 1)) * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_micro", F.col("tf") * idf_micro)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col, "term", "tf", "doc_freq", "score_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

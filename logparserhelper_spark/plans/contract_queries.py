@@ -2496,6 +2496,94 @@ ORACLES: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
 }
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (functions/textstats.py:
+    tfidf_top_terms) — ranking key is tf * micro-nat-quantized idf, a plain
+    BIGINT, so no float comparison can flip a rank between engines."""
+    from logparserhelper_spark.functions.textstats import tfidf_top_terms
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         tf.tf * CAST(ROUND(LN(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.doc_freq + 1)) * 1000000.0, 0) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+SELECT doc_id, term, tf, doc_freq, score_micro, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language 30% sample (functions/curation.py:
+    stratified_sample): md5-fraction of (stratum|id) — stable under
+    reprocessing and engine changes, unlike df.sample. Output: per-language
+    population vs sample counts + an id checksum of the kept rows."""
+    from logparserhelper_spark.functions.curation import stratified_sample
+    from logparserhelper_spark.functions.textstats import lang_id
+
+    d = lang_id(_t(spark, sf, "documents").select("doc_id", "text")).select(
+        "doc_id", "lang_pred"
+    )
+    kept = stratified_sample(d, "lang_pred", 0.3).select(
+        "lang_pred", F.col("doc_id").alias("kept_id")
+    )
+    pop = d.groupBy("lang_pred").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    samp = kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("kept_id").cast("long").alias("id_sum"),
+    )
+    return pop.join(samp, "lang_pred", "left").select(
+        "lang_pred",
+        "n_docs",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_EN_SQL}, w))) AS INT) AS hits_en,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_DE_SQL}, w))) AS INT) AS hits_de,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> list_contains({_STOP_FR_SQL}, w))) AS INT) AS hits_fr
+  FROM documents),
+langs AS (
+  SELECT doc_id,
+         CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+              WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+              WHEN hits_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+  FROM b),
+kept AS (
+  SELECT lang_pred, doc_id FROM langs
+  WHERE CAST(('0x' || substr(md5(lang_pred || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < 0.3),
+pop AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs FROM langs GROUP BY 1),
+samp AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY 1)
+SELECT pop.lang_pred, pop.n_docs,
+       CAST(COALESCE(samp.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(samp.id_sum, 0) AS BIGINT) AS id_sum
+FROM pop LEFT JOIN samp ON pop.lang_pred = samp.lang_pred
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -2518,6 +2606,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_by_value": q_top_users_by_value,
     "props_extract": q_props_extract,
     "hourly_event_counts": q_hourly_event_counts,
+    # net-new round-3 capabilities (extras because the exposed registry is
+    # pinned at the driver's 50-row envelope)
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2538,4 +2630,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "top_users_by_value": SQL_TOP_USERS_BY_VALUE,
     "props_extract": SQL_PROPS_EXTRACT,
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
