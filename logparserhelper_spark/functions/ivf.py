@@ -96,6 +96,19 @@ def load_centroid_fixture(path: str | None = None) -> np.ndarray:
     import os
 
     if path is None:
+        # zip-safe (spark-submit --py-files): importlib.resources first,
+        # filesystem fallback — same pattern as defaults.default_pattern_bank
+        try:
+            from importlib import resources
+
+            payload = (
+                resources.files("logparserhelper_spark")
+                .joinpath("data/ivf_centroids_v1.json")
+                .read_text(encoding="utf-8")
+            )
+            return np.array(json.loads(payload)["centroids"], dtype=np.float64)
+        except Exception:
+            pass
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "data",
