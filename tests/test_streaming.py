@@ -248,3 +248,15 @@ def test_streaming_session_window_matches_batch(spark, tiny_dir, tmp_path):
     closed = {k for k, (we, _n) in exp.items() if we <= max_ts}
     assert closed <= set(got)
     assert got  # something actually closed on this data
+
+
+def test_committed_batches_rejects_remote_scheme_without_spark():
+    """Marker listing for scheme-qualified sinks must go through the Hadoop
+    FileSystem — a local os.listdir would silently report zero commits and
+    degrade the replay guard to at-least-once."""
+    import pytest as _pytest
+
+    from logparserhelper_spark.streaming.sink import committed_batches
+
+    with _pytest.raises(ValueError, match="URI scheme"):
+        committed_batches("s3a://bucket/out")
