@@ -67,6 +67,14 @@ def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
 
 
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Transcripts from ORC (Spark-native columnar alternative to parquet;
+    same explicit schema so no inference pass, same predicate/column
+    pushdown behavior — `PushedFilters` reaches the ORC scan exactly like
+    the parquet one, pinned in tests)."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
+
+
 def read_text_logs_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Dev-mode source: raw text log files as a transcripts-shaped DataFrame
     (one conversation per file, one line per turn) — the Spark equivalent of

@@ -213,3 +213,30 @@ def test_write_table_parquet_path_partitions(spark, tmp_path):
     )
     # partition-column values are type-inferred on read (strings -> ints)
     assert {str(r.p) for r in back.select("p").distinct().collect()} == {"0", "1", "2"}
+
+
+def test_orc_source_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC transcript source: row-identical round trip AND the same
+    pushdown behavior the parquet scan is held to — a role filter reaches
+    the ORC reader (PushedFilters) and a 2-column projection prunes the
+    ReadSchema."""
+    from logparserhelper_spark.datagen import generate_transcripts
+    from logparserhelper_spark.sources.transcripts import (
+        read_transcripts,
+        read_transcripts_orc,
+    )
+    from pyspark.sql import functions as F
+
+    d = generate_transcripts(str(tmp_path / "fmt_orc"), "tiny")
+    base = read_transcripts(spark, d)
+    orc_dir = str(tmp_path / "orc")
+    base.write.mode("overwrite").orc(orc_dir)
+
+    got = read_transcripts_orc(spark, orc_dir)
+    key = lambda r: (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+    assert sorted(map(key, got.collect())) == sorted(map(key, base.collect()))
+
+    q = got.filter(F.col("role") == "tool").select("conv_id", "turn_idx")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "role" in plan.split("PushedFilters")[1][:120]
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int" in plan

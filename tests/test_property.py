@@ -274,3 +274,31 @@ def test_skip_aware_normalize_long_document():
     got = normalize_batch_with_span_knowledge([doc], spans, BANK.spec(), TCT)
     assert got == [_full_chain(doc)]
     assert "<DATE>" in got[0] and "2025-06-06T01:02:03" not in got[0]
+
+
+# --- multimodal decoder fuzz -------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_auto_decode_never_raises(payload):
+    """auto_decode on arbitrary bytes (incl. forged BM/P6/RIFF headers) must
+    always return FEATURE_DIM finite floats — malformed containers fall back
+    to the deterministic fake, never crash the executor."""
+    import math
+
+    from logparserhelper_spark.functions.multimodal import FEATURE_DIM, auto_decode
+
+    out = auto_decode(payload)
+    assert len(out) == FEATURE_DIM
+    assert all(math.isfinite(float(x)) for x in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_auto_decode_forged_magic_never_raises(tail):
+    from logparserhelper_spark.functions.multimodal import FEATURE_DIM, auto_decode
+
+    for magic in (b"BM", b"P6", b"RIFF\x00\x00\x00\x00WAVE"):
+        out = auto_decode(magic + tail)
+        assert len(out) == FEATURE_DIM
