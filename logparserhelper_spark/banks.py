@@ -424,7 +424,12 @@ def transform_skip_safety(tspec: tuple[tuple[str, str], ...]) -> tuple[bool, ...
             except Exception:
                 safe = False
             else:
-                if tree.state.flags & (re.M | re.X | re.I | re.S | re.L):
+                if tree.state.flags & (re.M | re.X | re.I | re.S | re.L | re.A):
+                    # re.A included: ASCII mode narrows \w/\d/\s, and the
+                    # consume test evaluates categories with Unicode re —
+                    # a (?a) pattern could be declared unable to consume a
+                    # replacement char it does match (review repro: (?a)\WZ
+                    # vs replacement 'é')
                     safe = False
                 elif not _tree_zero_width_free(tree):
                     safe = False

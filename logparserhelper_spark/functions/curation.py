@@ -58,7 +58,6 @@ def stratified_sample(
     strata_col: str,
     fraction: float,
     id_col: str = "doc_id",
-    keep_col: str = "_keep",
 ) -> DataFrame:
     """Deterministic stratified sampling: within every stratum, keep rows
     whose md5 fraction of (stratum || '|' || id) is below ``fraction`` —
@@ -66,8 +65,17 @@ def stratified_sample(
     repartitioning, and engine changes (unlike ``df.sample``, whose output
     depends on partition layout), and including the stratum in the hash key
     decorrelates the selection across strata (the same id can be sampled in
-    one stratum and not another). Scan-shaped: no shuffle, no state."""
-    key = F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string"))
+    one stratum and not another). Scan-shaped: no shuffle, no state.
+
+    NULL stratum / NULL id hash under the sentinel '∅' instead of
+    null-propagating through concat — a plain concat would make the filter
+    NULL (= dropped) and silently lose 100% of null-stratum rows at any
+    fraction."""
+    key = F.concat(
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("∅")),
+        F.lit("|"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("∅")),
+    )
     return df.filter(hash_fraction(key) < F.lit(fraction))
 
 

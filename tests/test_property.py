@@ -302,3 +302,34 @@ def test_auto_decode_forged_magic_never_raises(tail):
     for magic in (b"BM", b"P6", b"RIFF\x00\x00\x00\x00WAVE"):
         out = auto_decode(magic + tail)
         assert len(out) == FEATURE_DIM
+
+
+def test_skip_safety_ascii_mode_unsafe():
+    """(?a) ASCII-mode patterns must not be marked skip-safe: the consume
+    test evaluates categories with Unicode re, so under ASCII mode \\W can
+    match a replacement char the analyzer says it cannot (review repro)."""
+    from logparserhelper_spark.banks import transform_skip_safety
+
+    assert transform_skip_safety((("x", "é"), (r"(?a)\WZ", "<T>"))) == (
+        True,
+        False,
+    )
+
+
+def test_stratified_sample_keeps_null_strata(spark):
+    """NULL stratum / NULL id rows hash under a sentinel instead of being
+    silently dropped by concat null-propagation."""
+    from logparserhelper_spark.functions.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (None, "en"), (None, None)] + [(i, "de") for i in range(10, 40)],
+        "doc_id long, lang string",
+    )
+    kept_all = stratified_sample(df, "lang", 1.0, id_col="doc_id")
+    assert kept_all.count() == df.count()  # fraction 1.0 keeps EVERY row
+    kept_none = stratified_sample(df, "lang", 0.0, id_col="doc_id")
+    assert kept_none.count() == 0
+    # determinism across calls/partitionings
+    a = {tuple(r) for r in stratified_sample(df, "lang", 0.5).collect()}
+    b = {tuple(r) for r in stratified_sample(df.repartition(7), "lang", 0.5).collect()}
+    assert a == b
