@@ -333,3 +333,50 @@ def test_stratified_sample_keeps_null_strata(spark):
     a = {tuple(r) for r in stratified_sample(df, "lang", 0.5).collect()}
     b = {tuple(r) for r in stratified_sample(df.repartition(7), "lang", 0.5).collect()}
     assert a == b
+
+
+# --- randomized-bank fuzz of the full skip/splice/safety stack ---------------
+
+_FUZZ_PATTERNS = [
+    r"\d+", r"[a-z]{2}", r"\bfoo\b", r"(?i:bar)", r"x+", r"<\w+>",
+    r"\d{2}:\d{2}", r"(ab|cd)", r"q(?=u)", r"(\d)y", r"(bad", r"\W",
+]
+_FUZZ_REPLS = ["<T>", "", "9", "<A B>", r"\1!", "é", "zz"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(_FUZZ_PATTERNS), st.sampled_from(_FUZZ_REPLS)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.text(alphabet="abqufoxdy<>TAB 0123456789:é!", max_size=60),
+)
+def test_random_banks_skip_aware_equals_full_chain(steps, text):
+    """Arbitrary small transform chains — including \\b, scoped flags,
+    lookahead, deletions, templated replacements, chars the replacements
+    contain — where every transform pattern is also a bank pattern: the
+    skip/splice machinery must equal the sequential re.sub chain exactly.
+    This fuzzes transform_skip_safety's conservatism end-to-end: an unsound
+    'safe' verdict shows up here as an output mismatch."""
+    from logparserhelper_spark.banks import (
+        bank_from_dicts,
+        get_compiled_bank,
+        get_compiled_transforms,
+    )
+    from logparserhelper_spark.operators.extract import (
+        normalize_batch_with_span_knowledge,
+    )
+
+    tspec = tuple(steps)
+    bank = bank_from_dicts(
+        [{"name": f"p{i}", "pattern": p} for i, (p, _r) in enumerate(tspec)]
+    )
+    cb = get_compiled_bank(bank.spec())
+    ct = get_compiled_transforms(tspec)
+    full = ct.apply(text)
+    got = normalize_batch_with_span_knowledge(
+        [text], [cb.extract(text)], bank.spec(), ct
+    )
+    assert got == [full], (tspec, text)
