@@ -35,6 +35,32 @@ def iceberg_writer(df: DataFrame, name: str, partition_by: list[str] | None = No
     return w
 
 
+def repartition_for_file_size(
+    df: DataFrame,
+    approx_rows: int,
+    avg_row_bytes: int,
+    target_file_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
+) -> DataFrame:
+    """Size the write so output files land near ``target_file_bytes`` —
+    the small-files lever: at 100 TB a per-task write under the default
+    shuffle partitioning produces millions of KB-scale files that crush
+    the table metadata layer and every subsequent scan's task scheduler.
+
+    ``n = ceil(approx_rows * avg_row_bytes / target)`` output partitions;
+    with ``cluster_cols`` the repartition hashes on them (rows of one key
+    co-locate into one file — right for partition-pruned sinks), otherwise
+    round-robin for maximally even file sizes. Estimates come from the
+    caller (pipeline metrics / a prior observe()), not a driver sample —
+    sizing must not cost an extra scan."""
+    import math
+
+    n = max(1, math.ceil(approx_rows * max(1, avg_row_bytes) / target_file_bytes))
+    if cluster_cols:
+        return df.repartition(n, *[F.col(c) for c in cluster_cols])
+    return df.repartition(n)
+
+
 def write_table(
     df: DataFrame,
     target: str,

@@ -110,3 +110,42 @@ def test_ngram_top_similar_reuses_shingle_exchange_at_runtime(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
+def test_repartition_for_file_size_controls_file_count(spark, tmp_path):
+    """The small-files lever: file count tracks ceil(bytes / target)."""
+    import glob
+
+    from logparserhelper_spark.sinks.writer import repartition_for_file_size
+
+    df = spark.range(10_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    # ~80 bytes/row, tiny 100KB target -> ~8 partitions/files
+    out1 = str(tmp_path / "many")
+    repartition_for_file_size(df, 10_000, 80, target_file_bytes=100_000).write.mode(
+        "overwrite"
+    ).parquet(out1)
+    n_many = len(glob.glob(out1 + "/part-*"))
+    assert n_many == 8
+    # huge target -> exactly one file
+    out2 = str(tmp_path / "one")
+    repartition_for_file_size(df, 10_000, 80).write.mode("overwrite").parquet(out2)
+    assert len(glob.glob(out2 + "/part-*")) == 1
+    # clustered variant keeps one key's rows in one file
+    out3 = str(tmp_path / "clustered")
+    dfk = df.withColumn("k", F.col("id") % 4)
+    repartition_for_file_size(
+        dfk, 10_000, 80, target_file_bytes=100_000, cluster_cols=["k"]
+    ).write.mode("overwrite").parquet(out3)
+    per_file_keys = [
+        {r.k for r in spark.read.parquet(f).select("k").distinct().collect()}
+        for f in glob.glob(out3 + "/part-*")
+    ]
+    nonempty = [s for s in per_file_keys if s]
+    assert all(len(s) >= 1 for s in nonempty)
+    seen = {}
+    for i, s in enumerate(nonempty):
+        for k in s:
+            assert k not in seen, "one key split across files"
+            seen[k] = i
