@@ -2525,6 +2525,132 @@ WHERE rnk <= 3
 """
 
 
+def q_near_dup_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the operation the dedup stack
+    exists for: MinHash-LSH pairs -> connected components -> drop every
+    non-canonical member (canonical = min doc id of the component), keep
+    the rest of the corpus untouched. Output is the removal ledger the
+    curation report needs."""
+    from logparserhelper_spark.functions.dedup import connected_components
+
+    d = _docs_with_planted_dups(spark, sf)
+    pairs = minhash_lsh_pairs(d, n_hashes=12, bands=4)
+    cc = connected_components(pairs)
+    removed = cc.filter(F.col("id") != F.col("component"))
+    survivors = d.join(
+        removed.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return removed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.sum("id").cast("long").alias("removed_id_sum"),
+    ).crossJoin(
+        survivors.agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+        )
+    )
+
+
+SQL_NEAR_DUP_REMOVAL = _lsh_band_ctes(recursive=True) + """
+, edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root
+  FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+removed AS (SELECT node FROM cc WHERE node <> component),
+rem AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_removed,
+               CAST(SUM(node) AS BIGINT) AS removed_id_sum FROM removed),
+surv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+                CAST(SUM(doc_id) AS BIGINT) AS survivor_id_sum
+         FROM docs2 WHERE doc_id NOT IN (SELECT node FROM removed))
+SELECT rem.n_removed, rem.removed_id_sum, surv.n_survivors, surv.survivor_id_sum
+FROM rem CROSS JOIN surv
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware sampling: assign every embedding to its committed
+    IVF centroid (the deterministic fold path), then stratified-sample 50%
+    WITHIN each cluster — the cluster-balanced selection a pretraining mix
+    uses so dense regions don't drown sparse ones. Pure composition of two
+    oracle-checked components."""
+    from logparserhelper_spark.functions.curation import stratified_sample
+    from logparserhelper_spark.functions.ivf import (
+        centroid_dots,
+        load_centroid_fixture,
+    )
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.ivf import _normalize
+
+    c = _normalize(np.asarray(load_centroid_fixture(), dtype=np.float64))
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        (-F.array_max(centroid_dots(F.col("embedding"), c))["nj"]).alias(
+            "cluster_id"
+        ),
+    )
+    kept = stratified_sample(e, "cluster_id", 0.5, id_col="vec_id")
+    pop = e.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    samp = kept.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+    return pop.join(samp, "cluster_id", "left").select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vecs",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from logparserhelper_spark.functions.ivf import (
+        _normalize,
+        load_centroid_fixture,
+    )
+
+    cents = _normalize(load_centroid_fixture())
+
+    def dot_expr(v: str, j: int) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({v}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    cd = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, {dot_expr('embedding', j)} AS dot FROM embeddings"
+        for j in range(cents.shape[0])
+    )
+    return f"""
+WITH cd AS ({cd}),
+assign AS (SELECT vec_id, j AS cluster_id FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn FROM cd)
+           WHERE rn = 1),
+kept AS (
+  SELECT cluster_id, vec_id FROM assign
+  WHERE CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < 0.5),
+pop AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1),
+samp AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                CAST(SUM(vec_id) AS BIGINT) AS id_sum FROM kept GROUP BY 1)
+SELECT CAST(pop.cluster_id AS INT) AS cluster_id, pop.n_vecs,
+       CAST(COALESCE(samp.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(samp.id_sum, 0) AS BIGINT) AS id_sum
+FROM pop LEFT JOIN samp ON pop.cluster_id = samp.cluster_id
+"""
+
+
+SQL_CLUSTER_BALANCED_SAMPLE = _cluster_balanced_sample_sql()
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language 30% sample (functions/curation.py:
     stratified_sample): md5-fraction of (stratum|id) — stable under
@@ -2610,6 +2736,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pinned at the driver's 50-row envelope)
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
+    "near_dup_removal": q_near_dup_removal,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2632,4 +2760,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "near_dup_removal": SQL_NEAR_DUP_REMOVAL,
+    "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
 }
