@@ -67,15 +67,18 @@ def stratified_sample(
     decorrelates the selection across strata (the same id can be sampled in
     one stratum and not another). Scan-shaped: no shuffle, no state.
 
-    NULL stratum / NULL id hash under the sentinel '∅' instead of
-    null-propagating through concat — a plain concat would make the filter
-    NULL (= dropped) and silently lose 100% of null-stratum rows at any
-    fraction."""
-    key = F.concat(
-        F.coalesce(F.col(strata_col).cast("string"), F.lit("∅")),
-        F.lit("|"),
-        F.coalesce(F.col(id_col).cast("string"), F.lit("∅")),
-    )
+    NULL stratum / NULL id hash under a tagged encoding ('n' for null,
+    'v' || value otherwise) instead of null-propagating through concat — a
+    plain concat would make the filter NULL (= dropped) and silently lose
+    100% of null-stratum rows at any fraction; the tag (rather than a
+    sentinel string) means no real value can collide with the null key."""
+
+    def tagged(c):
+        return F.when(c.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), c.cast("string"))
+        )
+
+    key = F.concat(tagged(F.col(strata_col)), F.lit("|"), tagged(F.col(id_col)))
     return df.filter(hash_fraction(key) < F.lit(fraction))
 
 

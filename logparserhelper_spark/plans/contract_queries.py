@@ -2044,6 +2044,33 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_topk(e, queries, k=5)
 
 
+def _fixture_cents():
+    """Unit-norm committed centroids — the ONE source both centroid oracles
+    (ivf_topk, cluster_balanced_sample) embed as literals."""
+    from logparserhelper_spark.functions.ivf import (
+        _normalize,
+        load_centroid_fixture,
+    )
+
+    return _normalize(load_centroid_fixture())
+
+
+def _centroid_dot_sql(cents):
+    """dot_expr(v, j): the DuckDB fold dot against centroid j as
+    repr-round-trip-exact double literals — shared by every oracle that
+    mirrors the Spark fold-assignment path, so the encoding can never
+    diverge between them."""
+
+    def dot_expr(v: str, j: int) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({v}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    return dot_expr
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe + re-rank off the COMMITTED centroid model
     (data/ivf_centroids_v1.json, fit once by scripts/fit_ivf_centroids.py) —
@@ -2067,19 +2094,8 @@ def _ivf_topk_sql(k: int = 5, nprobe: int = 3) -> str:
     to Spark's F.aggregate fold — the lsh_topk-established property),
     ROW_NUMBER assignment (dot DESC, j ASC = the struct tie-break), same
     exact-cosine re-rank as SQL_LSH_TOPK."""
-    from logparserhelper_spark.functions.ivf import (
-        _normalize,
-        load_centroid_fixture,
-    )
-
-    cents = _normalize(load_centroid_fixture())
-
-    def dot_expr(v: str, j: int) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
-        return (
-            f"list_sum(list_transform(list_zip({v}, {lit}), "
-            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
-        )
+    cents = _fixture_cents()
+    dot_expr = _centroid_dot_sql(cents)
 
     qd = " UNION ALL ".join(
         f"SELECT query_id, {j} AS j, {dot_expr('qv', j)} AS dot FROM q"
@@ -2611,19 +2627,8 @@ def q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cluster_balanced_sample_sql() -> str:
-    from logparserhelper_spark.functions.ivf import (
-        _normalize,
-        load_centroid_fixture,
-    )
-
-    cents = _normalize(load_centroid_fixture())
-
-    def dot_expr(v: str, j: int) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in cents[j]) + "]"
-        return (
-            f"list_sum(list_transform(list_zip({v}, {lit}), "
-            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
-        )
+    cents = _fixture_cents()
+    dot_expr = _centroid_dot_sql(cents)
 
     cd = " UNION ALL ".join(
         f"SELECT vec_id, {j} AS j, {dot_expr('embedding', j)} AS dot FROM embeddings"
@@ -2636,7 +2641,7 @@ assign AS (SELECT vec_id, j AS cluster_id FROM
            WHERE rn = 1),
 kept AS (
   SELECT cluster_id, vec_id FROM assign
-  WHERE CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+  WHERE CAST(('0x' || substr(md5('v' || CAST(cluster_id AS VARCHAR) || '|' || 'v' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
           / 4294967296.0 < 0.5),
 pop AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1),
 samp AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -2697,7 +2702,7 @@ langs AS (
   FROM b),
 kept AS (
   SELECT lang_pred, doc_id FROM langs
-  WHERE CAST(('0x' || substr(md5(lang_pred || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+  WHERE CAST(('0x' || substr(md5('v' || lang_pred || '|' || 'v' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           / 4294967296.0 < 0.3),
 pop AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs FROM langs GROUP BY 1),
 samp AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_sampled,

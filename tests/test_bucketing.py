@@ -143,7 +143,6 @@ def test_repartition_for_file_size_controls_file_count(spark, tmp_path):
         for f in glob.glob(out3 + "/part-*")
     ]
     nonempty = [s for s in per_file_keys if s]
-    assert all(len(s) >= 1 for s in nonempty)
     seen = {}
     for i, s in enumerate(nonempty):
         for k in s:
