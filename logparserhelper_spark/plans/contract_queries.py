@@ -2656,6 +2656,56 @@ FROM pop LEFT JOIN samp ON pop.cluster_id = samp.cluster_id
 SQL_CLUSTER_BALANCED_SAMPLE = _cluster_balanced_sample_sql()
 
 
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: docs ranked by char-LM average
+    log-prob and cut into NTILE(10) deciles (the data-mixing knob: keep
+    head/middle/tail fractions per bucket). Total order is (avg_logprob,
+    doc_id), fully deterministic, so both engines cut identical deciles.
+    Also the registry's NTILE coverage."""
+    from logparserhelper_spark.functions.textstats import char_bigram_logprob
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    scored = char_bigram_logprob(d)
+    w = Window.orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .select(F.col("decile").cast("int").alias("decile"),
+                "n_docs", "min_lp", "max_lp", "id_sum")
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 1),
+                                            i -> substr(t, CAST(i AS INT), 2))) AS bg
+       FROM base),
+m_bg AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+m_pre AS (SELECT substr(bg, 1, 1) AS pre, SUM(c_bg) AS c_pre FROM m_bg GROUP BY 1),
+lp AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(CAST(m.c_bg AS DOUBLE) / p.c_pre) * 1000000.0, 0) AS BIGINT) AS lp_micro
+  FROM bg b JOIN m_bg m ON b.bg = m.bg
+            JOIN m_pre p ON substr(b.bg, 1, 1) = p.pre),
+scored AS (SELECT doc_id,
+                  ROUND(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS BIGINT), 4) AS avg_logprob
+           FROM lp GROUP BY doc_id),
+dec AS (SELECT doc_id, avg_logprob,
+               NTILE(10) OVER (ORDER BY avg_logprob ASC, doc_id ASC) AS decile
+        FROM scored)
+SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(avg_logprob) AS min_lp, MAX(avg_logprob) AS max_lp,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM dec GROUP BY decile
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language 30% sample (functions/curation.py:
     stratified_sample): md5-fraction of (stratum|id) — stable under
@@ -2743,6 +2793,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "near_dup_removal": q_near_dup_removal,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2767,4 +2818,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "near_dup_removal": SQL_NEAR_DUP_REMOVAL,
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
 }

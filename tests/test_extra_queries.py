@@ -78,7 +78,7 @@ def test_registry_contract():
     assert set(ORACLES) == set(QUERIES)  # every exposed query oracle-checked
     assert set(EXTRA_ORACLES) == set(EXTRA_QUERIES)
     assert not set(EXTRA_QUERIES) & set(QUERIES)
-    assert len(EXTRA_QUERIES) >= 21  # consolidated-out + net-new capabilities
+    assert len(EXTRA_QUERIES) >= 22  # consolidated-out + net-new capabilities
 
 
 @pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
