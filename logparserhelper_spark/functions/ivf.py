@@ -106,9 +106,15 @@ def load_centroid_fixture(path: str | None = None) -> np.ndarray:
                 .joinpath("data/ivf_centroids_v1.json")
                 .read_text(encoding="utf-8")
             )
+        except (ImportError, ModuleNotFoundError, FileNotFoundError, NotADirectoryError):
+            # resource lookup failed (e.g. odd packaging) -> filesystem
+            # fallback below. A corrupt fixture (bad JSON / missing key) must
+            # NOT be swallowed: under --py-files the filesystem path doesn't
+            # exist and the real cause would surface as an unrelated
+            # FileNotFoundError, so JSON/schema errors propagate.
+            payload = None
+        if payload is not None:
             return np.array(json.loads(payload)["centroids"], dtype=np.float64)
-        except Exception:
-            pass
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "data",

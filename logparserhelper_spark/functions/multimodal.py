@@ -8,9 +8,18 @@ modality (the accepted boundary for this image):
 - audio/WAV: REAL decode via the stdlib ``wave`` module (``wav_decode``) —
   duration/channels/rate plus global and windowed RMS features.
 - image/BMP: REAL decode via stdlib ``struct`` parsing (``bmp_decode``) —
-  uncompressed 8/24/32-bit DIBs, bottom-up or top-down, row padding
-  handled; features are dimensions + per-channel means + band luminances.
-- other images, video, non-WAV audio: STUBBED — the sandbox ships no codec
+  uncompressed 8-bit palettized / 24 / 32-bit DIBs, bottom-up or top-down,
+  row padding handled; features are dimensions + per-channel means + band
+  luminances.
+- image/PNG: REAL decode via stdlib ``zlib`` (``png_decode``) — CRC-checked
+  chunks, inflate, full per-scanline unfilter (None/Sub/Up/Average/Paeth),
+  gray / RGB / palette / gray-alpha / RGBA at depth 8 or 16,
+  non-interlaced. Same feature layout as BMP/PPM.
+- image/PPM: REAL decode (binary P6 with comments and maxval scaling).
+- image/GIF: REAL decode (``gif_decode``) — full LZW decompression with
+  variable code width and table resets, global/local color tables,
+  4-pass deinterlace; first frame.
+- other images (JPEG/WebP), video, non-WAV audio: STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the
   plumbing is testable end-to-end (and oracle-checkable: the driver
@@ -91,14 +100,32 @@ def wav_decode(payload: bytes) -> np.ndarray:
     return np.array([dur, float(ch), sr / 1e5, rms] + win_rms, dtype=np.float32)
 
 
+def _bgr_features(w: int, h: int, bpp: float, bgr: np.ndarray) -> np.ndarray:
+    """Shared feature layout for all real image decoders: FEATURE_DIM floats =
+    [width, height, bits-per-pixel, mean_B, mean_G, mean_R] + 10 horizontal
+    band mean luminances ((B+G+R)/3/255, top band first). ``bgr`` is an
+    (h, w, 3) float64 array of 0..255 channel values in B,G,R order."""
+    means = bgr.reshape(-1, 3).mean(axis=0) / 255.0
+    lum = bgr.mean(axis=(1, 2)) / 255.0  # per-row luminance
+    bands = [
+        float(np.mean(c)) if c.size else 0.0
+        for c in np.array_split(lum, FEATURE_DIM - 6)
+    ]
+    return np.array(
+        [float(w), float(h), float(bpp), means[0], means[1], means[2]] + bands,
+        dtype=np.float32,
+    )
+
+
 def bmp_decode(payload: bytes) -> np.ndarray:
     """REAL image decode for BMP payloads (pure stdlib ``struct``):
-    uncompressed (BI_RGB) 8-bit grayscale-palette-free, 24-bit BGR, or
-    32-bit BGRA DIBs; bottom-up (positive height) or top-down (negative),
-    4-byte row padding. FEATURE_DIM floats =
-    [width, height, bits-per-pixel, mean_B, mean_G, mean_R] + 10 horizontal
-    band mean luminances ((B+G+R)/3/255, top band first). Anything the
-    parser doesn't support raises (callers fall back to fake_decode)."""
+    uncompressed (BI_RGB) 8-bit palettized (indices mapped through the
+    BGRX color table that sits between the DIB header and the pixel
+    array; a paletteless 8-bit DIB is treated as grayscale), 24-bit BGR,
+    or 32-bit BGRA DIBs; bottom-up (positive height) or top-down
+    (negative), 4-byte row padding. Feature layout: ``_bgr_features``.
+    Anything the parser doesn't support raises (callers fall back to
+    fake_decode)."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -123,20 +150,26 @@ def bmp_decode(payload: bytes) -> np.ndarray:
         rows = rows[::-1]  # bottom-up storage -> top-first
     img = rows.reshape(h_abs, w, nch).astype(np.float64)
     if nch == 1:
-        bgr = np.repeat(img, 3, axis=2)
+        # 8-bpp is palettized: the BGRX color table sits between the DIB
+        # header and the pixel array. biClrUsed (offset 46) bounds it; 0
+        # means the full 2^8 entries. A file with no palette bytes at all
+        # (data_off == end of headers) is treated as raw grayscale.
+        pal_start = 14 + hdr_size
+        pal_bytes = max(0, data_off - pal_start)
+        n_entries = struct.unpack_from("<I", payload, 46)[0] or 256
+        n_entries = min(n_entries, pal_bytes // 4, 256)
+        if n_entries > 0:
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, offset=pal_start, count=n_entries * 4
+            ).reshape(n_entries, 4)[:, :3]  # B, G, R
+            lut = np.zeros((256, 3), dtype=np.uint8)
+            lut[:n_entries] = pal
+            bgr = lut[rows.reshape(h_abs, w)].astype(np.float64)
+        else:
+            bgr = np.repeat(img, 3, axis=2)
     else:
         bgr = img[:, :, :3]  # drop alpha for 32-bit
-    means = bgr.reshape(-1, 3).mean(axis=0) / 255.0
-    lum = bgr.mean(axis=(1, 2)) / 255.0  # per-row luminance
-    bands = [
-        float(np.mean(c)) if c.size else 0.0
-        for c in np.array_split(lum, FEATURE_DIM - 6)
-    ]
-    return np.array(
-        [float(w), float(h_abs), float(bpp), means[0], means[1], means[2]]
-        + bands,
-        dtype=np.float32,
-    )
+    return _bgr_features(w, h_abs, bpp, bgr)
 
 
 def ppm_decode(payload: bytes) -> np.ndarray:
@@ -202,6 +235,435 @@ def make_bmp(width: int, height: int, pixels_rgb) -> bytes:
     return header + dib + body
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/Average/
+    Paeth). ``raw`` is the inflated IDAT stream: h rows of (1 filter byte +
+    stride data bytes). Up is vectorized with numpy; Sub/Average/Paeth carry
+    an intra-row dependency so they scan bytes (fine for feature extraction;
+    a production decoder would use a codec library)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, offset=pos, count=stride).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            line = cur
+        elif ft == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            line = cur  # in-place reconstruction below
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                if ft == 1:  # Sub
+                    pr = a
+                elif ft == 3:  # Average
+                    pr = (a + prev[i]) >> 1
+                else:  # Paeth
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = line
+        prev = line
+    return out.tobytes()
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for PNG payloads (pure stdlib ``zlib`` +
+    ``struct``): non-interlaced, bit depth 8 or 16, color types 0 (gray),
+    2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA). Chunk CRCs are
+    verified; multiple IDAT chunks are concatenated before one inflate.
+    Alpha is dropped, 16-bit samples are scaled to 0..255 (x/257), palette
+    indices map through PLTE. Feature layout: ``_bgr_features`` (identical
+    to bmp_decode/ppm_decode so downstream consumers stay
+    container-agnostic). Adam7 interlace and other depths raise (callers
+    fall back to fake_decode)."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_start = pos + 8
+        data_end = data_start + length
+        if data_end + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[data_start:data_end]
+        crc = struct.unpack_from(">I", payload, data_end)[0]
+        if zlib.crc32(payload[pos + 4 : data_end]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos = data_end + 4
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or depth not in (8, 16) or (color_type == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG (color_type={color_type}, depth={depth})")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    sample_bytes = depth // 8
+    stride = w * channels * sample_bytes
+    bpp = max(1, channels * sample_bytes)
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    flat = _png_unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        img = (
+            np.frombuffer(flat, dtype=">u2").astype(np.float64) / 257.0
+        ).reshape(h, w, channels)
+    else:
+        img = np.frombuffer(flat, dtype=np.uint8).astype(np.float64).reshape(
+            h, w, channels
+        )
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/bad PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)  # R, G, B
+        lut = np.zeros((256, 3), dtype=np.uint8)
+        lut[: pal.shape[0]] = pal
+        rgb = lut[img[:, :, 0].astype(np.intp)].astype(np.float64)
+    elif color_type in (0, 4):
+        rgb = np.repeat(img[:, :, :1], 3, axis=2)  # gray (alpha dropped)
+    else:  # 2, 6
+        rgb = img[:, :, :3]
+    bgr = rgb[:, :, ::-1]
+    return _bgr_features(w, h, float(depth * channels), bgr)
+
+
+def make_png(
+    width: int,
+    height: int,
+    pixels,
+    color_type: int = 2,
+    palette_rgb=None,
+    depth: int = 8,
+    filters=None,
+) -> bytes:
+    """Serialize a PNG for tests: ``pixels`` is rows (top-first) of tuples
+    sized to the color type (gray scalar for 0, (r,g,b) for 2, palette index
+    for 3, (r,g,b,a) for 6). ``filters`` optionally gives a per-row filter
+    type (0/1/2/3/4) so the decoder's unfilter paths are exercised; default
+    all-0. Deterministic, stdlib-only."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sb = depth // 8
+    rows = [list(r) for r in pixels]
+    filters = list(filters) if filters is not None else [0] * height
+
+    def pack_sample(v: int) -> bytes:
+        return struct.pack(">H", v) if depth == 16 else bytes((v,))
+
+    def row_bytes(row) -> bytes:
+        out = b""
+        for px in row:
+            vals = px if isinstance(px, (tuple, list)) else (px,)
+            for v in vals:
+                out += pack_sample(v)
+        return out
+
+    stride = width * channels * sb
+    bpp = max(1, channels * sb)
+    prev = bytes(stride)
+    scan = b""
+    for y, row in enumerate(rows):
+        line = row_bytes(row)
+        ft = filters[y]
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b_ = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pr = 0
+            elif ft == 1:
+                pr = a
+            elif ft == 2:
+                pr = b_
+            elif ft == 3:
+                pr = (a + b_) >> 1
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+            filt[i] = (line[i] - pr) & 0xFF
+        scan += bytes((ft,)) + bytes(filt)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in palette_rgb))
+    out += chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    return out
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list:
+    """GIF-variant LZW decode (spec appendix F): LSB-first variable-width
+    codes (min+1 .. 12 bits), Clear resets the table, EOI ends the stream.
+    Returns the palette-index list (length capped at ``n_expected``)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    total_bits = len(data) * 8
+    out: list = []
+    dict_: list = []
+    width = min_code_size + 1
+    prev = None
+    bitpos = 0
+
+    def reset():
+        nonlocal dict_, width, prev
+        dict_ = [(i,) for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while bitpos + width <= total_bits and len(out) < n_expected:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after a clear must be a literal
+            if code >= clear:
+                raise ValueError("bad GIF LZW stream (non-literal after clear)")
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+            dict_.append(prev + (entry[0],))
+        elif code == len(dict_):  # the KwKwK case
+            entry = prev + (prev[0],)
+            dict_.append(entry)
+        else:
+            raise ValueError(f"bad GIF LZW code {code} (dict size {len(dict_)})")
+        out.extend(entry)
+        prev = entry
+        if len(dict_) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_expected:
+        raise ValueError("truncated GIF LZW stream")
+    return out[:n_expected]
+
+
+def gif_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for GIF87a/GIF89a payloads (pure stdlib): full LZW
+    decompression (variable code width, clear/EOI, KwKwK case), global or
+    local color table, Adam-style 4-pass deinterlace. First frame only;
+    extension blocks (incl. GCE transparency) are skipped — means treat the
+    transparent index as its palette color, which is the right call for
+    content features. Feature layout: ``_bgr_features`` (bpp=8 since GIF is
+    palettized). Anything malformed raises (callers fall back to
+    fake_decode)."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + terminated sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        pos += 8
+        iflags = payload[pos]
+        pos += 1
+        table = gct
+        if iflags & 0x80:  # local color table overrides
+            n = 2 << (iflags & 7)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("bad GIF dimensions")
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = np.array(
+            _gif_lzw_decode(bytes(data), min_code, iw * ih), dtype=np.intp
+        ).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: stored rows are in 4-pass order
+            order = [
+                r
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, ih, step)
+            ]
+            disp = np.empty_like(idx)
+            disp[order] = idx
+            idx = disp
+        if int(idx.max()) >= table.shape[0]:
+            raise ValueError("GIF index beyond color table")
+        rgb = table[idx].astype(np.float64)
+        return _bgr_features(iw, ih, 8.0, rgb[:, :, ::-1])
+    raise ValueError("no image data in GIF")
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode mirroring ``_gif_lzw_decode``'s width-growth
+    rule (both bump when the table reaches 2^width), resetting at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear)
+    seq: tuple = ()
+    for k in indices:
+        cand = seq + (int(k),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (int(k),)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def make_gif(width, height, palette_rgb, pixels_idx, interlaced=False) -> bytes:
+    """Serialize a single-frame GIF89a for tests: ``palette_rgb`` is a list
+    of (r,g,b) (padded to a power of two >=4), ``pixels_idx`` rows
+    (top-first) of palette indices. Real LZW compression so the decoder's
+    dictionary path is exercised."""
+    import struct
+
+    pal = list(palette_rgb)
+    size_pow = 2
+    while (1 << size_pow) < max(4, len(pal)):
+        size_pow += 1
+    pal = pal + [(0, 0, 0)] * ((1 << size_pow) - len(pal))
+    rows = [list(r) for r in pixels_idx]
+    if interlaced:
+        order = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, height, step)
+        ]
+        rows = [rows[r] for r in order]
+    flat = [i for row in rows for i in row]
+    min_code = max(2, size_pow)
+    lzw = _gif_lzw_encode(flat, min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((size_pow - 1) & 7), 0, 0)
+    out += b"".join(bytes(p) for p in pal)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                       0x40 if interlaced else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def make_bmp8(width: int, height: int, palette_rgb, pixels_idx) -> bytes:
+    """Serialize an 8-bit palettized bottom-up BMP: ``palette_rgb`` is a list
+    of (r, g, b) tuples (<=256), ``pixels_idx`` an iterable of rows
+    (top-first) of palette indices. Used by tests to prove bmp_decode maps
+    indices through the color table rather than reading them as gray."""
+    import struct
+
+    pal = list(palette_rgb)
+    rows = [list(r) for r in pixels_idx]
+    stride = (width + 3) & ~3
+    pad = b"\x00" * (stride - width)
+    body = b"".join(bytes(row) + pad for row in reversed(rows))  # bottom-up
+    pal_bytes = b"".join(bytes((b, g, r, 0)) for (r, g, b) in pal)
+    off = 14 + 40 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                      len(body), 2835, 2835, len(pal), 0)
+    return header + dib + pal_bytes + body
+
+
 def auto_decode(payload: bytes) -> np.ndarray:
     """Default decoder: dispatch on container magic. RIFF/WAVE -> real stdlib
     decode; other formats have no codec in this image -> deterministic fake."""
@@ -223,6 +685,16 @@ def auto_decode(payload: bytes) -> np.ndarray:
     if payload is not None and payload[:2] == b"P6":
         try:
             return ppm_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return png_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return gif_decode(payload)
         except Exception:
             return fake_decode(payload)
     return fake_decode(payload)

@@ -196,7 +196,12 @@ def main() -> None:
         "pass_raw": pass_raw,
         "target_hw_normalized": 0.9,
         "pass_hw_normalized": pass_hw_norm,
-        "pass": overall,
+        # "pass_gate", not "pass": the gate passes EITHER on the raw 0.8
+        # target OR via the hardware-normalized fallback (when the box's own
+        # multiprocessing ceiling is < 0.8 the framework can't beat silicon).
+        # Consumers that need the unrelaxed rule must read pass_raw.
+        "pass_gate": overall,
+        "gate_rule": "pass_raw OR (hw_ceiling_efficiency < 0.8 AND pass_hw_normalized)",
     }
     print(json.dumps(report, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
