@@ -125,6 +125,74 @@ def contamination_overlap(
     )
 
 
+def contamination_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 3,
+    m: int = 131072,
+) -> DataFrame:
+    """Bloom-filter decontamination: the scale path for benchmark overlap
+    when even the DISTINCT benchmark shingle strings are too wide to
+    broadcast. The bench side collapses to its set bit positions (at most
+    k per shingle, <= m total ints — bounded by the filter size, not the
+    benchmark size), which broadcasts; each train shingle is flagged when
+    all k of its positions are set. Returns per-doc
+    (doc_id, n_shingles, n_bloom_hits, n_exact_hits) for every doc with at
+    least one Bloom hit, so the false-positive mass is visible next to the
+    exact inner-join count (n_bloom_hits >= n_exact_hits always).
+
+    Deterministic md5 position hashes (``sketch.md5_slot``) make the whole
+    construction — including which false positives fire — reproducible in a
+    DuckDB oracle. A production variant would pack the positions into an
+    actual bitset inside a pandas UDF; the join form keeps the identical
+    semantics with engine-portable hashing."""
+    from logparserhelper_spark.functions.dedup import word_shingles
+    from logparserhelper_spark.functions.sketch import md5_slot
+
+    tsh = word_shingles(train, text_col, id_col, k=n)  # (id, shingle), distinct per doc
+    bsh = word_shingles(bench, text_col, id_col, k=n).select("shingle").distinct()
+
+    def positions(col):
+        return F.array(*[md5_slot(col, i, m) for i in range(k)])
+
+    bits = (
+        bsh.select(F.explode(positions(F.col("shingle"))).alias("pos")).distinct()
+    )
+    probe = tsh.select("id", "shingle", F.explode(positions(F.col("shingle"))).alias("pos"))
+    # a shingle is a Bloom hit iff ALL k probe rows find their bit set
+    # (duplicate positions from colliding salts each match independently,
+    # so the row count still reaches k exactly when every position is set)
+    bloom_hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_nset"))
+        .filter(F.col("_nset") == k)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hits"))
+    )
+    exact_hits = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_hits"))
+    )
+    n_shingles = tsh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        bloom_hits.join(n_shingles, "id")
+        .join(exact_hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("long").alias("n_exact_hits"),
+        )
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     tokens_col: str = "n_tokens",

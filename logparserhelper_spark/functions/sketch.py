@@ -1,4 +1,4 @@
-"""KMV (k-minimum-values) distinct-count sketch.
+"""Mergeable sketches: KMV distinct-count, count-min frequency, Bloom bits.
 
 The classic bottom-k sketch (Bar-Yossef et al. 2002): hash every value to
 [0, 1); keep the k smallest hashes per group; if fewer than k distinct
@@ -56,4 +56,56 @@ def kmv_distinct(
         "n_kept",
         F.round("kth_hash", 6).alias("kth_hash"),
         F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def md5_slot(col, salt: int, mod: int) -> F.Column:
+    """Deterministic hash slot in [0, mod): first 8 hex chars of
+    md5('<salt>:' || value) mod ``mod``. Engine-portable — DuckDB reproduces
+    it as CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % mod — which is
+    what makes the count-min and Bloom sketches below oracle-checkable
+    bit-for-bit (no HLL/CMS library pair can promise that)."""
+    h = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("long") % mod
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a depth×width
+    count table: rows (d, slot, cnt). One pass over the data; the groupBy
+    partial-aggregates map-side to at most depth×width rows per task, so
+    the shuffle carries a bounded sketch no matter the input size — the
+    property that makes CMS the right frequency structure at 10^12 rows
+    (an exact per-key count would shuffle every distinct key)."""
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[md5_slot(F.col(key_col), d, width) for d in range(depth)])
+        ).alias("d", "slot")
+    )
+    return pairs.groupBy("d", "slot").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimates(
+    keys: DataFrame, sketch: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: est = min over the
+    depth rows the key hashes to. CMS never underestimates (every slot holds
+    the key's true count plus non-negative collision mass). The sketch is
+    depth×width rows -> broadcast; keys stream through with no shuffle until
+    the tiny per-key min. Keys absent from the sketched data may hit missing
+    slots and drop out (inner join) — callers query keys drawn from the
+    data, where every slot exists."""
+    slots = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[md5_slot(F.col(key_col), d, width) for d in range(depth)])
+        ).alias("d", "slot"),
+    )
+    return (
+        slots.join(F.broadcast(sketch), ["d", "slot"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
     )

@@ -2765,6 +2765,94 @@ FROM pop LEFT JOIN samp ON pop.lang_pred = samp.lang_pred
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch heavy hitters (functions/sketch.py): a 4x64 CMS over
+    events.user_id built in one partial-aggregated pass, point-queried for
+    every user, shown next to the exact count for the top 10 users.
+    est_count >= exact_count always (CMS never underestimates); the
+    deterministic md5 slot hash makes the exact collision mass — not just
+    the inequality — reproducible in the oracle."""
+    from logparserhelper_spark.functions.sketch import cms_estimates, count_min_table
+
+    ev = (
+        _t(spark, sf, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    sketch = count_min_table(ev, "user_id", depth=4, width=64)
+    est = cms_estimates(ev.distinct(), sketch, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", F.col("est_count").cast("long").alias("est_count"), "exact_count")
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT user_id, d,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS slot
+      FROM ev, (SELECT UNNEST([0, 1, 2, 3]) AS d)),
+sk AS (SELECT d, slot, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY d, slot),
+keys AS (SELECT DISTINCT user_id, d, slot FROM h),
+est AS (SELECT k.user_id, MIN(sk.cnt) AS est_count
+        FROM keys k JOIN sk USING (d, slot) GROUP BY k.user_id),
+exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count FROM ev GROUP BY user_id)
+SELECT e.user_id, CAST(est.est_count AS BIGINT) AS est_count, e.exact_count
+FROM est JOIN exact e USING (user_id)
+ORDER BY e.exact_count DESC, e.user_id ASC
+LIMIT 10
+"""
+
+
+def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (functions/curation.py:
+    contamination_bloom): same benchmark subset as ``contamination``
+    (doc_id % 97 == 0, 5-gram shingles) but membership goes through a
+    k=3, m=131072 Bloom bitset instead of the shingle strings — the shape
+    that still broadcasts when the benchmark's distinct shingles don't.
+    Per flagged doc: total shingles, Bloom hits, exact hits (Bloom >= exact;
+    the gap is the filter's reproducible false-positive mass)."""
+    from logparserhelper_spark.functions.curation import contamination_bloom
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_bloom(d, bench, n=5, k=3, m=131072)
+
+
+SQL_BLOOM_CONTAMINATION = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+tsh AS (SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w WHERE len(ws) >= 5),
+bsh AS (SELECT DISTINCT shingle FROM tsh WHERE id % 97 = 0),
+ks AS (SELECT UNNEST([0, 1, 2]) AS i),
+bits AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) % 131072 AS pos
+         FROM bsh, ks),
+probe AS (SELECT id, shingle,
+                 CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) % 131072 AS pos
+          FROM tsh, ks),
+bh AS (SELECT id, shingle FROM probe JOIN bits USING (pos)
+       GROUP BY id, shingle HAVING COUNT(*) = 3),
+bhc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM bh GROUP BY id),
+ex AS (SELECT t.id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+       FROM tsh t JOIN bsh USING (shingle) GROUP BY t.id),
+ns AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tsh GROUP BY id)
+SELECT bhc.id AS doc_id, ns.n_shingles, bhc.n_bloom_hits,
+       CAST(COALESCE(ex.n_exact_hits, 0) AS BIGINT) AS n_exact_hits
+FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -2794,6 +2882,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_removal": q_near_dup_removal,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "perplexity_buckets": q_perplexity_buckets,
+    # net-new round-4 capabilities
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_contamination": q_bloom_contamination,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2819,4 +2910,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "near_dup_removal": SQL_NEAR_DUP_REMOVAL,
     "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "bloom_contamination": SQL_BLOOM_CONTAMINATION,
 }

@@ -92,3 +92,75 @@ def test_contamination_overlap(spark):
     got = {r.doc_id: r.n_hits for r in contamination_overlap(train, bench, n=5).collect()}
     # bench has exactly one 5-gram; docs 1 and 3 contain it, doc 2 does not
     assert got == {1: 1, 3: 1}
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS invariant: est >= exact for EVERY key; est == exact when a key's
+    d slots are collision-free. Checked against an independent pure-Python
+    mirror of the md5 slot hash."""
+    import hashlib
+
+    from logparserhelper_spark.functions.sketch import cms_estimates, count_min_table
+
+    depth, width = 4, 16  # narrow width to force collisions
+    df = spark.range(0, 2000).select((F.col("id") % 137).alias("k"))
+    sketch = count_min_table(df, "k", depth=depth, width=width)
+    est = {
+        r.k: r.est_count
+        for r in cms_estimates(df.distinct(), sketch, "k", depth=depth, width=width).collect()
+    }
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # width 16 << 137 keys
+
+    # mirror: build the same table in pure Python
+    def slot(salt, v):
+        return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:8], 16) % width
+
+    table = [[0] * width for _ in range(depth)]
+    for i in range(2000):
+        for d in range(depth):
+            table[d][slot(d, i % 137)] += 1
+    for k in exact:
+        assert est[k] == min(table[d][slot(d, k)] for d in range(depth)), k
+
+
+def test_contamination_bloom_superset_of_exact(spark):
+    """Bloom contamination returns every exactly-contaminated doc with
+    n_bloom_hits >= n_exact_hits, and a tiny m forces visible false
+    positives (bits saturate -> clean docs get flagged too)."""
+    from logparserhelper_spark.functions.curation import (
+        contamination_bloom,
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words here now ok"),
+            (3, "x alpha beta gamma delta epsilon tail"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits, r.n_exact_hits)
+        for r in contamination_bloom(train, bench, n=5, k=3, m=131072).collect()
+    }
+    exact = {
+        r.doc_id: r.n_hits
+        for r in contamination_overlap(train, bench, n=5).collect()
+    }
+    for doc, n_hits in exact.items():  # exact hits always appear, bloom >= exact
+        assert doc in got and got[doc][1] >= got[doc][2] == n_hits
+    # m=2: every bit set -> every shingle of every doc is a bloom "hit"
+    saturated = {
+        r.doc_id: (r.n_shingles, r.n_bloom_hits, r.n_exact_hits)
+        for r in contamination_bloom(train, bench, n=5, k=3, m=2).collect()
+    }
+    assert set(saturated) == {1, 2, 3}
+    assert all(ns == nb for ns, nb, _ in saturated.values())
+    assert saturated[2][2] == 0  # doc 2 is a pure false positive
