@@ -19,7 +19,11 @@ modality (the accepted boundary for this image):
 - image/GIF: REAL decode (``gif_decode``) — full LZW decompression with
   variable code width and table resets, global/local color tables,
   4-pass deinterlace; first frame.
-- other images (JPEG/WebP), video, non-WAV audio: STUBBED — the sandbox ships no codec
+- image/JPEG: REAL decode (``functions/jpeg.py`` via ``jpeg_decode``) —
+  baseline sequential DCT: Huffman entropy decode, dequant, 8x8 IDCT,
+  4:4:4/4:2:2/4:2:0 chroma upsample, restart intervals, BT.601 YCbCr->RGB.
+  Progressive/arithmetic fall back to the fake path.
+- other images (WebP/TIFF), video, non-WAV audio: STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the
   plumbing is testable end-to-end (and oracle-checkable: the driver
@@ -353,6 +357,19 @@ def png_decode(payload: bytes) -> np.ndarray:
         rgb = img[:, :, :3]
     bgr = rgb[:, :, ::-1]
     return _bgr_features(w, h, float(depth * channels), bgr)
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for baseline JPEG payloads (functions/jpeg.py:
+    pure stdlib+numpy — Huffman entropy decode, dequant, 8x8 IDCT, chroma
+    upsample, BT.601 YCbCr->RGB; 4:4:4/4:2:2/4:2:0, restart intervals).
+    Progressive/arithmetic/12-bit raise (callers fall back to fake_decode).
+    Feature layout: ``_bgr_features`` with bpp=24."""
+    from logparserhelper_spark.functions.jpeg import decode_jpeg
+
+    rgb = decode_jpeg(payload)
+    h, w = rgb.shape[:2]
+    return _bgr_features(w, h, 24.0, rgb[:, :, ::-1])
 
 
 def make_png(
@@ -695,6 +712,11 @@ def auto_decode(payload: bytes) -> np.ndarray:
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return gif_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and payload[:3] == b"\xff\xd8\xff":
+        try:
+            return jpeg_decode(payload)
         except Exception:
             return fake_decode(payload)
     return fake_decode(payload)

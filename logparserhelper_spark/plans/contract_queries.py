@@ -2853,6 +2853,115 @@ FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
 """
 
 
+def _solid_decode_expected(i: int) -> tuple[str, float, float]:
+    """Closed-form expected (container, mean_B, mean_R) features for the
+    solid-color 8x8 image that media_decode_matrix builds for residue ``i``
+    (color (i%256, 7i%256, 13i%256), container by i%4). BMP/PNG/GIF are
+    lossless so the mean is the channel value; JPEG reconstructs through
+    the DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
+    YCbCr (q00=2 at quality 95 for both tables) — derived independently of
+    decode_jpeg, so the oracle actually checks the decoder math. All four
+    verified equal to the real decoders for every residue in
+    tests/test_functions.py::test_media_decode_matrix_closed_form."""
+    import numpy as np
+
+    r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
+    k = i % 4
+    if k != 3:
+        cont = ("bmp", "png", "gif")[k]
+        return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def rec(v: float) -> float:
+        return float(np.round(8 * (v - 128.0) / 2.0) * 2.0 / 8.0 + 128.0)
+
+    y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
+    rr = min(255.0, max(0.0, y2 + 1.402 * (cr2 - 128.0)))
+    bb = min(255.0, max(0.0, y2 + 1.772 * (cb2 - 128.0)))
+    return "jpeg", float(np.float32(bb / 255.0)), float(np.float32(rr / 255.0))
+
+
+def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Every REAL image decoder under the oracle in one query: each doc_id
+    becomes a solid-color 8x8 image in the container picked by doc_id % 4
+    (BMP / PNG / GIF / baseline JPEG, all serialized by this repo's own
+    pure-stdlib writers), decoded back through auto_decode's magic-byte
+    dispatch inside the mapInPandas extractor. The oracle joins a 256-row
+    closed-form lookup (colors and container cycle with doc_id % 256) — a
+    wrong inflate, LZW step, or IDCT shows up as a channel-mean mismatch."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import (
+        extract_media_features,
+        make_bmp,
+        make_gif,
+        make_png,
+    )
+
+    def build(i: int) -> bytes:
+        c = (i % 256, (7 * i) % 256, (13 * i) % 256)
+        k = i % 4
+        if k == 0:
+            return make_bmp(8, 8, [[c] * 8] * 8)
+        if k == 1:
+            return make_png(8, 8, [[c] * 8] * 8, color_type=2)
+        if k == 2:
+            return make_gif(8, 8, [c], [[0] * 8] * 8)
+        return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+
+    @F.pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: build(int(i)))
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        payload("doc_id").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_media_features(media)
+    container = F.element_at(
+        F.array(F.lit("bmp"), F.lit("png"), F.lit("gif"), F.lit("jpeg")),
+        (F.col("media_id") % 4 + 1).cast("int"),
+    )
+    return feats.select(
+        "media_id",
+        container.alias("container"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+        F.round(F.element_at("features", 4).cast("double"), 6).alias("mean_b"),
+        F.round(F.element_at("features", 6).cast("double"), 6).alias("mean_r"),
+    )
+
+
+def _media_decode_matrix_sql() -> str:
+    rows = ",\n".join(
+        f"({i}, '{c}', {mb!r}, {mr!r})"
+        for i, (c, mb, mr) in (
+            (j, _solid_decode_expected(j)) for j in range(256)
+        )
+    )
+    return f"""
+WITH lut(rid, container, mb, mr) AS (VALUES
+{rows})
+SELECT d.doc_id AS media_id, l.container,
+       CAST(8.0 AS DOUBLE) AS f0, CAST(8.0 AS DOUBLE) AS f1,
+       ROUND(CAST(l.mb AS DOUBLE), 6) AS mean_b,
+       ROUND(CAST(l.mr AS DOUBLE), 6) AS mean_r
+FROM documents d JOIN lut l ON d.doc_id % 256 = l.rid
+"""
+
+
+SQL_MEDIA_DECODE_MATRIX = _media_decode_matrix_sql()
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -2885,6 +2994,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # net-new round-4 capabilities
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_contamination": q_bloom_contamination,
+    "media_decode_matrix": q_media_decode_matrix,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2912,4 +3022,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_contamination": SQL_BLOOM_CONTAMINATION,
+    "media_decode_matrix": SQL_MEDIA_DECODE_MATRIX,
 }

@@ -617,6 +617,129 @@ def test_gif_decode_matches_bmp_features():
     assert np.allclose(auto_decode(trunc), fake_decode(trunc))
 
 
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec (functions/jpeg.py): encode->decode round-trips
+    within quantization error for 4:4:4, 4:2:0, and restart intervals, on
+    odd (non-MCU-aligned) dimensions; uniform color is near-exact."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ]
+    ).astype(np.uint8)
+    for q, sub, rst, tol in (
+        (95, False, 0, 4),
+        (90, True, 0, 12),
+        (95, False, 2, 4),
+        (75, True, 3, 20),
+    ):
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub, restart_interval=rst))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec - img).max() < tol, (q, sub, rst)
+
+    uni = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(uni, quality=95))
+    assert np.abs(dec - uni).mean() < 0.5
+
+    # odd dims: padding is encoder-side, crop is decoder-side
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=98))
+    assert dec.shape == (17, 19, 3)
+    assert np.abs(dec - noise).mean() < 4
+
+
+def test_jpeg_decodes_independent_encoder():
+    """A JPEG produced by a THIRD-PARTY encoder (the 2x2 mid-gray fixture
+    shipped with IPython's test suite, embedded here) must decode — this
+    catches symmetric encoder/decoder bugs (mirrored zigzag, swapped
+    chroma) that self-round-trips cannot see."""
+    import base64
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg
+    from logparserhelper_spark.functions.multimodal import auto_decode, jpeg_decode
+
+    gray2x2 = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8U"
+        "HRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA"
+        "/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+        "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJico"
+        "KSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKT"
+        "lJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo"
+        "6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+    )
+    rgb = decode_jpeg(gray2x2)
+    assert rgb.shape == (2, 2, 3)
+    assert np.allclose(rgb, 128.0, atol=1.0)  # mid-gray fixture
+    # feature wrapper + auto_decode dispatch on the FFD8FF magic
+    f = jpeg_decode(gray2x2)
+    assert (f[0], f[1], f[2]) == (2.0, 2.0, 24.0)
+    assert np.allclose(auto_decode(gray2x2), f)
+
+
+def test_jpeg_rejects_unsupported():
+    """Progressive SOF2, truncation, and non-JPEG bytes raise; auto_decode
+    falls back to the deterministic fake."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from logparserhelper_spark.functions.multimodal import auto_decode, fake_decode
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    good = encode_jpeg(np.full((8, 8, 3), 60, dtype=np.uint8))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
+    idx = good.index(b"\xff\xc0")
+    prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    with _pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(prog)
+    assert np.allclose(auto_decode(prog), fake_decode(prog))
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:20])
+
+
+def test_media_decode_matrix_closed_form():
+    """The closed-form oracle lookup used by the media_decode_matrix extra
+    query equals the REAL decoders' output for every one of the 256
+    residues — all four containers, all colors the query can generate."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import (
+        auto_decode,
+        make_bmp,
+        make_gif,
+        make_png,
+    )
+    from logparserhelper_spark.plans.contract_queries import _solid_decode_expected
+
+    for i in range(256):
+        c = (i % 256, (7 * i) % 256, (13 * i) % 256)
+        k = i % 4
+        if k == 0:
+            p = make_bmp(8, 8, [[c] * 8] * 8)
+        elif k == 1:
+            p = make_png(8, 8, [[c] * 8] * 8, color_type=2)
+        elif k == 2:
+            p = make_gif(8, 8, [c], [[0] * 8] * 8)
+        else:
+            p = encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+        f = auto_decode(p)
+        cont, mb, mr = _solid_decode_expected(i)
+        assert (f[0], f[1]) == (8.0, 8.0), i
+        assert float(f[3]) == mb and float(f[5]) == mr, (i, cont)
+
+
 def test_bmp_decode_rejects_unsupported():
     import pytest as _pytest
 
