@@ -1,12 +1,15 @@
-"""Baseline JPEG (ITU-T T.81) decode — and a test encoder — in pure
-stdlib + numpy.
+"""JPEG (ITU-T T.81) decode — baseline AND progressive — plus a test
+encoder, in pure stdlib + numpy.
 
 Scope (the formats a real web/transcript corpus overwhelmingly carries):
-sequential baseline DCT (SOF0), 8-bit samples, grayscale or YCbCr with
+sequential baseline DCT (SOF0/SOF1) and full progressive DCT (SOF2:
+spectral selection, successive approximation with DC/AC first and
+refinement scans, EOB runs, interleaved and non-interleaved block orders,
+mid-stream DHT redefinition), 8-bit samples, grayscale or YCbCr with
 sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals
-(DRI/RSTn), multi-segment DQT/DHT. Progressive (SOF2), arithmetic coding,
-12-bit, and hierarchical modes raise ValueError — ``auto_decode`` falls
-back to the deterministic fake path for those.
+(DRI/RSTn), multi-segment DQT/DHT. Arithmetic coding, 12-bit, lossless,
+and hierarchical modes raise ValueError — ``auto_decode`` falls back to
+the deterministic fake path for those.
 
 Decode pipeline per MCU: Huffman-decode DC diff + AC run/length pairs ->
 dequantize -> un-zigzag -> 8x8 IDCT (one numpy basis-matrix product pair
@@ -265,9 +268,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, 3) float64 RGB array (grayscale
-    replicated). Raises ValueError on anything outside the supported scope
-    (progressive, arithmetic, >8-bit, sampling factors > 2)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
+    (h, w, 3) float64 RGB array (grayscale replicated). Progressive support
+    is complete: spectral selection, successive approximation (DC and AC
+    first + refinement scans, EOB runs), interleaved and non-interleaved
+    scans, subsampled components. Raises ValueError on anything outside the
+    supported scope (arithmetic coding, lossless/hierarchical, >8-bit,
+    sampling factors > 2)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -276,6 +283,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) ; comps: list of (cid, hs, vs, tq)
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: per-comp (bh, bw, 64) zigzag coefficient bank
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -283,8 +292,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # stray RST/TEM
+            continue
         seglen = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -314,7 +325,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
                     bits, values
                 )
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -326,7 +337,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"unsupported sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -334,21 +346,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            if not progressive:
+                scan_tables = {}
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    payload,
+                    pos + seglen,
+                    frame,
+                    quant,
+                    huff_dc,
+                    huff_ac,
+                    scan_tables,
+                    restart_interval,
+                )
+            scan_comps = []  # (frame comp index, td, ta) in scan order
+            cids = [c[0] for c in frame[2]]
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
+                if cs not in cids:
+                    raise ValueError("scan references unknown component")
+                scan_comps.append((cids.index(cs), tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coef is None:
+                coef = _alloc_coefs(frame)
+            pos = _progressive_scan(
                 payload,
                 pos + seglen,
                 frame,
-                quant,
+                coef,
                 huff_dc,
                 huff_ac,
-                scan_tables,
+                scan_comps,
+                (ss, se, ah, al),
                 restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coef is not None:
+        return _progressive_reconstruct(frame, coef, quant)
     raise ValueError("no JPEG scan data")
 
 
@@ -411,7 +449,12 @@ def _decode_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full frame resolution and crop
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to frame resolution, crop, and convert
+    (BT.601) — shared by the baseline and progressive paths."""
     full = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
         if hs != hmax or vs != vmax:
@@ -427,6 +470,223 @@ def _decode_scan(
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.dstack([r, g, b]), 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _mcu_grid(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _alloc_coefs(frame):
+    """Per-component zigzag coefficient banks, allocated at MCU-aligned
+    block dimensions (interleaved scans code the edge padding blocks too;
+    non-interleaved scans address the smaller ceil(samples/8) sub-grid)."""
+    _hmax, _vmax, mcux, mcuy = _mcu_grid(frame)
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for _cid, hs, vs, _tq in frame[2]
+    ]
+
+
+def _comp_block_grid(frame, ci):
+    """Non-interleaved block grid of component ci: ceil(ceil(dim * s/smax) / 8)."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    _cid, hs, vs, _tq = comps[ci]
+    samples_w = -(-(w * hs) // hmax)
+    samples_h = -(-(h * vs) // vmax)
+    return -(-samples_w // 8), -(-samples_h // 8)
+
+
+def _decode_dc_block(reader, blk, dc_tab, pred, al):
+    t = reader.decode_huff(dc_tab)
+    diff = _extend(reader.read_bits(t), t)
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(reader, blk, ac_tab, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index beyond band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(reader, blk, ac_tab, ss, se, al, eobrun):
+    """T.81 G.1.2.3 successive-approximation AC refinement: every nonzero
+    history coefficient passed costs a correction bit; new +/-1<<Al
+    coefficients land after r zero-history positions; EOB runs refine the
+    rest of the band."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NOTE: unlike the first-scan convention, the refinement
+                    # EOB run INCLUDES the current block — its remaining
+                    # nonzero coefficients still consume correction bits in
+                    # the tail below before the counter is decremented.
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data, pos, frame, coef, huff_dc, huff_ac, scan_comps, band, restart_interval
+):
+    """Decode one progressive scan into the coefficient banks; returns the
+    byte offset of the next marker."""
+    ss, se, ah, al = band
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        preds = [0] * len(scan_comps)
+        if len(scan_comps) > 1:
+            units = mcux * mcuy
+        else:
+            bw_n, bh_n = _comp_block_grid(frame, scan_comps[0][0])
+            units = bw_n * bh_n
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.align_to_marker()
+                preds = [0] * len(scan_comps)
+            if len(scan_comps) > 1:
+                my, mx = divmod(m, mcux)
+                for si, (ci, td, _ta) in enumerate(scan_comps):
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = coef[ci][my * vs + by, mx * hs + bx]
+                            if ah == 0:
+                                tab = huff_dc.get(td)
+                                if tab is None:
+                                    raise ValueError("JPEG DC table missing")
+                                preds[si] = _decode_dc_block(
+                                    reader, blk, tab, preds[si], al
+                                )
+                            else:
+                                blk[0] = int(blk[0]) | (reader.read_bit() << al)
+            else:
+                ci, td, _ta = scan_comps[0]
+                by, bx = divmod(m, bw_n)
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    tab = huff_dc.get(td)
+                    if tab is None:
+                        raise ValueError("JPEG DC table missing")
+                    preds[0] = _decode_dc_block(reader, blk, tab, preds[0], al)
+                else:
+                    blk[0] = int(blk[0]) | (reader.read_bit() << al)
+    else:  # AC scan: spec requires exactly one component
+        if len(scan_comps) != 1:
+            raise ValueError("JPEG interleaved AC scan")
+        ci, _td, ta = scan_comps[0]
+        tab = huff_ac.get(ta)
+        if tab is None:
+            raise ValueError("JPEG AC table missing")
+        bw_n, bh_n = _comp_block_grid(frame, ci)
+        for m in range(bw_n * bh_n):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.align_to_marker()
+                eobrun = 0
+            by, bx = divmod(m, bw_n)
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                eobrun = _decode_ac_first(reader, blk, tab, ss, se, al, eobrun)
+            else:
+                eobrun = _decode_ac_refine(reader, blk, tab, ss, se, al, eobrun)
+    # advance to the next marker (skipping pad bits / stuffed bytes)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            break
+        p += 1
+    return p
+
+
+def _progressive_reconstruct(frame, coef, quant):
+    """Dequantize + IDCT every accumulated block (vectorized per component)
+    and assemble/convert exactly like the baseline path."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy = _mcu_grid(frame)
+    planes = []
+    for (cid, hs, vs, tq), bank in zip(comps, coef):
+        q = quant.get(tq)
+        if q is None:
+            raise ValueError("JPEG quant table missing")
+        bh, bw = bank.shape[:2]
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = bank.reshape(-1, 64)
+        nat *= q.reshape(64)[None, :]
+        blocks = nat.reshape(-1, 8, 8)
+        px = _A.T @ blocks @ _A + 128.0  # broadcasts over the block axis
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -501,11 +761,18 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Serialize an (h, w, 3) uint8 RGB array as a baseline JPEG: 4:4:4
     (default) or 4:2:0 (``subsample``), Annex K tables at the given
     quality, optional DRI/RSTn restart intervals. Deterministic; exists so
-    tests can exercise decode_jpeg without codec libraries."""
+    tests can exercise decode_jpeg without codec libraries.
+
+    ``progressive`` emits the SAME quantized coefficients as a SOF2 stream
+    (interleaved DC scan at Al=1 + DC refinement scan, then one full-band
+    AC scan per component with EOBn run codes) — a transcoding writer, so
+    tests can assert decode(progressive) == decode(baseline) bit-for-bit.
+    (restart_interval is baseline-only.)"""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -564,7 +831,8 @@ def encode_jpeg(
         bytes((cid, (hs << 4) | vs, tq))
         for cid, (plane, hs, vs, tq, q) in zip((1, 2, 3), planes)
     )
-    seg(0xC0, bytes((8,)) + struct.pack(">HH", h, w) + bytes((3,)) + comps)
+    sof_marker = 0xC2 if progressive else 0xC0
+    seg(sof_marker, bytes((8,)) + struct.pack(">HH", h, w) + bytes((3,)) + comps)
     for tc, th, (bits, values) in (
         (0, 0, STD_DC_LUMA),
         (1, 0, STD_AC_LUMA),
@@ -572,6 +840,10 @@ def encode_jpeg(
         (1, 1, STD_AC_CHROMA),
     ):
         seg(0xC4, bytes(((tc << 4) | th,)) + bytes(bits) + bytes(values))
+    if progressive:
+        _emit_progressive_scans(out, seg, planes, h, w, hs_y, vs_y)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
@@ -606,3 +878,139 @@ def encode_jpeg(
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def _emit_progressive_scans(out, seg, planes, h, w, hs_y, vs_y):
+    """Transcode the quantized coefficients into a 5-scan SOF2 stream:
+    interleaved DC at Al=1, interleaved DC refinement (Ah=1, raw bits),
+    then a full-band (Ss=1..Se=63) AC scan per component with EOBn runs.
+    Exercises the decoder's interleaved/non-interleaved block orders, DC
+    successive approximation, and EOB-run accumulation."""
+    banks = []
+    for plane, hs, vs, tq, q in planes:
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coefs = _A @ blocks @ _A.T
+        qz = np.round(coefs / q).astype(np.int32)
+        banks.append(qz.reshape(-1, 64)[:, ZIGZAG].reshape(bh, bw_, 64))
+
+    dc_l = _build_encode_table(*STD_DC_LUMA)
+    ac_l = _build_encode_table(*STD_AC_LUMA)
+    dc_c = _build_encode_table(*STD_DC_CHROMA)
+    ac_c = _build_encode_table(*STD_AC_CHROMA)
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = banks[0].shape[1] // hs_y
+    mcuy = banks[0].shape[0] // vs_y
+
+    def sos(comps_spec, ss, se, ah, al):
+        body = (
+            bytes((len(comps_spec),))
+            + b"".join(bytes((cs, tt)) for cs, tt in comps_spec)
+            + bytes((ss, se, (ah << 4) | al))
+        )
+        seg(0xDA, body)
+
+    def mcu_blocks():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (_p, hs, vs, _tq, _q) in enumerate(planes):
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, banks[ci][my * vs + by, mx * hs + bx]
+
+    # scan 1: interleaved DC at Al=1
+    sos(((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, blk in mcu_blocks():
+        v = int(blk[0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        tab = dc_l if ci == 0 else dc_c
+        t = 0 if diff == 0 else int(abs(diff)).bit_length()
+        code, ln = tab[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scan 2: interleaved DC refinement (Ah=1, Al=0): one raw bit per block
+    sos(((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _ci, blk in mcu_blocks():
+        bw.write(int(blk[0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scans 3-5: one full-band AC first scan per component, EOBn runs.
+    # The Annex K baseline AC tables carry no EOBn symbols (r<<4, r>0), so
+    # emit a custom near-flat table covering every (run,size) plus all EOBn
+    # codes — 255 8-bit codes + one 9-bit (the all-ones 8-bit prefix stays
+    # free, as T.81 requires). Also exercises the decoder's mid-stream DHT
+    # redefinition path.
+    prog_bits = [0] * 16
+    prog_bits[7] = 255
+    prog_bits[8] = 1
+    prog_values = list(range(256))
+    seg(0xC4, bytes(((1 << 4) | 0,)) + bytes(prog_bits) + bytes(prog_values))
+    prog_ac = _build_encode_table(prog_bits, prog_values)
+    for ci, (_p, hs, vs, _tq, _q) in enumerate(planes):
+        # non-interleaved grid: ceil(ceil(dim*s/smax)/8) — smaller than the
+        # MCU-padded bank when the frame doesn't fill the last MCU column
+        samples_w = -(-(w * hs) // hmax)
+        samples_h = -(-(h * vs) // vmax)
+        gw = -(-samples_w // 8)
+        gh = -(-samples_h // 8)
+        ac_tab = prog_ac
+        sos(((ci + 1, 0x00),), 1, 63, 0, 0)
+        bw = _BitWriter()
+        pending = 0
+
+        def flush_eob():
+            nonlocal pending
+            while pending > 0:
+                n = min(pending, 32767)
+                r = n.bit_length() - 1
+                code, ln = ac_tab[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(n - (1 << r), r)
+                pending -= n
+
+        for m in range(gw * gh):
+            by, bx = divmod(m, gw)
+            blk = banks[ci][by, bx]
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if blk[k]:
+                    last_nz = k
+                    break
+            if last_nz == 0:
+                pending += 1
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = int(abs(v)).bit_length()
+                code, ln = ac_tab[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                pending = 1  # EOB for this block can join a run
+        flush_eob()
+        bw.flush()
+        out.extend(bw.out)

@@ -20,9 +20,10 @@ modality (the accepted boundary for this image):
   variable code width and table resets, global/local color tables,
   4-pass deinterlace; first frame.
 - image/JPEG: REAL decode (``functions/jpeg.py`` via ``jpeg_decode``) —
-  baseline sequential DCT: Huffman entropy decode, dequant, 8x8 IDCT,
-  4:4:4/4:2:2/4:2:0 chroma upsample, restart intervals, BT.601 YCbCr->RGB.
-  Progressive/arithmetic fall back to the fake path.
+  baseline AND progressive DCT: Huffman entropy decode (incl. spectral
+  selection + successive approximation + EOB runs), dequant, 8x8 IDCT,
+  4:4:4/4:2:2/4:2:0 chroma upsample, restart intervals, BT.601
+  YCbCr->RGB. Arithmetic/lossless fall back to the fake path.
 - other images (WebP/TIFF), video, non-WAV audio: STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the

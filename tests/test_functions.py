@@ -686,8 +686,150 @@ def test_jpeg_decodes_independent_encoder():
     assert np.allclose(auto_decode(gray2x2), f)
 
 
+def test_jpeg_progressive_transcode_equals_baseline():
+    """The progressive writer re-emits the SAME quantized coefficients as a
+    SOF2 stream, so progressive decode must equal baseline decode
+    BIT-FOR-BIT — across 4:4:4/4:2:0, odd dims (non-interleaved grid
+    smaller than the MCU-padded bank), flat images (EOBn runs spanning
+    many blocks), and noise."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.dstack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)]
+    ).astype(np.uint8)
+    odd = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    noise = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    flat = np.full((32, 32, 3), (10, 200, 60), dtype=np.uint8)
+    big = np.zeros((48, 344, 3), np.uint8)
+    big[:, :8] = 255  # 43-block rows -> EOB runs needing appended bits
+    for img, sub in (
+        (grad, False),
+        (grad, True),
+        (odd, True),
+        (noise, False),
+        (flat, True),
+        (big, True),
+    ):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=85, subsample=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub)
+
+
+def test_jpeg_progressive_ac_refinement_handcrafted():
+    """AC successive-approximation refinement, driven by a hand-assembled
+    SOF2 stream (the one scan type the transcoding writer doesn't emit):
+    correction bit on an existing coefficient, a newly inserted +/-1, and
+    an EOB-run tail. Expected pixels computed by direct IDCT."""
+    import struct
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import (
+        _A,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        decode_jpeg,
+    )
+
+    def chunk(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    # identity quant table (natural order == zigzag of all-1s)
+    out = b"\xff\xd8" + chunk(0xDB, bytes((0,)) + bytes([1] * 64))
+    # SOF2: 8x8, one component, no subsampling, quant table 0
+    out += chunk(0xC2, bytes((8,)) + struct.pack(">HH", 8, 8) + bytes((1, 1, 0x11, 0)))
+    # DC table: symbols 0..11 at flat widths
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dc_values = list(range(12))
+    out += chunk(0xC4, bytes((0x00,)) + bytes(dc_bits) + bytes(dc_values))
+    dc_tab = _build_encode_table(dc_bits, dc_values)
+    # AC table: flat 255x8-bit + 1x9-bit covering all symbols
+    ac_bits = [0] * 16
+    ac_bits[7] = 255
+    ac_bits[8] = 1
+    ac_values = list(range(256))
+    out += chunk(0xC4, bytes((0x10,)) + bytes(ac_bits) + bytes(ac_values))
+    ac_tab = _build_encode_table(ac_bits, ac_values)
+
+    # scan 1: DC first, Al=0, dc diff = 0
+    out += chunk(0xDA, bytes((1, 1, 0x00, 0, 0, 0x00)))
+    bw = _BitWriter()
+    c, ln = dc_tab[0]  # DC category 0: diff = 0, no appended bits
+    bw.write(c, ln)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # scan 2: AC first, band 1..63, Al=1: coef[1] = 3<<1 = 6, then EOB0
+    out += chunk(0xDA, bytes((1, 1, 0x00, 1, 63, 0x01)))
+    bw = _BitWriter()
+    c, ln = ac_tab[(0 << 4) | 2]  # run 0, size 2
+    bw.write(c, ln)
+    bw.write(3, 2)  # magnitude 3
+    c, ln = ac_tab[0x00]  # EOB0
+    bw.write(c, ln)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # scan 3: AC refinement, Ah=1 Al=0: correction bit promotes 6 -> 7,
+    # new +/-1 inserted at k=2 (sign bit 1 -> +1), then EOB0 refines rest
+    out += chunk(0xDA, bytes((1, 1, 0x00, 1, 63, 0x10)))
+    bw = _BitWriter()
+    c, ln = ac_tab[(0 << 4) | 1]  # r=0, s=1: new coefficient
+    bw.write(c, ln)
+    bw.write(1, 1)  # sign bit -> +1<<0
+    bw.write(1, 1)  # correction bit for existing coef[1]: 6 -> 7
+    c, ln = ac_tab[0x00]  # EOB0: refine remaining (none nonzero)
+    bw.write(c, ln)
+    bw.flush()
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(out)
+    coef = np.zeros(64)
+    coef[ZIGZAG[1]] = 7.0
+    coef[ZIGZAG[2]] = 1.0
+    expect = np.clip(_A.T @ coef.reshape(8, 8) @ _A + 128.0, 0, 255)
+    assert np.array_equal(got[:, :, 0], expect)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])  # grayscale replicated
+
+
+def test_jpeg_progressive_real_files():
+    """Third-party progressive JPEGs (spectral selection + successive
+    approximation + subsampled interleaved DC), when present on this
+    machine: decode and sanity-check known content."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg
+
+    candidates = [
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493)),
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493)),
+    ]
+    found = [(p, dims) for p, dims in candidates if os.path.exists(p)]
+    if not found:
+        _pytest.skip("no third-party progressive JPEGs on this machine")
+    for p, dims in found:
+        rgb = decode_jpeg(open(p, "rb").read())
+        assert rgb.shape == (*dims, 3)
+        # both are overwhelmingly white banners
+        assert rgb.mean() > 200
+        assert rgb.max() > 250
+
+
 def test_jpeg_rejects_unsupported():
-    """Progressive SOF2, truncation, and non-JPEG bytes raise; auto_decode
+    """Lossless SOF3, truncation, and non-JPEG bytes raise; auto_decode
     falls back to the deterministic fake."""
     import numpy as np
     import pytest as _pytest
@@ -698,12 +840,12 @@ def test_jpeg_rejects_unsupported():
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
     good = encode_jpeg(np.full((8, 8, 3), 60, dtype=np.uint8))
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
+    # flip SOF0 (0xC0) to SOF3 (lossless): must be rejected
     idx = good.index(b"\xff\xc0")
-    prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    lossless = good[:idx] + b"\xff\xc3" + good[idx + 2 :]
     with _pytest.raises(ValueError, match="unsupported JPEG mode"):
-        decode_jpeg(prog)
-    assert np.allclose(auto_decode(prog), fake_decode(prog))
+        decode_jpeg(lossless)
+    assert np.allclose(auto_decode(lossless), fake_decode(lossless))
     with _pytest.raises(ValueError):
         decode_jpeg(good[:20])
 
