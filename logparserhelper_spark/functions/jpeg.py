@@ -34,6 +34,11 @@ import numpy as np
 # shared tables
 # ---------------------------------------------------------------------------
 
+# Cap frame allocation from untrusted SOF fields (65535x65535 would be
+# ~34 GB/plane): 2^26 pixels = 8192x8192. Matches multimodal's
+# MAX_DECODE_PIXELS; a crafted header raises -> callers fall back.
+MAX_PIXELS = 1 << 26
+
 ZIGZAG = np.array(
     [
         0, 1, 8, 16, 9, 2, 3, 10,
@@ -205,6 +210,9 @@ class _BitReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
                 if nxt == 0x00:
                     self.pos += 2  # stuffed 0xFF data byte
+                elif nxt == 0xFF:
+                    self.pos += 1  # T.81 B.1.1.2 fill byte before a marker
+                    continue
                 else:
                     self.marker = nxt  # real marker: stop consuming
                     continue
@@ -235,10 +243,11 @@ class _BitReader:
         if self.marker is None:
             # marker byte pair still ahead in the stream
             while self.pos + 1 < len(self.data):
-                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                    self.marker = self.data[self.pos + 1]
+                nxt = self.data[self.pos + 1]
+                if self.data[self.pos] == 0xFF and nxt not in (0x00, 0xFF):
+                    self.marker = nxt
                     break
-                self.pos += 1
+                self.pos += 1  # data, stuffed pair, or 0xFF fill byte
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2
             self.marker = None
@@ -288,6 +297,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI
@@ -329,6 +340,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if h * w > MAX_PIXELS:
+                raise ValueError(f"JPEG frame too large ({w}x{h})")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -346,7 +359,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if not progressive:
+            if not progressive and ns == len(frame[2]) and coef is None:
+                # fast path: a single interleaved scan covering every
+                # component — the overwhelmingly common baseline layout
                 scan_tables = {}
                 for i in range(ns):
                     cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -372,20 +387,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             if coef is None:
                 coef = _alloc_coefs(frame)
-            pos = _progressive_scan(
-                payload,
-                pos + seglen,
-                frame,
-                coef,
-                huff_dc,
-                huff_ac,
-                scan_comps,
-                (ss, se, ah, al),
-                restart_interval,
-            )
+            if progressive:
+                pos = _progressive_scan(
+                    payload,
+                    pos + seglen,
+                    frame,
+                    coef,
+                    huff_dc,
+                    huff_ac,
+                    scan_comps,
+                    (ss, se, ah, al),
+                    restart_interval,
+                )
+            else:
+                # spec-legal multi-scan sequential baseline (ns < nc per
+                # scan, e.g. three single-component scans): accumulate
+                # full DC+AC coefficients per scan, reconstruct at EOI
+                pos = _sequential_scan(
+                    payload,
+                    pos + seglen,
+                    frame,
+                    coef,
+                    huff_dc,
+                    huff_ac,
+                    scan_comps,
+                    restart_interval,
+                )
             continue
         pos += seglen
-    if progressive and coef is not None:
+    if coef is not None:
         return _progressive_reconstruct(frame, coef, quant)
     raise ValueError("no JPEG scan data")
 
@@ -657,10 +687,76 @@ def _progressive_scan(
                 eobrun = _decode_ac_first(reader, blk, tab, ss, se, al, eobrun)
             else:
                 eobrun = _decode_ac_refine(reader, blk, tab, ss, se, al, eobrun)
-    # advance to the next marker (skipping pad bits / stuffed bytes)
+    # advance to the next marker (skipping pad bits / stuffed bytes / fill
+    # bytes: the marker byte is the first non-0xFF after a 0xFF run)
     p = reader.pos
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00:
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            break
+        p += 1
+    return p
+
+
+def _sequential_scan(
+    data, pos, frame, coef, huff_dc, huff_ac, scan_comps, restart_interval
+):
+    """Decode one SEQUENTIAL baseline scan (full DC+AC per block) into the
+    coefficient banks — the path for spec-legal multi-scan baseline files
+    whose scans cover a subset of the frame's components. Returns the byte
+    offset of the next marker."""
+    h, w, comps = frame
+    _hmax, _vmax, mcux, mcuy = _mcu_grid(frame)
+    reader = _BitReader(data, pos)
+    preds = [0] * len(scan_comps)
+
+    def decode_block(blk, si, td, ta):
+        dc_tab = huff_dc.get(td)
+        ac_tab = huff_ac.get(ta)
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("JPEG table missing")
+        t = reader.decode_huff(dc_tab)
+        preds[si] += _extend(reader.read_bits(t), t)
+        blk[0] = preds[si]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+
+    if len(scan_comps) > 1:
+        units = mcux * mcuy
+    else:
+        bw_n, bh_n = _comp_block_grid(frame, scan_comps[0][0])
+        units = bw_n * bh_n
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_to_marker()
+            preds = [0] * len(scan_comps)
+        if len(scan_comps) > 1:
+            my, mx = divmod(m, mcux)
+            for si, (ci, td, ta) in enumerate(scan_comps):
+                _cid, hs, vs, _tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        decode_block(
+                            coef[ci][my * vs + by, mx * hs + bx], si, td, ta
+                        )
+        else:
+            ci, td, ta = scan_comps[0]
+            by, bx = divmod(m, bw_n)
+            decode_block(coef[ci][by, bx], 0, td, ta)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
             break
         p += 1
     return p
@@ -762,6 +858,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    scan_split: bool = False,
 ) -> bytes:
     """Serialize an (h, w, 3) uint8 RGB array as a baseline JPEG: 4:4:4
     (default) or 4:2:0 (``subsample``), Annex K tables at the given
@@ -772,7 +869,10 @@ def encode_jpeg(
     (interleaved DC scan at Al=1 + DC refinement scan, then one full-band
     AC scan per component with EOBn run codes) — a transcoding writer, so
     tests can assert decode(progressive) == decode(baseline) bit-for-bit.
-    (restart_interval is baseline-only.)"""
+    ``scan_split`` emits a multi-scan SEQUENTIAL baseline stream instead
+    (one single-component scan per component, spec-legal ns < nc), for the
+    same kind of exact-equality test. (restart_interval applies to the
+    single-scan baseline layout only.)"""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -782,18 +882,18 @@ def encode_jpeg(
     qy = _quality_scale(STD_LUMA_QUANT, quality)
     qc = _quality_scale(STD_CHROMA_QUANT, quality)
 
+    def pad(p, mult):
+        # pad to the MCU grid by replicating the last row/column
+        ph = -(-p.shape[0] // mult) * mult
+        pw = -(-p.shape[1] // mult) * mult
+        out = np.empty((ph, pw))
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
     if subsample:
         hs_y = vs_y = 2
-        # pad to MCU grid (16x16), average 2x2 for chroma
-        def pad(p, mult):
-            ph = -(-p.shape[0] // mult) * mult
-            pw = -(-p.shape[1] // mult) * mult
-            out = np.empty((ph, pw))
-            out[: p.shape[0], : p.shape[1]] = p
-            out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
-            out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
-            return out
-
         yp = pad(y, 16)
         cbp = pad(cb, 16)
         crp = pad(cr, 16)
@@ -802,17 +902,7 @@ def encode_jpeg(
         planes = [(yp, 2, 2, 0, qy), (cbs, 1, 1, 1, qc), (crs, 1, 1, 1, qc)]
     else:
         hs_y = vs_y = 1
-
-        def pad8(p):
-            ph = -(-p.shape[0] // 8) * 8
-            pw = -(-p.shape[1] // 8) * 8
-            out = np.empty((ph, pw))
-            out[: p.shape[0], : p.shape[1]] = p
-            out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
-            out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
-            return out
-
-        planes = [(pad8(y), 1, 1, 0, qy), (pad8(cb), 1, 1, 1, qc), (pad8(cr), 1, 1, 1, qc)]
+        planes = [(pad(y, 8), 1, 1, 0, qy), (pad(cb, 8), 1, 1, 1, qc), (pad(cr, 8), 1, 1, 1, qc)]
 
     dc_l = _build_encode_table(*STD_DC_LUMA)
     ac_l = _build_encode_table(*STD_AC_LUMA)
@@ -842,6 +932,28 @@ def encode_jpeg(
         seg(0xC4, bytes(((tc << 4) | th,)) + bytes(bits) + bytes(values))
     if progressive:
         _emit_progressive_scans(out, seg, planes, h, w, hs_y, vs_y)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+    if scan_split:
+        # multi-scan sequential baseline: one non-interleaved scan per comp
+        hmax = max(p[1] for p in planes)
+        vmax = max(p[2] for p in planes)
+        for ci, (plane, hs, vs, tq, q) in enumerate(planes):
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            seg(0xDA, bytes((1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0)))
+            samples_w = -(-(w * hs) // hmax)
+            samples_h = -(-(h * vs) // vmax)
+            gw = -(-samples_w // 8)
+            gh = -(-samples_h // 8)
+            bw = _BitWriter()
+            pred = 0
+            for m in range(gw * gh):
+                by, bx = divmod(m, gw)
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qz = np.round((_A @ blk @ _A.T) / q).astype(np.int32)
+                pred = _encode_block(bw, qz.reshape(64)[ZIGZAG], pred, dct, act)
+            bw.flush()
+            out.extend(bw.out)
         out.extend(b"\xff\xd9")
         return bytes(out)
     if restart_interval:

@@ -65,6 +65,13 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+# Decoders allocate from untrusted header fields; cap the pixel count so a
+# crafted payload (decompression bomb, bogus GIF/PNG dimensions) raises a
+# clean ValueError -> fake_decode fallback instead of OOMing the executor.
+# 2^26 pixels = an 8192x8192 image (~1.5 GB as float64 RGB, the peak any
+# one decode may allocate).
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: FEATURE_DIM floats derived
@@ -328,13 +335,16 @@ def png_decode(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or depth not in (8, 16) or (color_type == 3 and depth != 8):
         raise ValueError(f"unsupported PNG (color_type={color_type}, depth={depth})")
-    if w <= 0 or h <= 0:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
         raise ValueError("bad PNG dimensions")
     sample_bytes = depth // 8
     stride = w * channels * sample_bytes
     bpp = max(1, channels * sample_bytes)
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    # bounded inflate: cap output at the expected pixel-data size so a
+    # decompression bomb cannot expand past the header's own claim
+    expected = h * (stride + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     flat = _png_unfilter(raw, h, stride, bpp)
     if depth == 16:
@@ -361,11 +371,12 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """REAL image decode for baseline JPEG payloads (functions/jpeg.py:
-    pure stdlib+numpy — Huffman entropy decode, dequant, 8x8 IDCT, chroma
+    """REAL image decode for JPEG payloads (functions/jpeg.py: pure
+    stdlib+numpy — Huffman entropy decode, dequant, 8x8 IDCT, chroma
     upsample, BT.601 YCbCr->RGB; 4:4:4/4:2:2/4:2:0, restart intervals).
-    Progressive/arithmetic/12-bit raise (callers fall back to fake_decode).
-    Feature layout: ``_bgr_features`` with bpp=24."""
+    Baseline (incl. multi-scan sequential) AND progressive SOF2 streams
+    decode; arithmetic/12-bit/lossless raise (callers fall back to
+    fake_decode). Feature layout: ``_bgr_features`` with bpp=24."""
     from logparserhelper_spark.functions.jpeg import decode_jpeg
 
     rgb = decode_jpeg(payload)
@@ -486,10 +497,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list:
             entry = dict_[code]
         elif code < len(dict_):
             entry = dict_[code]
-            dict_.append(prev + (entry[0],))
+            if len(dict_) < 4096:  # table full -> deferred clear: stop growing
+                dict_.append(prev + (entry[0],))
         elif code == len(dict_):  # the KwKwK case
             entry = prev + (prev[0],)
-            dict_.append(entry)
+            if len(dict_) < 4096:
+                dict_.append(entry)
         else:
             raise ValueError(f"bad GIF LZW code {code} (dict size {len(dict_)})")
         out.extend(entry)
@@ -545,7 +558,7 @@ def gif_decode(payload: bytes) -> np.ndarray:
             pos += n * 3
         if table is None:
             raise ValueError("GIF image with no color table")
-        if iw <= 0 or ih <= 0:
+        if iw <= 0 or ih <= 0 or iw * ih > MAX_DECODE_PIXELS:
             raise ValueError("bad GIF dimensions")
         min_code = payload[pos]
         pos += 1

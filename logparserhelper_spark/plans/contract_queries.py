@@ -2901,20 +2901,27 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
         make_png,
     )
 
-    def build(i: int) -> bytes:
-        c = (i % 256, (7 * i) % 256, (13 * i) % 256)
-        k = i % 4
-        if k == 0:
-            return make_bmp(8, 8, [[c] * 8] * 8)
-        if k == 1:
-            return make_png(8, 8, [[c] * 8] * 8, color_type=2)
-        if k == 2:
-            return make_gif(8, 8, [c], [[0] * 8] * 8)
-        return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
-
     @F.pandas_udf("binary")
     def payload(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: build(int(i)))
+        from functools import lru_cache
+
+        # payload is a pure function of doc_id % 256 (mirrors the oracle's
+        # 256-row lut), so cache per worker — the JPEG encode in particular
+        # is a full DCT+Huffman pass that would otherwise run once per row.
+        # (Defined inside the UDF body: lru_cache wrappers don't pickle.)
+        @lru_cache(maxsize=256)
+        def build(rid: int) -> bytes:
+            c = (rid % 256, (7 * rid) % 256, (13 * rid) % 256)
+            k = rid % 4
+            if k == 0:
+                return make_bmp(8, 8, [[c] * 8] * 8)
+            if k == 1:
+                return make_png(8, 8, [[c] * 8] * 8, color_type=2)
+            if k == 2:
+                return make_gif(8, 8, [c], [[0] * 8] * 8)
+            return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+
+        return ids.map(lambda i: build(int(i) % 256))
 
     d = _t(spark, sf, "documents").select("doc_id")
     media = d.select(

@@ -828,6 +828,98 @@ def test_jpeg_progressive_real_files():
         assert rgb.max() > 250
 
 
+def test_jpeg_fill_bytes_and_multiscan_baseline():
+    """Spec corners the r4 review flagged: (a) T.81 B.1.1.2 0xFF fill
+    bytes before markers must be skipped, not misparsed; (b) a multi-scan
+    sequential baseline file (one single-component scan per component,
+    ns < nc) must decode identically to the interleaved layout."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)]
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+
+    # (a) insert fill bytes before the DQT marker and before EOI
+    enc = encode_jpeg(img, quality=85)
+    dqt = enc.index(b"\xff\xdb")
+    eoi = enc.rindex(b"\xff\xd9")
+    filled = (
+        enc[:dqt] + b"\xff\xff\xff" + enc[dqt:eoi] + b"\xff" + enc[eoi:]
+    )
+    assert np.array_equal(decode_jpeg(filled), base)
+
+    # (b) multi-scan sequential baseline == interleaved, 4:4:4 and 4:2:0
+    for sub in (False, True):
+        ref = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        split = decode_jpeg(
+            encode_jpeg(img, quality=85, subsample=sub, scan_split=True)
+        )
+        assert np.array_equal(split, ref), sub
+
+
+def test_decoders_reject_oversized_headers():
+    """Crafted headers claiming giant dimensions (or a PNG decompression
+    bomb) must raise cleanly instead of allocating executor-killing
+    buffers; auto_decode falls back to the deterministic fake."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from logparserhelper_spark.functions.multimodal import (
+        auto_decode,
+        fake_decode,
+        gif_decode,
+        png_decode,
+    )
+
+    # JPEG: rewrite SOF dims to 65535x65535
+    good = encode_jpeg(np.full((8, 8, 3), 60, dtype=np.uint8))
+    sof = good.index(b"\xff\xc0")
+    huge = (
+        good[: sof + 5]
+        + struct.pack(">HH", 65535, 65535)
+        + good[sof + 9 :]
+    )
+    with _pytest.raises(ValueError, match="too large"):
+        decode_jpeg(huge)
+    assert np.allclose(auto_decode(huge), fake_decode(huge))
+
+    # GIF: image descriptor claiming 65535x65535
+    big_gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+        + b"\x00" * 12  # 4-entry color table
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 65535, 65535, 0)
+        + bytes((2, 1, 0x44, 0x00)) + b"\x3b"
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        gif_decode(big_gif)
+
+    # PNG: a small deflate stream claiming giant dims (bounded inflate
+    # stops at the expected size; the dims check fires first here)
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        png_decode(bomb)
+
+
 def test_jpeg_rejects_unsupported():
     """Lossless SOF3, truncation, and non-JPEG bytes raise; auto_decode
     falls back to the deterministic fake."""
