@@ -12,9 +12,10 @@ modality (the accepted boundary for this image):
   row padding handled; features are dimensions + per-channel means + band
   luminances.
 - image/PNG: REAL decode via stdlib ``zlib`` (``png_decode``) — CRC-checked
-  chunks, inflate, full per-scanline unfilter (None/Sub/Up/Average/Paeth),
-  gray / RGB / palette / gray-alpha / RGBA at depth 8 or 16,
-  non-interlaced. Same feature layout as BMP/PPM.
+  chunks, bounded inflate, full per-scanline unfilter
+  (None/Sub/Up/Average/Paeth), gray / RGB / palette / gray-alpha / RGBA at
+  depth 8 or 16, progressive (Adam7) or not. Same feature layout as
+  BMP/PPM.
 - image/PPM: REAL decode (binary P6 with comments and maxval scaling).
 - image/GIF: REAL decode (``gif_decode``) — full LZW decompression with
   variable code width and table resets, global/local color tables,
@@ -247,6 +248,19 @@ def make_bmp(width: int, height: int, pixels_rgb) -> bytes:
     return header + dib + body
 
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step), pass 1..7
+# (PNG spec §8.2; every pixel covered exactly once across the 7 passes)
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/Average/
     Paeth). ``raw`` is the inflated IDAT stream: h rows of (1 filter byte +
@@ -289,14 +303,15 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
 
 def png_decode(payload: bytes) -> np.ndarray:
     """REAL image decode for PNG payloads (pure stdlib ``zlib`` +
-    ``struct``): non-interlaced, bit depth 8 or 16, color types 0 (gray),
-    2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA). Chunk CRCs are
-    verified; multiple IDAT chunks are concatenated before one inflate.
-    Alpha is dropped, 16-bit samples are scaled to 0..255 (x/257), palette
-    indices map through PLTE. Feature layout: ``_bgr_features`` (identical
-    to bmp_decode/ppm_decode so downstream consumers stay
-    container-agnostic). Adam7 interlace and other depths raise (callers
-    fall back to fake_decode)."""
+    ``struct``): bit depth 8 or 16, color types 0 (gray), 2 (RGB),
+    3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced OR
+    Adam7 (7 independently-filtered sub-images placed on their lattices).
+    Chunk CRCs are verified; multiple IDAT chunks are concatenated before
+    one size-bounded inflate. Alpha is dropped, 16-bit samples are scaled
+    to 0..255 (x/257), palette indices map through PLTE. Feature layout:
+    ``_bgr_features`` (identical to bmp_decode/ppm_decode so downstream
+    consumers stay container-agnostic). Other depths (1/2/4-bit) raise
+    (callers fall back to fake_decode)."""
     import struct
     import zlib
 
@@ -328,7 +343,7 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
         )
@@ -338,23 +353,59 @@ def png_decode(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
         raise ValueError("bad PNG dimensions")
     sample_bytes = depth // 8
-    stride = w * channels * sample_bytes
     bpp = max(1, channels * sample_bytes)
     # bounded inflate: cap output at the expected pixel-data size so a
     # decompression bomb cannot expand past the header's own claim
-    expected = h * (stride + 1)
+    if interlace:
+        passes = [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in ADAM7_PASSES
+            if -(-(w - x0) // dx) > 0 and -(-(h - y0) // dy) > 0
+        ]
+        expected = sum(
+            (-(-(h - y0) // dy))
+            * (1 + (-(-(w - x0) // dx)) * channels * sample_bytes)
+            for x0, y0, dx, dy in passes
+        )
+    else:
+        stride = w * channels * sample_bytes
+        expected = h * (stride + 1)
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
-    flat = _png_unfilter(raw, h, stride, bpp)
-    if depth == 16:
-        img = (
-            np.frombuffer(flat, dtype=">u2").astype(np.float64) / 257.0
-        ).reshape(h, w, channels)
+    if interlace:
+        # Adam7: 7 independently-filtered sub-images, each placed on its
+        # (x0::dx, y0::dy) lattice of the output frame
+        samples = np.zeros((h, w, channels), dtype=np.float64)
+        off = 0
+        for x0, y0, dx, dy in passes:
+            pw = -(-(w - x0) // dx)
+            ph = -(-(h - y0) // dy)
+            pstride = pw * channels * sample_bytes
+            sub = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride, bpp)
+            off += ph * (pstride + 1)
+            if depth == 16:
+                arr = (
+                    np.frombuffer(sub, dtype=">u2").astype(np.float64) / 257.0
+                ).reshape(ph, pw, channels)
+            else:
+                arr = (
+                    np.frombuffer(sub, dtype=np.uint8)
+                    .astype(np.float64)
+                    .reshape(ph, pw, channels)
+                )
+            samples[y0::dy, x0::dx] = arr
+        img = samples
     else:
-        img = np.frombuffer(flat, dtype=np.uint8).astype(np.float64).reshape(
-            h, w, channels
-        )
+        flat = _png_unfilter(raw, h, stride, bpp)
+        if depth == 16:
+            img = (
+                np.frombuffer(flat, dtype=">u2").astype(np.float64) / 257.0
+            ).reshape(h, w, channels)
+        else:
+            img = np.frombuffer(flat, dtype=np.uint8).astype(np.float64).reshape(
+                h, w, channels
+            )
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/bad PLTE")
@@ -392,19 +443,22 @@ def make_png(
     palette_rgb=None,
     depth: int = 8,
     filters=None,
+    interlaced: bool = False,
 ) -> bytes:
     """Serialize a PNG for tests: ``pixels`` is rows (top-first) of tuples
     sized to the color type (gray scalar for 0, (r,g,b) for 2, palette index
     for 3, (r,g,b,a) for 6). ``filters`` optionally gives a per-row filter
     type (0/1/2/3/4) so the decoder's unfilter paths are exercised; default
-    all-0. Deterministic, stdlib-only."""
+    all-0 (for Adam7 output the list is consumed per emitted sub-image row,
+    cyclically). ``interlaced`` stores the image as the 7 Adam7 passes.
+    Deterministic, stdlib-only."""
     import struct
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     sb = depth // 8
     rows = [list(r) for r in pixels]
-    filters = list(filters) if filters is not None else [0] * height
+    filters = list(filters) if filters is not None else [0]
 
     def pack_sample(v: int) -> bytes:
         return struct.pack(">H", v) if depth == 16 else bytes((v,))
@@ -417,33 +471,48 @@ def make_png(
                 out += pack_sample(v)
         return out
 
-    stride = width * channels * sb
     bpp = max(1, channels * sb)
-    prev = bytes(stride)
-    scan = b""
-    for y, row in enumerate(rows):
-        line = row_bytes(row)
-        ft = filters[y]
-        filt = bytearray(stride)
-        for i in range(stride):
-            a = line[i - bpp] if i >= bpp else 0
-            b_ = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pr = 0
-            elif ft == 1:
-                pr = a
-            elif ft == 2:
-                pr = b_
-            elif ft == 3:
-                pr = (a + b_) >> 1
-            else:
-                p = a + b_ - c
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
-            filt[i] = (line[i] - pr) & 0xFF
-        scan += bytes((ft,)) + bytes(filt)
-        prev = line
+
+    def filter_rows(sub_rows, stride, ft_iter):
+        prev = bytes(stride)
+        scan = b""
+        for row in sub_rows:
+            line = row_bytes(row)
+            ft = next(ft_iter)
+            filt = bytearray(stride)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    pr = 0
+                elif ft == 1:
+                    pr = a
+                elif ft == 2:
+                    pr = b_
+                elif ft == 3:
+                    pr = (a + b_) >> 1
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                filt[i] = (line[i] - pr) & 0xFF
+            scan += bytes((ft,)) + bytes(filt)
+            prev = line
+        return scan
+
+    import itertools
+
+    ft_iter = itertools.cycle(filters)
+    if interlaced:
+        scan = b""
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = [row[x0::dx] for row in rows[y0::dy]]
+            if not sub or not sub[0]:
+                continue  # empty pass: no bytes at all
+            scan += filter_rows(sub, len(sub[0]) * channels * sb, ft_iter)
+    else:
+        scan = filter_rows(rows, width * channels * sb, ft_iter)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -453,7 +522,9 @@ def make_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlaced else 0
+    )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", b"".join(bytes(p) for p in palette_rgb))

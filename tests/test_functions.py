@@ -511,6 +511,74 @@ def test_png_decode_color_types():
     assert np.allclose(f16[3:], fg[3:], atol=1e-6)
 
 
+def test_png_adam7_interlace():
+    """Adam7-interlaced PNGs decode to the same features as their
+    non-interlaced equivalents — all color types, 16-bit, mixed per-row
+    filters, and dimensions small enough that some passes are empty."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import make_png, png_decode
+
+    rng = np.random.RandomState(11)
+    # 13x11: not multiples of 8, exercises ragged pass dimensions
+    w, h = 13, 11
+    px = [[tuple(int(v) for v in rng.randint(0, 256, 3)) for _ in range(w)] for _ in range(h)]
+    plain = png_decode(make_png(w, h, px, color_type=2))
+    inter = png_decode(make_png(w, h, px, color_type=2, interlaced=True))
+    assert np.allclose(inter, plain, atol=1e-6)
+    # mixed filters through the interlaced path
+    inter_f = png_decode(
+        make_png(w, h, px, color_type=2, interlaced=True, filters=[0, 1, 2, 3, 4])
+    )
+    assert np.allclose(inter_f, plain, atol=1e-6)
+    # tiny image: only pass 1 has pixels (1x1) plus some empty passes
+    tiny = [[(9, 88, 222)]]
+    assert np.allclose(
+        png_decode(make_png(1, 1, tiny, color_type=2, interlaced=True)),
+        png_decode(make_png(1, 1, tiny, color_type=2)),
+        atol=1e-6,
+    )
+    # 16-bit gray + palette + RGBA through Adam7
+    g16 = [[int(v) * 257 for v in rng.randint(0, 256, w)] for _ in range(h)]
+    assert np.allclose(
+        png_decode(make_png(w, h, g16, color_type=0, depth=16, interlaced=True)),
+        png_decode(make_png(w, h, g16, color_type=0, depth=16)),
+        atol=1e-6,
+    )
+    pal = [(250, 10, 30), (5, 200, 40), (60, 70, 220)]
+    idx = [[int(v) for v in rng.randint(0, 3, w)] for _ in range(h)]
+    assert np.allclose(
+        png_decode(make_png(w, h, idx, color_type=3, palette_rgb=pal, interlaced=True)),
+        png_decode(make_png(w, h, idx, color_type=3, palette_rgb=pal)),
+        atol=1e-6,
+    )
+    rgba = [[(r, g, b, 7) for (r, g, b) in row] for row in px]
+    assert np.allclose(
+        png_decode(make_png(w, h, rgba, color_type=6, interlaced=True))[3:],
+        plain[3:],
+        atol=1e-6,
+    )
+
+
+def test_png_adam7_real_file():
+    """libpng's own canonical interlaced test image (91x69 RGBA Adam7),
+    when present on this machine: a third-party-encoded Adam7 stream must
+    decode with the exact header dims (visually verified once as the 'PNG'
+    wooden-letters image; the mean pins the pixel content)."""
+    import os
+
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.multimodal import png_decode
+
+    p = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+    if not os.path.exists(p):
+        _pytest.skip("libpng pngtest.png not on this machine")
+    f = png_decode(open(p, "rb").read())
+    assert (f[0], f[1], f[2]) == (91.0, 69.0, 32.0)
+    assert 0.05 < float(f[3]) < 0.12  # mostly-white-on-transparent mean_B
+
+
 def test_png_decode_rejects_bad_input():
     """CRC corruption, interlace, truncation, and non-PNG bytes raise (and
     auto_decode falls back to the deterministic fake)."""
@@ -533,12 +601,12 @@ def test_png_decode_rejects_bad_input():
     with _pytest.raises(ValueError):
         png_decode(bytes(bad))
     assert np.allclose(auto_decode(bytes(bad)), fake_decode(bytes(bad)))
-    # interlace flag set (recompute IHDR CRC so only interlace trips it)
+    # invalid interlace method (2) — Adam7 (1) is supported now
     import struct
     import zlib
 
     il = bytearray(good)
-    il[8 + 8 + 12] = 1  # interlace byte of IHDR data
+    il[8 + 8 + 12] = 2  # interlace byte of IHDR data
     crc = zlib.crc32(bytes(il[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
     il[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(">I", crc)
     with _pytest.raises(ValueError, match="interlace"):
