@@ -303,15 +303,15 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
 
 def png_decode(payload: bytes) -> np.ndarray:
     """REAL image decode for PNG payloads (pure stdlib ``zlib`` +
-    ``struct``): bit depth 8 or 16, color types 0 (gray), 2 (RGB),
-    3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced OR
-    Adam7 (7 independently-filtered sub-images placed on their lattices).
-    Chunk CRCs are verified; multiple IDAT chunks are concatenated before
-    one size-bounded inflate. Alpha is dropped, 16-bit samples are scaled
-    to 0..255 (x/257), palette indices map through PLTE. Feature layout:
-    ``_bgr_features`` (identical to bmp_decode/ppm_decode so downstream
-    consumers stay container-agnostic). Other depths (1/2/4-bit) raise
-    (callers fall back to fake_decode)."""
+    ``struct``): every spec-legal depth/color-type combination — gray at
+    1/2/4/8/16 bits, palette at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16 —
+    non-interlaced OR Adam7 (7 independently-filtered sub-images placed on
+    their lattices). Chunk CRCs are verified; multiple IDAT chunks are
+    concatenated before one size-bounded inflate. Alpha is dropped, 16-bit
+    samples scale to 0..255 (x/257), sub-byte gray scales to full range,
+    palette indices map through PLTE. Feature layout: ``_bgr_features``
+    (identical to bmp_decode/ppm_decode so downstream consumers stay
+    container-agnostic)."""
     import struct
     import zlib
 
@@ -348,12 +348,37 @@ def png_decode(payload: bytes) -> np.ndarray:
             f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None or depth not in (8, 16) or (color_type == 3 and depth != 8):
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
+    if channels is None or depth not in valid_depths:
         raise ValueError(f"unsupported PNG (color_type={color_type}, depth={depth})")
     if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
         raise ValueError("bad PNG dimensions")
-    sample_bytes = depth // 8
-    bpp = max(1, channels * sample_bytes)
+
+    def row_stride(npix: int) -> int:
+        return -(-(npix * channels * depth) // 8)
+
+    def subimage(raw_seg: bytes, ph: int, pw: int) -> np.ndarray:
+        """Unfilter one (sub-)image and return raw sample values
+        (ph, pw, channels) as float64 — sub-byte depths unpack MSB-first
+        with end-of-scanline filler bits dropped."""
+        stride = row_stride(pw)
+        bpp = max(1, channels * depth // 8)
+        flat = _png_unfilter(raw_seg, ph, stride, bpp)
+        if depth == 16:
+            return np.frombuffer(flat, dtype=">u2").astype(np.float64).reshape(
+                ph, pw, channels
+            )
+        if depth == 8:
+            return np.frombuffer(flat, dtype=np.uint8).astype(np.float64).reshape(
+                ph, pw, channels
+            )
+        bits = np.unpackbits(
+            np.frombuffer(flat, dtype=np.uint8).reshape(ph, stride), axis=1
+        )
+        groups = bits[:, : pw * depth].reshape(ph, pw, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.float64)
+        return (groups * weights).sum(axis=2)[..., None]
+
     # bounded inflate: cap output at the expected pixel-data size so a
     # decompression bomb cannot expand past the header's own claim
     if interlace:
@@ -363,49 +388,31 @@ def png_decode(payload: bytes) -> np.ndarray:
             if -(-(w - x0) // dx) > 0 and -(-(h - y0) // dy) > 0
         ]
         expected = sum(
-            (-(-(h - y0) // dy))
-            * (1 + (-(-(w - x0) // dx)) * channels * sample_bytes)
+            (-(-(h - y0) // dy)) * (1 + row_stride(-(-(w - x0) // dx)))
             for x0, y0, dx, dy in passes
         )
     else:
-        stride = w * channels * sample_bytes
-        expected = h * (stride + 1)
+        expected = h * (row_stride(w) + 1)
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     if interlace:
         # Adam7: 7 independently-filtered sub-images, each placed on its
         # (x0::dx, y0::dy) lattice of the output frame
-        samples = np.zeros((h, w, channels), dtype=np.float64)
+        img = np.zeros((h, w, channels), dtype=np.float64)
         off = 0
         for x0, y0, dx, dy in passes:
             pw = -(-(w - x0) // dx)
             ph = -(-(h - y0) // dy)
-            pstride = pw * channels * sample_bytes
-            sub = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride, bpp)
-            off += ph * (pstride + 1)
-            if depth == 16:
-                arr = (
-                    np.frombuffer(sub, dtype=">u2").astype(np.float64) / 257.0
-                ).reshape(ph, pw, channels)
-            else:
-                arr = (
-                    np.frombuffer(sub, dtype=np.uint8)
-                    .astype(np.float64)
-                    .reshape(ph, pw, channels)
-                )
-            samples[y0::dy, x0::dx] = arr
-        img = samples
+            seg = ph * (row_stride(pw) + 1)
+            img[y0::dy, x0::dx] = subimage(raw[off : off + seg], ph, pw)
+            off += seg
     else:
-        flat = _png_unfilter(raw, h, stride, bpp)
-        if depth == 16:
-            img = (
-                np.frombuffer(flat, dtype=">u2").astype(np.float64) / 257.0
-            ).reshape(h, w, channels)
-        else:
-            img = np.frombuffer(flat, dtype=np.uint8).astype(np.float64).reshape(
-                h, w, channels
-            )
+        img = subimage(raw, h, w)
+    if depth == 16:
+        img /= 257.0
+    elif depth < 8 and color_type == 0:
+        img *= 255.0 / ((1 << depth) - 1)  # gray sub-byte -> full range
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/bad PLTE")
@@ -464,6 +471,20 @@ def make_png(
         return struct.pack(">H", v) if depth == 16 else bytes((v,))
 
     def row_bytes(row) -> bytes:
+        if depth < 8:  # pack MSB-first, zero-fill the final byte
+            buf = 0
+            n = 0
+            out = bytearray()
+            for v in row:
+                buf = (buf << depth) | (int(v) & ((1 << depth) - 1))
+                n += depth
+                if n == 8:
+                    out.append(buf)
+                    buf = 0
+                    n = 0
+            if n:
+                out.append(buf << (8 - n))
+            return bytes(out)
         out = b""
         for px in row:
             vals = px if isinstance(px, (tuple, list)) else (px,)
@@ -472,6 +493,9 @@ def make_png(
         return out
 
     bpp = max(1, channels * sb)
+
+    def row_stride(npix: int) -> int:
+        return -(-(npix * channels * depth) // 8)
 
     def filter_rows(sub_rows, stride, ft_iter):
         prev = bytes(stride)
@@ -510,9 +534,9 @@ def make_png(
             sub = [row[x0::dx] for row in rows[y0::dy]]
             if not sub or not sub[0]:
                 continue  # empty pass: no bytes at all
-            scan += filter_rows(sub, len(sub[0]) * channels * sb, ft_iter)
+            scan += filter_rows(sub, row_stride(len(sub[0])), ft_iter)
     else:
-        scan = filter_rows(rows, width * channels * sb, ft_iter)
+        scan = filter_rows(rows, row_stride(width), ft_iter)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (

@@ -560,6 +560,40 @@ def test_png_adam7_interlace():
     )
 
 
+def test_png_sub_byte_depths():
+    """1/2/4-bit gray and palette PNGs (the favicon-class formats): packed
+    samples unpack MSB-first with filler bits dropped, gray scales to full
+    range, and the Adam7 path handles packed ragged passes too."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import make_png, png_decode
+
+    rng = np.random.RandomState(5)
+    w, h = 13, 7  # stride not byte-aligned for depths 1/2/4
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        gray = [[int(v) for v in rng.randint(0, mx + 1, w)] for _ in range(h)]
+        f = png_decode(make_png(w, h, gray, color_type=0, depth=depth))
+        exp = np.array(gray, dtype=np.float64) * (255.0 / mx)
+        exp_mean = np.float32(exp.mean() / 255.0)
+        assert abs(float(f[3]) - float(exp_mean)) < 1e-6, depth
+        # interlaced equivalence
+        fi = png_decode(make_png(w, h, gray, color_type=0, depth=depth, interlaced=True))
+        assert np.allclose(fi, f, atol=1e-6), depth
+
+    # 2-bit palette: indices map through PLTE
+    pal = [(250, 10, 30), (5, 200, 40), (60, 70, 220), (1, 2, 3)]
+    idx = [[int(v) for v in rng.randint(0, 4, w)] for _ in range(h)]
+    f2 = png_decode(make_png(w, h, idx, color_type=3, palette_rgb=pal, depth=2))
+    f8 = png_decode(make_png(w, h, idx, color_type=3, palette_rgb=pal, depth=8))
+    assert np.allclose(f2[3:], f8[3:], atol=1e-6)
+    # 1-bit black/white with mixed filters (Sub/Up on packed bytes)
+    bw = [[(x + y) % 2 for x in range(w)] for y in range(h)]
+    fbw = png_decode(make_png(w, h, bw, color_type=0, depth=1, filters=[0, 1, 2]))
+    exp = np.float32(np.mean([[v * 255.0 for v in r] for r in bw]) / 255.0)
+    assert abs(float(fbw[3]) - float(exp)) < 1e-6
+
+
 def test_png_adam7_real_file():
     """libpng's own canonical interlaced test image (91x69 RGBA Adam7),
     when present on this machine: a third-party-encoded Adam7 stream must
