@@ -2853,22 +2853,29 @@ FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
 """
 
 
+MEDIA_MATRIX_CONTAINERS = (
+    "bmp", "png", "gif", "jpeg", "tiff", "png_adam7", "bmp_pal8", "tiff_mm_packbits",
+)
+
+
 def _solid_decode_expected(i: int) -> tuple[str, float, float]:
     """Closed-form expected (container, mean_B, mean_R) features for the
     solid-color 8x8 image that media_decode_matrix builds for residue ``i``
-    (color (i%256, 7i%256, 13i%256), container by i%4). BMP/PNG/GIF are
-    lossless so the mean is the channel value; JPEG reconstructs through
-    the DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
+    (color (i%256, 7i%256, 13i%256), container by i%8 — BMP 24-bit, PNG,
+    GIF, baseline JPEG, TIFF-deflate, Adam7-interlaced PNG, 8-bit-palette
+    BMP, big-endian PackBits TIFF). Every container but JPEG is lossless so
+    the mean is the channel value; JPEG reconstructs through the
+    DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
     YCbCr (q00=2 at quality 95 for both tables) — derived independently of
-    decode_jpeg, so the oracle actually checks the decoder math. All four
+    decode_jpeg, so the oracle actually checks the decoder math. All eight
     verified equal to the real decoders for every residue in
     tests/test_functions.py::test_media_decode_matrix_closed_form."""
     import numpy as np
 
     r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
-    k = i % 4
+    k = i % 8
     if k != 3:
-        cont = ("bmp", "png", "gif")[k]
+        cont = MEDIA_MATRIX_CONTAINERS[k]
         return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
@@ -2884,21 +2891,26 @@ def _solid_decode_expected(i: int) -> tuple[str, float, float]:
 
 
 def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """Every REAL image decoder under the oracle in one query: each doc_id
-    becomes a solid-color 8x8 image in the container picked by doc_id % 4
-    (BMP / PNG / GIF / baseline JPEG, all serialized by this repo's own
-    pure-stdlib writers), decoded back through auto_decode's magic-byte
-    dispatch inside the mapInPandas extractor. The oracle joins a 256-row
-    closed-form lookup (colors and container cycle with doc_id % 256) — a
-    wrong inflate, LZW step, or IDCT shows up as a channel-mean mismatch."""
+    """Every REAL image decoder variant under the oracle in one query: each
+    doc_id becomes a solid-color 8x8 image in the container picked by
+    doc_id % 8 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF —
+    all serialized by this repo's own pure-stdlib writers), decoded back
+    through auto_decode's magic-byte dispatch inside the mapInPandas
+    extractor. The oracle joins a 256-row closed-form lookup (colors and
+    container cycle with doc_id % 256) — a wrong inflate, LZW step,
+    deinterlace, palette map, endianness, RLE, or IDCT shows up as a
+    channel-mean mismatch."""
     import numpy as np
 
     from logparserhelper_spark.functions.jpeg import encode_jpeg
     from logparserhelper_spark.functions.multimodal import (
         extract_media_features,
         make_bmp,
+        make_bmp8,
         make_gif,
         make_png,
+        make_tiff,
     )
 
     @F.pandas_udf("binary")
@@ -2912,14 +2924,25 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
         @lru_cache(maxsize=256)
         def build(rid: int) -> bytes:
             c = (rid % 256, (7 * rid) % 256, (13 * rid) % 256)
-            k = rid % 4
+            k = rid % 8
             if k == 0:
                 return make_bmp(8, 8, [[c] * 8] * 8)
             if k == 1:
                 return make_png(8, 8, [[c] * 8] * 8, color_type=2)
             if k == 2:
                 return make_gif(8, 8, [c], [[0] * 8] * 8)
-            return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+            if k == 3:
+                return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+            if k == 4:
+                return make_tiff(8, 8, [[c] * 8] * 8, compression=8)
+            if k == 5:
+                return make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
+            if k == 6:
+                return make_bmp8(8, 8, [c], [[0] * 8] * 8)
+            return make_tiff(
+                8, 8, [[c] * 8] * 8, compression=32773,
+                rows_per_strip=3, big_endian=True,
+            )
 
         return ids.map(lambda i: build(int(i) % 256))
 
@@ -2935,8 +2958,8 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
     feats = extract_media_features(media)
     container = F.element_at(
-        F.array(F.lit("bmp"), F.lit("png"), F.lit("gif"), F.lit("jpeg")),
-        (F.col("media_id") % 4 + 1).cast("int"),
+        F.array(*[F.lit(c) for c in MEDIA_MATRIX_CONTAINERS]),
+        (F.col("media_id") % 8 + 1).cast("int"),
     )
     return feats.select(
         "media_id",

@@ -1104,32 +1104,44 @@ def test_jpeg_rejects_unsupported():
 def test_media_decode_matrix_closed_form():
     """The closed-form oracle lookup used by the media_decode_matrix extra
     query equals the REAL decoders' output for every one of the 256
-    residues — all four containers, all colors the query can generate."""
+    residues — all eight container variants (incl. Adam7, palette BMP,
+    and both TIFF layouts), all colors the query can generate."""
     import numpy as np
 
     from logparserhelper_spark.functions.jpeg import encode_jpeg
     from logparserhelper_spark.functions.multimodal import (
         auto_decode,
         make_bmp,
+        make_bmp8,
         make_gif,
         make_png,
+        make_tiff,
     )
     from logparserhelper_spark.plans.contract_queries import _solid_decode_expected
 
     for i in range(256):
         c = (i % 256, (7 * i) % 256, (13 * i) % 256)
-        k = i % 4
+        k = i % 8
         if k == 0:
             p = make_bmp(8, 8, [[c] * 8] * 8)
         elif k == 1:
             p = make_png(8, 8, [[c] * 8] * 8, color_type=2)
         elif k == 2:
             p = make_gif(8, 8, [c], [[0] * 8] * 8)
-        else:
+        elif k == 3:
             p = encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+        elif k == 4:
+            p = make_tiff(8, 8, [[c] * 8] * 8, compression=8)
+        elif k == 5:
+            p = make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
+        elif k == 6:
+            p = make_bmp8(8, 8, [c], [[0] * 8] * 8)
+        else:
+            p = make_tiff(8, 8, [[c] * 8] * 8, compression=32773,
+                          rows_per_strip=3, big_endian=True)
         f = auto_decode(p)
         cont, mb, mr = _solid_decode_expected(i)
-        assert (f[0], f[1]) == (8.0, 8.0), i
+        assert (f[0], f[1]) == (8.0, 8.0), (i, cont)
         assert float(f[3]) == mb and float(f[5]) == mr, (i, cont)
 
 
