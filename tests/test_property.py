@@ -380,3 +380,87 @@ def test_random_banks_skip_aware_equals_full_chain(steps, text):
         [text], [cb.extract(text)], bank.spec(), ct
     )
     assert got == [full], (tspec, text)
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip properties: random images through every container must
+# reproduce the SAME features as the plain BMP path (lossless containers) or
+# the baseline layout (JPEG transcodes)
+# ---------------------------------------------------------------------------
+
+_img_dims = st.tuples(st.integers(1, 19), st.integers(1, 17))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _img_dims,
+    st.randoms(use_true_random=False),
+    st.booleans(),
+    st.sampled_from([1, 8, 32773]),
+    st.booleans(),
+)
+def test_property_lossless_containers_agree(dims, rnd, interlaced, tiff_comp, big_endian):
+    """PNG (interlaced or not), GIF, and TIFF (any compression/endianness)
+    of the same random pixels must yield byte-identical features to BMP."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import (
+        bmp_decode,
+        gif_decode,
+        make_bmp,
+        make_gif,
+        make_png,
+        make_tiff,
+        png_decode,
+        tiff_decode,
+    )
+
+    w, h = dims
+    px = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    ref = bmp_decode(make_bmp(w, h, px))
+    fp = png_decode(
+        make_png(w, h, px, color_type=2, interlaced=interlaced,
+                 filters=[rnd.randrange(5) for _ in range(7)])
+    )
+    assert np.allclose(fp[3:], ref[3:], atol=1e-6)
+    ft = tiff_decode(
+        make_tiff(w, h, px, compression=tiff_comp,
+                  rows_per_strip=rnd.randrange(1, h + 1), big_endian=big_endian)
+    )
+    assert np.allclose(ft[3:], ref[3:], atol=1e-6)
+    # GIF needs a palette: quantize to <=64 distinct colors
+    pal = sorted({c for row in px for c in row})[:64]
+    pmap = {c: i for i, c in enumerate(pal)}
+    idx = [[pmap.get(c, 0) for c in row] for row in px]
+    px_q = [[pal[i] for i in row] for row in idx]
+    refq = bmp_decode(make_bmp(w, h, px_q))
+    fg = gif_decode(make_gif(w, h, pal, idx, interlaced=interlaced))
+    assert np.allclose(fg[3:], refq[3:], atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_img_dims, st.randoms(use_true_random=False), st.booleans(), st.integers(70, 98))
+def test_property_jpeg_layouts_agree(dims, rnd, subsample, quality):
+    """Progressive and multi-scan-sequential transcodes of the same random
+    image must decode EXACTLY equal to the single-scan baseline layout."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = dims
+    img = np.array(
+        [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        dtype=np.uint8,
+    )
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsample=subsample, progressive=True)
+    )
+    split = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsample=subsample, scan_split=True)
+    )
+    assert np.array_equal(base, prog)
+    assert np.array_equal(base, split)
