@@ -650,6 +650,144 @@ def test_png_decode_rejects_bad_input():
         png_decode(good[: len(good) // 2])
 
 
+def _make_wav(fmt_tag, ch, sr, bits, block_align, data):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, sr, sr * ch * bits // 8,
+                      block_align, bits)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def test_wav_g711_matches_audioop():
+    """mu-law and A-law decoding must match CPython's audioop (an
+    independent implementation) for every one of the 256 code bytes, and a
+    companded sine must land within companding error of the PCM features."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from logparserhelper_spark.functions.multimodal import (
+        _alaw_to_lin,
+        _ulaw_to_lin,
+        auto_decode,
+        wav_decode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    ref_u = np.frombuffer(audioop.ulaw2lin(bytes(codes), 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(bytes(codes), 2), dtype="<i2")
+    assert np.array_equal(_ulaw_to_lin(codes), ref_u)
+    assert np.array_equal(_alaw_to_lin(codes), ref_a)
+
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * t / 40.0) * 12000).astype("<i2")
+    pcm = _make_wav(1, 1, 8000, 16, 2, sine.tobytes())
+    f_pcm = wav_decode(pcm)
+    for tag, frag in ((7, audioop.lin2ulaw(sine.tobytes(), 2)),
+                      (6, audioop.lin2alaw(sine.tobytes(), 2))):
+        f = wav_decode(_make_wav(tag, 1, 8000, 8, 1, frag))
+        assert abs(float(f[0]) - float(f_pcm[0])) < 1e-6  # same duration
+        assert abs(float(f[3]) - float(f_pcm[3])) < 0.01  # rms within companding error
+        assert np.allclose(auto_decode(_make_wav(tag, 1, 8000, 8, 1, frag)), f)
+
+
+def test_wav_ima_adpcm():
+    """IMA-ADPCM blocks: the nibble state machine must match audioop's
+    DVI-ADPCM decoder (independent implementation, same tables), and an
+    encoded sine through WAV blocks lands within ADPCM error of PCM."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from logparserhelper_spark.functions.multimodal import (
+        _ima_adpcm_decode_block,
+        wav_decode,
+    )
+
+    rng = np.random.RandomState(4)
+    nibbles = [int(v) for v in rng.randint(0, 16, 16)]
+    # my block: header (pred=0, idx=0) + nibbles low-first
+    body = bytes(
+        (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, 16, 2)
+    )
+    blk = struct.pack("<hBB", 0, 0, 0) + body
+    mine = _ima_adpcm_decode_block(blk, 1)[:, 0]
+    # audioop packs nibbles HIGH-first; state (valpred, index) = (0, 0)
+    frag = bytes(
+        ((nibbles[i] << 4) | nibbles[i + 1]) for i in range(0, 16, 2)
+    )
+    ref, _state = audioop.adpcm2lin(frag, 2, (0, 0))
+    ref = np.frombuffer(ref, dtype="<i2")
+    assert mine[0] == 0  # header predictor is sample 0
+    assert np.array_equal(mine[1:], ref)
+
+    # end-to-end: IMA-encode a sine (inverse of the decoder's arithmetic)
+    from logparserhelper_spark.functions.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    def ima_encode_block(samples):
+        pred, idx = int(samples[0]), 0
+        out = struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in samples[1:]:
+            step = int(_IMA_STEP_TABLE[idx])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # reconstruct exactly like the decoder
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = min(32767, max(-32768, pred))
+            idx = min(88, max(0, idx + int(_IMA_INDEX_TABLE[nib])))
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        return out + bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2))
+
+    t = np.arange(505)
+    sine = (np.sin(2 * np.pi * t / 50.0) * 9000).astype(np.int64)
+    block_samples = 1 + 8 * ((128 - 4) // 4) * 2 // 2  # 4-byte header + nibbles
+    blocks = b""
+    n_per_block = 249  # 1 header sample + 248 nibbles -> 128-byte block
+    for b0 in range(0, len(sine), n_per_block):
+        chunk = sine[b0 : b0 + n_per_block]
+        if len(chunk) < 2:
+            break
+        blocks += ima_encode_block(chunk)
+    wav = _make_wav(0x11, 1, 8000, 4, 128, blocks)
+    f = wav_decode(wav)
+    pcm = _make_wav(1, 1, 8000, 16, 2, sine.astype("<i2").tobytes())
+    f_pcm = wav_decode(pcm)
+    assert float(f[1]) == 1.0
+    assert abs(float(f[3]) - float(f_pcm[3])) < 0.02  # rms within ADPCM error
+
+
 def test_tiff_decode_matrix():
     """TIFF decode across both byte orders, strip layouts, and the three
     supported compressions (none / deflate / PackBits): identical features
