@@ -38,9 +38,9 @@ modality (the accepted boundary for this image):
   contract query ``media_features`` reproduces them in DuckDB). Swap in a
   real decoder by passing ``decode_fn`` in production.
 
-The default ``auto_decode`` dispatches on container magic bytes: RIFF/WAVE
-and BM payloads take the real paths, everything else the deterministic
-fake.
+The default ``auto_decode`` dispatches on container magic bytes:
+RIFF/WAVE, BM, P6, PNG, GIF8xa, JPEG SOI, and TIFF II*/MM* payloads take
+the real paths, everything else the deterministic fake.
 
 At 100 TB: binary payloads dominate row size, so media tables must set
 ``spark.sql.files.maxPartitionBytes`` low enough that one Arrow batch of
@@ -90,19 +90,19 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-# IMA-ADPCM tables (IMA ADPCM reference algorithm / WAV format 0x11)
-_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
-_IMA_STEP_TABLE = np.array(
-    [
-        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
-        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
-        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
-        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
-        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
-        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
-        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
-    ],
-    dtype=np.int32,
+# IMA-ADPCM tables (IMA ADPCM reference algorithm / WAV format 0x11).
+# Plain tuples, not numpy arrays: the decode loop indexes them one scalar at
+# a time, where tuple __getitem__ is several times faster than a numpy
+# scalar lookup.
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8) * 2
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 )
 
 
@@ -147,7 +147,7 @@ def _ima_adpcm_decode_block(data: bytes, n_ch: int) -> np.ndarray:
             pred, idx = preds[c], idxs[c]
             for byte in chunk:
                 for nib in (byte & 0x0F, byte >> 4):
-                    step = int(_IMA_STEP_TABLE[idx])
+                    step = _IMA_STEP_TABLE[idx]
                     diff = step >> 3
                     if nib & 1:
                         diff += step >> 2
@@ -160,7 +160,7 @@ def _ima_adpcm_decode_block(data: bytes, n_ch: int) -> np.ndarray:
                     else:
                         pred += diff
                     pred = min(32767, max(-32768, pred))
-                    idx = min(88, max(0, idx + int(_IMA_INDEX_TABLE[nib])))
+                    idx = min(88, max(0, idx + _IMA_INDEX_TABLE[nib]))
                     out[c].append(pred)
             preds[c], idxs[c] = pred, idx
     n = min(len(o) for o in out)
@@ -389,6 +389,14 @@ ADAM7_PASSES = (
 )
 
 
+def _png_row_stride(npix: int, channels: int, depth: int) -> int:
+    """Bytes per PNG scanline (excluding the filter byte): samples are
+    packed, so sub-byte depths round up to whole bytes. The ONE source of
+    truth shared by png_decode and make_png — encoder and decoder must
+    agree on stride."""
+    return -(-(npix * channels * depth) // 8)
+
+
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/Average/
     Paeth). ``raw`` is the inflated IDAT stream: h rows of (1 filter byte +
@@ -483,7 +491,7 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise ValueError("bad PNG dimensions")
 
     def row_stride(npix: int) -> int:
-        return -(-(npix * channels * depth) // 8)
+        return _png_row_stride(npix, channels, depth)
 
     def subimage(raw_seg: bytes, ph: int, pw: int) -> np.ndarray:
         """Unfilter one (sub-)image and return raw sample values
@@ -615,6 +623,11 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         tags[tag] = vals
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF unsupported")
+    if tags.get(284, (1,))[0] != 1:
+        raise ValueError("planar-configuration TIFF unsupported")
+    predictor = tags.get(317, (1,))[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     w = tags.get(256, (0,))[0]
     h = tags.get(257, (0,))[0]
     comp = tags.get(259, (1,))[0]
@@ -652,11 +665,14 @@ def tiff_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"unsupported TIFF compression {comp}")
     if len(raw) < expected_total:
         raise ValueError("truncated TIFF pixel data")
-    img = (
-        np.frombuffer(bytes(raw[:expected_total]), dtype=np.uint8)
-        .astype(np.float64)
-        .reshape(h, w, spp)
+    arr = np.frombuffer(bytes(raw[:expected_total]), dtype=np.uint8).reshape(
+        h, w, spp
     )
+    if predictor == 2:
+        # horizontal differencing: each sample is stored as the delta from
+        # the previous pixel's same channel; undo with a mod-256 row cumsum
+        arr = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64) % 256
+    img = arr.astype(np.float64)
     if photo in (0, 1):
         g = img[:, :, :1]
         if photo == 0:
@@ -684,10 +700,12 @@ def make_tiff(
     compression: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize an 8-bit RGB TIFF for tests: compression 1 (none),
     8 (deflate), or 32773 (PackBits); multiple strips when
-    ``rows_per_strip`` is set; either byte order. Deterministic."""
+    ``rows_per_strip`` is set; either byte order; predictor 2 applies
+    horizontal differencing before compression. Deterministic."""
     import struct
     import zlib
 
@@ -699,6 +717,11 @@ def make_tiff(
         body = b"".join(
             bytes(v for px in row for v in px) for row in rows[y0 : y0 + rps]
         )
+        if predictor == 2:
+            a = np.frombuffer(body, dtype=np.uint8).reshape(-1, width, 3).astype(np.int64)
+            d = a.copy()
+            d[:, 1:] = (a[:, 1:] - a[:, :-1]) % 256
+            body = d.astype(np.uint8).tobytes()
         if compression == 8:
             body = zlib.compress(body)
         elif compression == 32773:
@@ -711,7 +734,7 @@ def make_tiff(
         strips.append(body)
 
     # layout: header(8) + IFD + values + strip data
-    n_tags = 9
+    n_tags = 10
     ifd_off = 8
     ifd_size = 2 + 12 * n_tags + 4
     data_off = ifd_off + ifd_size
@@ -757,6 +780,7 @@ def make_tiff(
         entry(277, 3, 1, 3),
         entry(278, 4, 1, rps),
         entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else strip_off_pos + 4 * n_strips),
+        entry(317, 3, 1, predictor),
     ]
     out = struct.pack(fmt + "2sHI", b"II" if fmt == "<" else b"MM", 42, ifd_off)
     out += struct.pack(fmt + "H", n_tags)
@@ -835,7 +859,7 @@ def make_png(
     bpp = max(1, channels * sb)
 
     def row_stride(npix: int) -> int:
-        return -(-(npix * channels * depth) // 8)
+        return _png_row_stride(npix, channels, depth)
 
     def filter_rows(sub_rows, stride, ft_iter):
         prev = bytes(stride)

@@ -772,7 +772,6 @@ def test_wav_ima_adpcm():
 
     t = np.arange(505)
     sine = (np.sin(2 * np.pi * t / 50.0) * 9000).astype(np.int64)
-    block_samples = 1 + 8 * ((128 - 4) // 4) * 2 // 2  # 4-byte header + nibbles
     blocks = b""
     n_per_block = 249  # 1 header sample + 248 nibbles -> 128-byte block
     for b0 in range(0, len(sine), n_per_block):
@@ -814,9 +813,25 @@ def test_tiff_decode_matrix():
                 f = tiff_decode(t)
                 assert (f[0], f[1], f[2]) == (7.0, 5.0, 24.0), (comp, rps, be)
                 assert np.allclose(f[3:], ref[3:], atol=1e-6), (comp, rps, be)
-    # auto_decode dispatches both endianness magics
-    assert np.allclose(auto_decode(make_tiff(w, h, px)), ref, atol=1e-6) or True
-    assert np.allclose(auto_decode(make_tiff(w, h, px))[3:], ref[3:], atol=1e-6)
+    # auto_decode dispatches both endianness magics (full feature vector:
+    # dims + bpp come from the TIFF header, pixels match the BMP reference)
+    for be in (False, True):
+        fa = auto_decode(make_tiff(w, h, px, big_endian=be))
+        assert (fa[0], fa[1], fa[2]) == (7.0, 5.0, 24.0)
+        assert np.allclose(fa[3:], ref[3:], atol=1e-6)
+    # predictor-2 horizontal differencing round-trips exactly
+    fpred = tiff_decode(make_tiff(w, h, px, compression=8, predictor=2))
+    assert np.allclose(fpred[3:], ref[3:], atol=1e-6)
+    # unsupported predictor / planar configuration must raise, not corrupt
+    import struct as _struct
+
+    t = bytearray(make_tiff(w, h, px))
+    n = _struct.unpack_from("<H", t, 8)[0]
+    for i in range(n):
+        if _struct.unpack_from("<H", t, 10 + 12 * i)[0] == 317:
+            _struct.pack_into("<HH", t, 18 + 12 * i, 3, 0)  # predictor 3
+    with _pytest.raises(ValueError, match="predictor"):
+        tiff_decode(bytes(t))
     with _pytest.raises(ValueError):
         tiff_decode(b"II+\x00garbage")
 
