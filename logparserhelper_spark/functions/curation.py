@@ -125,6 +125,35 @@ def contamination_overlap(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-Res) per group:
+    each row gets priority u^(1/w) for deterministic md5-uniform u — rank
+    by ln(u)/w equivalently — and the k largest priorities win. Items are
+    selected with probability proportional to weight, the selection is
+    reproducible under reprocessing (unlike rand()-based sampling), and
+    the plan is a WindowGroupLimit: each task pre-ranks locally so the
+    exchange carries at most k rows per group per task. The ranking key is
+    rounded to integer micro-nats ((ln u)/w * 1e6) with an id tiebreak so
+    both engines order identically despite libm ulp differences."""
+    u = hash_fraction(F.col(id_col))
+    key = F.round(F.log(u) / F.col(weight_col) * 1e6).cast("long")
+    ranked = df.withColumn("_key", key).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.desc("_key"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") <= k).drop("_key", "_rn")
+
+
 def contamination_bloom(
     train: DataFrame,
     bench: DataFrame,

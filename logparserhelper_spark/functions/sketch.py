@@ -69,6 +69,64 @@ def md5_slot(col, salt: int, mod: int) -> F.Column:
     return F.conv(h, 16, 10).cast("long") % mod
 
 
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct estimate (Flajolet et al. 2007) per group —
+    the production-standard distinct sketch beside KMV: hash each value to
+    32 bits (md5, engine-portable), bucket on the top ``p`` bits, register
+    = max leading-zero rank of the remainder, estimate via the harmonic
+    mean with the small-range linear-counting correction. The shuffle
+    carries at most 2^p registers per group (map-side combined maxes), so
+    cardinality never inflates the exchange — the property that lets a
+    10^12-row distinct run in one bounded pass.
+
+    Deterministic and oracle-checkable: the rank uses integer bit-length
+    (via the binary-string trick both engines share), the harmonic sum is
+    a sum of exact powers of two (order-independent in IEEE double), and
+    the estimate is rounded at 2 decimals to absorb libm ln() ulp
+    differences. Returns (group, n_registers, hll_est)."""
+    m = 1 << p
+    rest_bits = 32 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("h:"), F.col("_v").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(
+            "_g",
+            F.shiftright(h, rest_bits).alias("_bucket"),
+            (h % F.lit(1 << rest_bits)).alias("_rest"),
+        )
+    )
+    rho = F.when(F.col("_rest") == 0, rest_bits + 1).otherwise(
+        rest_bits - F.length(F.bin(F.col("_rest"))) + 1
+    )
+    regs = base.select("_g", "_bucket", rho.alias("_rho")).groupBy(
+        "_g", "_bucket"
+    ).agg(F.max("_rho").alias("_M"))
+    agg = regs.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_s"),
+    )
+    raw = (
+        F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("n_registers")))
+    )
+    v_zero = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_registers",
+        F.round(est, 2).alias("hll_est"),
+    )
+
+
 def count_min_table(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:

@@ -2992,6 +2992,90 @@ FROM documents d JOIN lut l ON d.doc_id % 256 = l.rid
 SQL_MEDIA_DECODE_MATRIX = _media_decode_matrix_sql()
 
 
+def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog per-event-type distinct users (functions/sketch.py:
+    hll_distinct, p=8 -> 256 registers) next to the exact count. The
+    oracle reproduces the registers, the exact harmonic sum (powers of
+    two — order-independent in IEEE double), and the linear-counting
+    branch bit-for-bit from the same md5 hash."""
+    from logparserhelper_spark.functions.sketch import hll_distinct
+
+    ev = (
+        _t(spark, sf, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    est = hll_distinct(ev, "event_type", "user_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+SQL_HLL_DISTINCT_USERS = """
+WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT event_type, user_id,
+             CAST(('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      FROM ev),
+b AS (SELECT event_type, hv // 16777216 AS bucket, hv % 16777216 AS rest FROM h),
+r AS (SELECT event_type, bucket,
+             MAX(CASE WHEN rest = 0 THEN 25
+                      ELSE 24 - length(format('{:b}', rest)) + 1 END) AS m_reg
+      FROM b GROUP BY event_type, bucket),
+agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
+               SUM(power(2.0, -m_reg)) AS s
+        FROM r GROUP BY event_type),
+est AS (SELECT event_type, n_registers,
+               (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (s + (256 - n_registers)) AS raw,
+               256 - n_registers AS v_zero
+        FROM agg),
+fin AS (SELECT event_type, n_registers,
+               CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                    THEN 256 * ln(256.0 / v_zero) ELSE raw END AS e
+        FROM est),
+ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM ev GROUP BY event_type)
+SELECT f.event_type, f.n_registers, ROUND(f.e, 2) AS hll_est, ex.exact_distinct
+FROM fin f JOIN ex USING (event_type)
+ORDER BY f.event_type
+"""
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted reservoir sampling (functions/curation.py:
+    weighted_sample_topk): top-10 docs per language with probability
+    proportional to n_chars via deterministic A-Res priorities. Output is
+    the per-language selection summary (count, id checksum, weight sum),
+    so the row count stays bounded at any SF."""
+    from logparserhelper_spark.functions.curation import weighted_sample_topk
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    kept = weighted_sample_topk(d, "lang", "n_chars", k=10, id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("weight_sum"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(ROUND(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0) / n_chars * 1e6) AS BIGINT) AS k
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+  FROM keyed)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS weight_sum
+FROM ranked WHERE rn <= 10
+GROUP BY lang
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3025,6 +3109,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_contamination": q_bloom_contamination,
     "media_decode_matrix": q_media_decode_matrix,
+    "hll_distinct_users": q_hll_distinct_users,
+    "weighted_sample_docs": q_weighted_sample_docs,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3053,4 +3139,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_contamination": SQL_BLOOM_CONTAMINATION,
     "media_decode_matrix": SQL_MEDIA_DECODE_MATRIX,
+    "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
 }

@@ -164,3 +164,50 @@ def test_contamination_bloom_superset_of_exact(spark):
     assert set(saturated) == {1, 2, 3}
     assert all(ns == nb for ns, nb, _ in saturated.values())
     assert saturated[2][2] == 0  # doc 2 is a pure false positive
+
+
+def test_hll_distinct_accuracy(spark):
+    """HLL invariants: estimate within the expected ~1.04/sqrt(256)
+    relative error on a 20k-distinct group, exact-ish via linear counting
+    on tiny groups, registers bounded by 256, and a pure-Python mirror of
+    the register construction agrees."""
+    import hashlib
+
+    from logparserhelper_spark.functions.sketch import hll_distinct
+
+    big = spark.range(0, 20000).select(F.lit("big").alias("g"), F.col("id").alias("v"))
+    small = spark.range(0, 40).select(F.lit("small").alias("g"), (F.col("id") + 10 ** 6).alias("v"))
+    rows = {r.g: r for r in hll_distinct(big.union(small), "g", "v").collect()}
+    assert rows["big"].n_registers <= 256
+    assert abs(rows["big"].hll_est - 20000) / 20000 < 0.2  # ~3 sigma at p=8
+    assert abs(rows["small"].hll_est - 40) < 6  # linear-counting regime
+
+    # mirror the registers in pure Python
+    regs = {}
+    for v in range(40):
+        h = int(hashlib.md5(f"h:{v + 10**6}".encode()).hexdigest()[:8], 16)
+        b, rest = h >> 24, h & 0xFFFFFF
+        rho = 25 if rest == 0 else 24 - rest.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    assert rows["small"].n_registers == len(regs)
+
+
+def test_weighted_sample_topk(spark):
+    """A-Res invariants: deterministic under recomputation, at most k per
+    group, and an overwhelming weight is always selected while zero-ish
+    weights lose: on weights (1e9 vs 1) the heavy doc must be in every
+    group's sample."""
+    from logparserhelper_spark.functions.curation import weighted_sample_topk
+
+    rows = [(g * 1000 + i, f"g{g}", 1000000000 if i == 7 else 1)
+            for g in range(4) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got1 = {(r.lang, r.doc_id) for r in weighted_sample_topk(df, "lang", "w", k=5).collect()}
+    got2 = {(r.lang, r.doc_id) for r in weighted_sample_topk(df, "lang", "w", k=5).collect()}
+    assert got1 == got2  # reproducible, not rand()-based
+    per_group = {}
+    for lang, doc in got1:
+        per_group.setdefault(lang, set()).add(doc)
+    assert all(len(s) == 5 for s in per_group.values())
+    for g in range(4):
+        assert g * 1000 + 7 in per_group[f"g{g}"], g  # heavy item always wins
