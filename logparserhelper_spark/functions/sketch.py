@@ -127,6 +127,62 @@ def hll_distinct(
     )
 
 
+def log_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (50, 95),
+) -> DataFrame:
+    """Mergeable quantile sketch with a DETERMINISTIC, engine-portable
+    construction: values are scaled to integer micros, binned by
+    (bit_length, next-2-bits) — 4 sub-bins per octave, <= ~12.5% relative
+    error — and per-group bin counts aggregate with map-side combine (the
+    shuffle carries at most ~120 bins per group, never the values). The
+    q-th percentile estimate is the midpoint of the first bin whose
+    cumulative count reaches ceil(q*n/100).
+
+    Unlike t-digest/GK/KLL, whose centroids depend on arrival ORDER (and
+    so are not partition-invariant), this binning is a pure function of
+    each value — the same property that makes every other sketch in this
+    module oracle-checkable bit-for-bit. Bit-length comes from the binary
+    string length (integer, no float log), and the power-of-two products
+    in the bin bounds are exact in IEEE double, so both engines compute
+    identical bins and midpoints. Returns (group, n, q<q>_est ...)."""
+    m = F.greatest(F.round(F.col(value_col) * 1e6).cast("long"), F.lit(1))
+    bl = F.length(F.bin(m))
+    p = F.pow(F.lit(2.0), (bl - 3).cast("double"))
+    sub = F.when(bl >= 3, F.floor(m / p) % 4).otherwise(F.lit(0)).cast("int")
+    lower = F.when(
+        bl >= 3, (4 + sub) * p
+    ).otherwise(F.pow(F.lit(2.0), (bl - 1).cast("double")))
+    upper = F.when(
+        bl >= 3, (5 + sub) * p
+    ).otherwise(F.pow(F.lit(2.0), bl.cast("double")))
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            (bl * 4 + sub).alias("_bin"),
+            ((lower + upper) / 2.0 / 1e6).alias("_rep"),
+        )
+        .groupBy("_g", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("_rep").alias("_rep"))
+    )
+    w = Window.partitionBy("_g").orderBy("_bin")
+    cum = binned.withColumn("_cum", F.sum("_c").over(w))
+    totals = binned.groupBy("_g").agg(F.sum("_c").cast("long").alias("n"))
+    out = totals
+    for q in qs:
+        qdf = (
+            cum.join(totals, "_g")
+            .filter(F.col("_cum") >= F.ceil(F.col("n") * q / 100))
+            .groupBy("_g")
+            .agg(F.round(F.min_by("_rep", "_bin"), 6).alias(f"q{q}_est"))
+        )
+        out = out.join(qdf, "_g")
+    return out.select(F.col("_g").alias(group_col), "n", *[f"q{q}_est" for q in qs])
+
+
 def count_min_table(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:

@@ -3076,6 +3076,48 @@ GROUP BY lang
 """
 
 
+def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type p50/p95 via the deterministic log-histogram quantile
+    sketch (functions/sketch.py:log_histogram_quantiles — the
+    partition-invariant alternative to order-dependent t-digest/KLL;
+    <= ~12.5% relative error, bin counts mergeable map-side). The exact
+    interpolated percentiles live in the separate value_percentiles
+    exposed query; the pytest ring asserts the error bound between them."""
+    from logparserhelper_spark.functions.sketch import log_histogram_quantiles
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return log_histogram_quantiles(ev, "event_type", "value", qs=(50, 95)).orderBy(
+        "event_type"
+    )
+
+
+SQL_VALUE_QUANTILE_SKETCH = """
+WITH ev AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+mb AS (SELECT g, GREATEST(CAST(ROUND(value * 1e6) AS BIGINT), 1) AS m FROM ev),
+bb AS (SELECT g, m, length(format('{:b}', m)) AS bl FROM mb),
+sb AS (SELECT g, bl,
+              CASE WHEN bl >= 3
+                   THEN CAST(FLOOR(m / power(2, bl - 3)) AS BIGINT) % 4
+                   ELSE 0 END AS sub
+       FROM bb),
+reps AS (SELECT g, bl * 4 + sub AS bin,
+                CASE WHEN bl >= 3
+                     THEN ((4 + sub) * power(2, bl - 3) + (5 + sub) * power(2, bl - 3)) / 2.0 / 1e6
+                     ELSE (power(2, bl - 1) + power(2, bl)) / 2.0 / 1e6 END AS rep
+         FROM sb),
+hist AS (SELECT g, bin, COUNT(*) AS c, MIN(rep) AS rep FROM reps GROUP BY g, bin),
+cum AS (SELECT g, bin, rep, SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum FROM hist),
+tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY g),
+q50 AS (SELECT cum.g, ROUND(MIN_BY(rep, bin), 6) AS q50_est
+        FROM cum JOIN tot USING (g) WHERE cum >= CEIL(n * 50 / 100) GROUP BY cum.g),
+q95 AS (SELECT cum.g, ROUND(MIN_BY(rep, bin), 6) AS q95_est
+        FROM cum JOIN tot USING (g) WHERE cum >= CEIL(n * 95 / 100) GROUP BY cum.g)
+SELECT tot.g AS event_type, tot.n, q50.q50_est, q95.q95_est
+FROM tot JOIN q50 USING (g) JOIN q95 USING (g)
+ORDER BY tot.g
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3111,6 +3153,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_matrix": q_media_decode_matrix,
     "hll_distinct_users": q_hll_distinct_users,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "value_quantile_sketch": q_value_quantile_sketch,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3141,4 +3184,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_decode_matrix": SQL_MEDIA_DECODE_MATRIX,
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
+    "value_quantile_sketch": SQL_VALUE_QUANTILE_SKETCH,
 }

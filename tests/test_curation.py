@@ -211,3 +211,40 @@ def test_weighted_sample_topk(spark):
     assert all(len(s) == 5 for s in per_group.values())
     for g in range(4):
         assert g * 1000 + 7 in per_group[f"g{g}"], g  # heavy item always wins
+
+
+def test_log_histogram_quantile_error_bound(spark):
+    """The log-histogram quantile sketch must land within its documented
+    ~12.5%-per-octave error of the exact interpolated percentiles, and be
+    partition-invariant (bin construction is a pure function of the value,
+    unlike order-dependent t-digest centroids)."""
+    from logparserhelper_spark.functions.sketch import log_histogram_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value"
+    )
+    est = {
+        r.event_type: (r.q50_est, r.q95_est)
+        for r in log_histogram_quantiles(ev, "event_type", "value").collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact) and est
+    for et in exact:
+        for e, x in zip(est[et], exact[et]):
+            assert abs(e - x) / x < 0.14, (et, e, x)
+    # partition-invariance: same result from a deliberately skewed layout
+    est2 = {
+        r.event_type: (r.q50_est, r.q95_est)
+        for r in log_histogram_quantiles(
+            ev.repartition(7, "value"), "event_type", "value"
+        ).collect()
+    }
+    assert est2 == est
