@@ -18,6 +18,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
@@ -77,6 +78,95 @@ def stateful_conv_rollup(stream_df: DataFrame, bank: PatternBank) -> DataFrame:
             fold,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_registers", T.LongType()),
+        T.StructField("hll_est", T.DoubleType()),
+    ]
+)
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("registers", T.BinaryType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_hll_distinct(
+    stream_df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Streaming distinct-count: HyperLogLog registers as
+    ``applyInPandasWithState`` state (2^p bytes per group — the whole
+    point: state size is CONSTANT regardless of how many distinct values a
+    group ever sees, where a streaming dropDuplicates would grow without
+    bound). Each micro-batch folds its values' md5 ranks into the register
+    maxes and emits the updated estimate (update semantics).
+
+    Uses the SAME hash and estimate formula as the batch
+    ``sketch.hll_distinct``, so after all data has streamed through, the
+    final emitted row per group EQUALS the batch sketch's output —
+    pinned by tests/test_streaming.py."""
+    m = 1 << p
+    rest_bits = 32 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def fold(key, pdfs, state):
+        import hashlib
+
+        import numpy as np
+
+        if state.exists:
+            regs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            n = int(state.get[1])
+        else:
+            regs = np.zeros(m, dtype=np.uint8)
+            n = 0
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                h = int(hashlib.md5(f"h:{v}".encode()).hexdigest()[:8], 16)
+                b = h >> rest_bits
+                rest = h & ((1 << rest_bits) - 1)
+                rho = rest_bits + 1 if rest == 0 else rest_bits - rest.bit_length() + 1
+                if rho > regs[b]:
+                    regs[b] = rho
+                n += 1
+        state.update((bytes(regs.tobytes()), n))
+        nz = regs[regs > 0]
+        s = float((2.0 ** -regs[regs > 0].astype(np.float64)).sum()) + (m - len(nz))
+        raw = alpha * m * m / s
+        v_zero = m - len(nz)
+        est = m * float(np.log(m / v_zero)) if (raw <= 2.5 * m and v_zero > 0) else raw
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "n_seen": [n],
+                "n_registers": [int(len(nz))],
+                "hll_est": [round(est, 2)],
+            }
+        )
+
+    return (
+        stream_df.select(
+            F.col(group_col).cast("string").alias("group_key"),
+            # cast JVM-side so the fold hashes the SAME string the batch
+            # sketch's md5(concat('h:', cast(v as string))) sees
+            F.col(value_col).cast("string").alias(value_col),
+        )
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=HLL_OUTPUT_SCHEMA,
+            stateStructType=HLL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

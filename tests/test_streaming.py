@@ -260,3 +260,58 @@ def test_committed_batches_rejects_remote_scheme_without_spark():
 
     with _pytest.raises(ValueError, match="URI scheme"):
         committed_batches("s3a://bucket/out")
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """The streaming HLL (constant 256-byte state per group via
+    applyInPandasWithState) must converge to EXACTLY the batch
+    sketch.hll_distinct output once all micro-batches have folded in —
+    same md5 hash, same registers, same estimate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.sketch import hll_distinct
+    from logparserhelper_spark.streaming.stateful import streaming_hll_distinct
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "ev_files")
+    os.makedirs(sdir)
+    pq.write_table(t.slice(0, third), os.path.join(sdir, "a.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(sdir, "b.parquet"))
+    pq.write_table(t.slice(2 * third), os.path.join(sdir, "c.parquet"))
+
+    batch_df = spark.read.parquet(src).select("event_type", "user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    expected = {
+        r.event_type: (r.n_registers, r.hll_est)
+        for r in hll_distinct(batch_df, "event_type", "user_id").collect()
+    }
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_hll_distinct(
+        stream.filter(F.col("user_id").isNotNull()), "event_type", "user_id"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_state")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM hll_state").collect()
+    latest = {}
+    for r in rows:  # memory sink appends every update; keep the final one
+        prev = latest.get(r.group_key)
+        if prev is None or r.n_seen >= prev.n_seen:
+            latest[r.group_key] = r
+    got = {k: (r.n_registers, r.hll_est) for k, r in latest.items()}
+    assert got == expected
