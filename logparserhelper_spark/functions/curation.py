@@ -139,10 +139,18 @@ def weighted_sample_topk(
     reproducible under reprocessing (unlike rand()-based sampling), and
     the plan is a WindowGroupLimit: each task pre-ranks locally so the
     exchange carries at most k rows per group per task. The ranking key is
-    rounded to integer micro-nats ((ln u)/w * 1e6) with an id tiebreak so
-    both engines order identically despite libm ulp differences."""
-    u = hash_fraction(F.col(id_col))
-    key = F.round(F.log(u) / F.col(weight_col) * 1e6).cast("long")
+    rounded to integer pico-nats ((ln u)/w * 1e12) with an id tiebreak so
+    both engines order identically despite libm ulp differences; the 1e12
+    scale keeps ~7 significant digits of resolution even at weights ~1e6
+    (a 1e6 scale would collapse most keys to 0 there and hand selection to
+    the tiebreak). u is (h + 0.5)/2^32, strictly inside (0, 1): a doc_id
+    whose md5 starts with eight zero hex digits must not produce ln(0) —
+    Spark would yield NULL but DuckDB raises, killing the oracle query."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    key = F.round(F.log(u) / F.col(weight_col) * 1e12).cast("long")
     ranked = df.withColumn("_key", key).withColumn(
         "_rn",
         F.row_number().over(

@@ -69,6 +69,40 @@ def md5_slot(col, salt: int, mod: int) -> F.Column:
     return F.conv(h, 16, 10).cast("long") % mod
 
 
+def hll_rho(rest: int, rest_bits: int) -> int:
+    """HLL rank of the remainder bits: leading-zero count + 1 within
+    ``rest_bits`` (rest == 0 -> rest_bits + 1). The ONE Python source of
+    truth for the rank rule — used by the streaming fold and the test
+    mirrors; the batch Spark expressions and the DuckDB oracle each encode
+    it independently (that independence IS the oracle's value)."""
+    return rest_bits + 1 if rest == 0 else rest_bits - rest.bit_length() + 1
+
+
+def hll_estimate(registers, m: int) -> tuple[int, float]:
+    """(n_registers, estimate) from a register array — harmonic mean with
+    the small-range linear-counting branch, the same formula the Spark
+    expressions in hll_distinct compute. Rounding is left to callers
+    (Spark ROUND is HALF_UP; Python round() is HALF_EVEN — do not mix)."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    nz = [int(r) for r in registers if r > 0]
+    s = sum(2.0 ** -r for r in nz) + (m - len(nz))
+    raw = alpha * m * m / s
+    v_zero = m - len(nz)
+    est = m * math.log(m / v_zero) if (raw <= 2.5 * m and v_zero > 0) else raw
+    return len(nz), est
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Spark's ROUND semantics (half away from zero) for non-negative x —
+    Python's built-in round() is banker's and disagrees at ties."""
+    import math
+
+    scale = 10 ** digits
+    return math.floor(x * scale + 0.5) / scale
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str, p: int = 8
 ) -> DataFrame:
@@ -168,19 +202,25 @@ def log_histogram_quantiles(
         .groupBy("_g", "_bin")
         .agg(F.count(F.lit(1)).alias("_c"), F.min("_rep").alias("_rep"))
     )
-    w = Window.partitionBy("_g").orderBy("_bin")
-    cum = binned.withColumn("_cum", F.sum("_c").over(w))
-    totals = binned.groupBy("_g").agg(F.sum("_c").cast("long").alias("n"))
-    out = totals
+    # single pass over the histogram: running count + per-group total as
+    # window functions, then ONE conditional aggregation picks every
+    # quantile's first qualifying bin (min of (bin, rep) structs — a
+    # second aggregation pass per quantile would rescan the input)
+    cum = binned.withColumn(
+        "_cum", F.sum("_c").over(Window.partitionBy("_g").orderBy("_bin"))
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy("_g")))
+    aggs = [F.max("_n").cast("long").alias("n")]
     for q in qs:
-        qdf = (
-            cum.join(totals, "_g")
-            .filter(F.col("_cum") >= F.ceil(F.col("n") * q / 100))
-            .groupBy("_g")
-            .agg(F.round(F.min_by("_rep", "_bin"), 6).alias(f"q{q}_est"))
+        hit = F.col("_cum") >= F.ceil(F.col("_n") * q / 100)
+        aggs.append(
+            F.min(F.when(hit, F.struct("_bin", "_rep"))).alias(f"_q{q}")
         )
-        out = out.join(qdf, "_g")
-    return out.select(F.col("_g").alias(group_col), "n", *[f"q{q}_est" for q in qs])
+    out = cum.groupBy("_g").agg(*aggs)
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n",
+        *[F.round(F.col(f"_q{q}")["_rep"], 6).alias(f"q{q}_est") for q in qs],
+    )
 
 
 def count_min_table(

@@ -3061,8 +3061,8 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 SQL_WEIGHTED_SAMPLE_DOCS = """
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
-         CAST(ROUND(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       / 4294967296.0) / n_chars * 1e6) AS BIGINT) AS k
+         CAST(ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                       / 4294967296.0) / n_chars * 1e12) AS BIGINT) AS k
   FROM documents),
 ranked AS (
   SELECT doc_id, lang, n_chars,

@@ -110,18 +110,27 @@ def streaming_hll_distinct(
     bound). Each micro-batch folds its values' md5 ranks into the register
     maxes and emits the updated estimate (update semantics).
 
-    Uses the SAME hash and estimate formula as the batch
-    ``sketch.hll_distinct``, so after all data has streamed through, the
-    final emitted row per group EQUALS the batch sketch's output —
-    pinned by tests/test_streaming.py."""
+    Uses the SAME hash, rank, and estimate formula as the batch
+    ``sketch.hll_distinct`` (via the shared ``hll_rho``/``hll_estimate``
+    helpers, rounded HALF_UP like Spark's ROUND), so after all data has
+    streamed through, the final emitted registers per group EQUAL the
+    batch sketch's — pinned by tests/test_streaming.py (the estimate is
+    compared with a +-0.01 tolerance: the linear-counting branch's ln()
+    runs on JVM libm batch-side and C libm here, which may differ in the
+    last ulp)."""
     m = 1 << p
     rest_bits = 32 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
 
     def fold(key, pdfs, state):
         import hashlib
 
         import numpy as np
+
+        from logparserhelper_spark.functions.sketch import (
+            hll_estimate,
+            hll_rho,
+            round_half_up,
+        )
 
         if state.exists:
             regs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
@@ -135,23 +144,18 @@ def streaming_hll_distinct(
                     continue
                 h = int(hashlib.md5(f"h:{v}".encode()).hexdigest()[:8], 16)
                 b = h >> rest_bits
-                rest = h & ((1 << rest_bits) - 1)
-                rho = rest_bits + 1 if rest == 0 else rest_bits - rest.bit_length() + 1
+                rho = hll_rho(h & ((1 << rest_bits) - 1), rest_bits)
                 if rho > regs[b]:
                     regs[b] = rho
                 n += 1
-        state.update((bytes(regs.tobytes()), n))
-        nz = regs[regs > 0]
-        s = float((2.0 ** -regs[regs > 0].astype(np.float64)).sum()) + (m - len(nz))
-        raw = alpha * m * m / s
-        v_zero = m - len(nz)
-        est = m * float(np.log(m / v_zero)) if (raw <= 2.5 * m and v_zero > 0) else raw
+        state.update((regs.tobytes(), n))
+        n_registers, est = hll_estimate(regs, m)
         yield pd.DataFrame(
             {
                 "group_key": [str(key[0])],
                 "n_seen": [n],
-                "n_registers": [int(len(nz))],
-                "hll_est": [round(est, 2)],
+                "n_registers": [n_registers],
+                "hll_est": [round_half_up(est, 2)],
             }
         )
 

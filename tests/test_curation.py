@@ -220,6 +220,12 @@ def test_log_histogram_quantile_error_bound(spark):
     unlike order-dependent t-digest centroids)."""
     from logparserhelper_spark.functions.sketch import log_histogram_quantiles
 
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/testdata/sf0.001/events.parquet"):
+        _pytest.skip("driver testdata not present")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
         "event_type", "value"
     )

@@ -275,6 +275,8 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
     from logparserhelper_spark.streaming.stateful import streaming_hll_distinct
 
     src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not present")
     t = pq.read_table(src)
     third = t.num_rows // 3
     sdir = str(tmp_path / "ev_files")
@@ -314,4 +316,9 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
         if prev is None or r.n_seen >= prev.n_seen:
             latest[r.group_key] = r
     got = {k: (r.n_registers, r.hll_est) for k, r in latest.items()}
-    assert got == expected
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k  # registers: exact
+        # estimate: JVM libm (batch F.log) vs C libm (fold math.log) may
+        # differ in the last ulp inside the linear-counting branch
+        assert abs(got[k][1] - expected[k][1]) <= 0.01, k
