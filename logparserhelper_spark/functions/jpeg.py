@@ -276,6 +276,69 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def exif_orientation(payload: bytes) -> int:
+    """Read the EXIF orientation (tag 274) from a JPEG's APP1 segment —
+    1 when absent/unparseable. Camera photos routinely store the sensor's
+    native orientation and rely on this tag for display, so feature
+    extraction that ignores it sees sideways images. The APP1 body is a
+    little TIFF file ('Exif\\0\\0' + byte-order mark + IFD0)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return 1
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / scan data: APPn must precede
+            return 1
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xE1 and payload[pos + 2 : pos + 8] == b"Exif\x00\x00":
+            t = payload[pos + 8 : pos + seglen]
+            try:
+                if t[:2] not in (b"II", b"MM"):
+                    return 1
+                fmt = "<" if t[:2] == b"II" else ">"
+                ifd = struct.unpack_from(fmt + "I", t, 4)[0]
+                n = struct.unpack_from(fmt + "H", t, ifd)[0]
+                for i in range(n):
+                    tag, typ, _cnt = struct.unpack_from(
+                        fmt + "HHI", t, ifd + 2 + 12 * i
+                    )
+                    if tag == 274 and typ == 3:
+                        o = struct.unpack_from(fmt + "H", t, ifd + 10 + 12 * i)[0]
+                        return o if 1 <= o <= 8 else 1
+            except (struct.error, IndexError):
+                return 1
+            return 1
+        pos += seglen
+    return 1
+
+
+def apply_exif_orientation(rgb: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply the EXIF display transform (T.81 has no say here; the
+    mapping is the TIFF/EXIF standard one viewers use)."""
+    if orientation == 2:
+        return rgb[:, ::-1]
+    if orientation == 3:
+        return rgb[::-1, ::-1]
+    if orientation == 4:
+        return rgb[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(rgb, 0, 1)
+    if orientation == 6:  # rotate 90 CW
+        return np.swapaxes(rgb, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(rgb, 0, 1)[::-1, ::-1]
+    if orientation == 8:  # rotate 90 CCW
+        return np.swapaxes(rgb, 0, 1)[::-1, :]
+    return rgb
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
     (h, w, 3) float64 RGB array (grayscale replicated). Progressive support

@@ -798,10 +798,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     upsample, BT.601 YCbCr->RGB; 4:4:4/4:2:2/4:2:0, restart intervals).
     Baseline (incl. multi-scan sequential) AND progressive SOF2 streams
     decode; arithmetic/12-bit/lossless raise (callers fall back to
-    fake_decode). Feature layout: ``_bgr_features`` with bpp=24."""
-    from logparserhelper_spark.functions.jpeg import decode_jpeg
+    fake_decode). The EXIF orientation tag is honored (camera photos
+    store the sensor's native rotation), so width/height and band
+    luminances describe the image as DISPLAYED. Feature layout:
+    ``_bgr_features`` with bpp=24."""
+    from logparserhelper_spark.functions.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg,
+        exif_orientation,
+    )
 
-    rgb = decode_jpeg(payload)
+    rgb = apply_exif_orientation(decode_jpeg(payload), exif_orientation(payload))
     h, w = rgb.shape[:2]
     return _bgr_features(w, h, 24.0, rgb[:, :, ::-1])
 

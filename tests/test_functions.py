@@ -1232,6 +1232,67 @@ def test_decoders_reject_oversized_headers():
         png_decode(bomb)
 
 
+def test_jpeg_exif_orientation():
+    """jpeg_decode must honor the EXIF orientation tag: a spliced APP1
+    (both byte orders) rotates/flips the decoded image, so features match
+    the BMP of the manually transformed pixels; unknown/absent orientation
+    is identity; decode_jpeg itself stays orientation-agnostic."""
+    import struct
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg,
+        encode_jpeg,
+        exif_orientation,
+    )
+    from logparserhelper_spark.functions.multimodal import (
+        bmp_decode,
+        jpeg_decode,
+        make_bmp,
+    )
+
+    def app1(orientation, big_endian=False):
+        fmt = ">" if big_endian else "<"
+        tiff = (
+            (b"MM\x00*" if big_endian else b"II*\x00")
+            + struct.pack(fmt + "I", 8)
+            + struct.pack(fmt + "H", 1)
+            + struct.pack(fmt + "HHI", 274, 3, 1)
+            + struct.pack(fmt + "HH", orientation, 0)
+            + struct.pack(fmt + "I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+    # asymmetric image so every transform is distinguishable
+    px = [
+        [(250, 10, 10), (10, 250, 10), (10, 10, 250)],
+        [(200, 200, 10), (10, 200, 200), (120, 60, 180)],
+    ]
+    base = encode_jpeg(np.array(px, dtype=np.uint8), quality=95)
+    for o in range(1, 9):
+        for be in (False, True):
+            tagged = base[:2] + app1(o, be) + base[2:]
+            assert exif_orientation(tagged) == o, (o, be)
+            # reference: decode untagged, transform in numpy, refeature
+            ref_rgb = apply_exif_orientation(decode_jpeg(base), o)
+            ref = bmp_decode(
+                make_bmp(
+                    ref_rgb.shape[1],
+                    ref_rgb.shape[0],
+                    [[tuple(int(round(c)) for c in pxl) for pxl in row] for row in ref_rgb],
+                )
+            )
+            got = jpeg_decode(tagged)
+            assert (got[0], got[1]) == (ref[0], ref[1]), (o, be)
+            assert np.allclose(got[3:], ref[3:], atol=0.005), (o, be)
+    assert exif_orientation(base) == 1  # no APP1 -> identity
+    # decode_jpeg itself must NOT rotate (pipeline composability)
+    assert decode_jpeg(base[:2] + app1(6) + base[2:]).shape == decode_jpeg(base).shape
+
+
 def test_jpeg_rejects_unsupported():
     """Lossless SOF3, truncation, and non-JPEG bytes raise; auto_decode
     falls back to the deterministic fake."""
