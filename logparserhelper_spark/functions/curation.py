@@ -162,6 +162,52 @@ def weighted_sample_topk(
     return ranked.filter(F.col("_rn") <= k).drop("_key", "_rn")
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    tau: float = 0.5,
+    budget_frac: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (the Gopher/Pile data-mixing knob):
+    target source proportions are renormalized counts^tau — tau < 1
+    flattens the source distribution, upweighting rare sources — and each
+    source is sampled at the deterministic fraction that hits an overall
+    ``budget_frac`` of the corpus (capped at taking a source whole). The
+    per-source fractions are computed IN-PLAN from a tiny counts aggregate
+    broadcast back onto the rows (no driver collect), and membership is
+    md5-deterministic, so the mix is reproducible under reprocessing.
+
+    Engine-portability: selection compares the integer 32-bit hash against
+    FLOOR(fraction * 2^32) — a libm pow() ulp difference between engines
+    would have to move fraction*2^32 across an integer boundary to flip a
+    row (~2^-30 per source), rather than the ~2^-1 chance of comparing
+    raw doubles. Returns the kept rows with a ``mix_fraction`` column."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    qcol = F.pow(F.col("_n").cast("double"), F.lit(float(tau)))
+    weighted = counts.select(source_col, "_n", qcol.alias("_q"))
+    tot = weighted.agg(
+        F.sum("_q").alias("_qsum"), F.sum("_n").alias("_ntot")
+    )
+    fracs = weighted.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac))
+            * F.col("_ntot")
+            * (F.col("_q") / F.col("_qsum"))
+            / F.col("_n"),
+        ).alias("mix_fraction"),
+    )
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(h < F.floor(F.col("mix_fraction") * F.lit(float(2**32))))
+    )
+
+
 def contamination_bloom(
     train: DataFrame,
     bench: DataFrame,

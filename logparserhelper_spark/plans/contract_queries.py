@@ -3118,6 +3118,53 @@ ORDER BY tot.g
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing (functions/curation.py:
+    temperature_mix, tau=0.5, 30% budget): per-source population, target
+    fraction, kept count, and id checksum — rare sources sample at higher
+    fractions than abundant ones, and the whole selection is
+    hash-deterministic and computed in-plan."""
+    from logparserhelper_spark.functions.curation import temperature_mix
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    kept = temperature_mix(d, "source", tau=0.5, budget_frac=0.3)
+    pop = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    samp = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.max("mix_fraction"), 6).alias("mix_fraction"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return pop.join(samp, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("mix_fraction", F.lit(0.0)).alias("mix_fraction"),
+        F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(power(CAST(n AS DOUBLE), 0.5)) AS qsum, SUM(n) AS ntot FROM counts),
+fr AS (SELECT c.source, c.n,
+              LEAST(1.0, 0.3 * t.ntot * (power(CAST(c.n AS DOUBLE), 0.5) / t.qsum) / c.n) AS f
+       FROM counts c, tot t),
+kept AS (SELECT d.doc_id, d.source, fr.f
+         FROM documents d JOIN fr USING (source)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               < FLOOR(fr.f * 4294967296.0)),
+samp AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                ROUND(MAX(f), 6) AS mix_fraction,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY source)
+SELECT c.source, c.n AS n_docs,
+       CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(s.mix_fraction, 0.0) AS mix_fraction,
+       CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum
+FROM counts c LEFT JOIN samp s USING (source)
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3154,6 +3201,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "weighted_sample_docs": q_weighted_sample_docs,
     "value_quantile_sketch": q_value_quantile_sketch,
+    "temperature_mix": q_temperature_mix,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3185,4 +3233,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
     "value_quantile_sketch": SQL_VALUE_QUANTILE_SKETCH,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
 }

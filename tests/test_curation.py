@@ -254,3 +254,33 @@ def test_log_histogram_quantile_error_bound(spark):
         ).collect()
     }
     assert est2 == est
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """tau<1 must upweight rare sources: the rare source's sampling
+    fraction exceeds the abundant one's, fractions cap at 1.0, the overall
+    kept share lands near the budget, and the selection is deterministic
+    (same rows on recomputation)."""
+    from logparserhelper_spark.functions.curation import temperature_mix
+
+    rows = [(i, "common") for i in range(4000)] + [
+        (100000 + i, "rare") for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df, "source", tau=0.5, budget_frac=0.3)
+    fr = {
+        r.source: r.f
+        for r in kept.groupBy("source").agg(F.max("mix_fraction").alias("f")).collect()
+    }
+    assert fr["rare"] > fr["common"]  # flattened toward uniform
+    n_kept = kept.count()
+    assert abs(n_kept / 4080 - 0.3) < 0.05  # hits the budget (hash noise)
+    again = {r.doc_id for r in temperature_mix(df, "source", 0.5, 0.3).collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+    # tau=0 -> fully uniform targets: tiny source taken (capped) at 1.0
+    kept0 = temperature_mix(df, "source", tau=0.0, budget_frac=0.3)
+    fr0 = {
+        r.source: r.f
+        for r in kept0.groupBy("source").agg(F.max("mix_fraction").alias("f")).collect()
+    }
+    assert fr0["rare"] == 1.0
