@@ -847,12 +847,26 @@ def test_tiff_decode_real_file_matches_png():
 
     from logparserhelper_spark.functions.multimodal import png_decode, tiff_decode
 
-    base = (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-        "test/imghdrdata"
-    )
-    tif, png = base + "/python.tiff", base + "/python.png"
-    if not (os.path.exists(tif) and os.path.exists(png)):
+    # CPython ships these under Lib/test/imghdrdata (<=3.12); probe the
+    # usual install layouts (targeted globs — a recursive walk over / is
+    # too slow for a test collection path)
+    import glob
+    import sysconfig
+
+    patterns = [
+        os.path.join(sysconfig.get_path("stdlib"), "test/imghdrdata/python.tiff"),
+        "/usr/lib/python3.*/test/imghdrdata/python.tiff",
+        "/root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/python.tiff",
+        "/mnt/*/*/*/python/install/lib/python3.*/test/imghdrdata/python.tiff",
+    ]
+    tif = png = None
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        if hits:
+            tif = hits[-1]
+            png = os.path.join(os.path.dirname(tif), "python.png")
+            break
+    if tif is None or not os.path.exists(png):
         _pytest.skip("stdlib imghdr test images not on this machine")
     ft = tiff_decode(open(tif, "rb").read())
     fp = png_decode(open(png, "rb").read())
