@@ -171,7 +171,11 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
     1. model: corpus-wide bigram counts (one aggregation; prefix counts are
        DERIVED from the tiny bigram model, not a second corpus pass),
        joined back (Catalyst broadcasts them).
-    2. score: per doc, mean over bigrams of log(count(bigram)/count(prefix)).
+    2. score: per doc, mean over bigrams of log(count(bigram)/count(prefix)),
+       computed over a (doc, bigram, count) pre-aggregate rather than raw
+       occurrences — multiplying the quantized per-bigram micro-nat value
+       by its integer count is exact, so the result is bit-identical while
+       the join/shuffle volume shrinks to distinct-bigrams-per-doc.
 
     Determinism: a per-doc float sum would depend on summation order, so
     each occurrence's log-prob is converted to FIXED POINT first —
@@ -192,24 +196,42 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "do
         idx, lambda i: F.col("_t").substr(i.cast("int"), F.lit(2))
     )
     bg = base.select("_id", F.explode(bigrams).alias("bg"))
-    model_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    model_pre = model_bg.groupBy(F.substring("bg", 1, 1).alias("pre")).agg(
-        F.sum("c_bg").alias("c_pre")
+    # Probe side pre-aggregated to (_id, bg, cnt): the map-side partial
+    # aggregate collapses repeated bigrams per document, so the model join
+    # and the final per-doc groupBy carry ~10x fewer rows on natural text
+    # (distinct bigrams per doc << occurrences). Bit-identical to the
+    # per-occurrence sum: every occurrence of a given bigram contributes
+    # the SAME quantized micro-nat value, and quantized_value * count ==
+    # sum over occurrences, exactly, in int64.
+    doc_bg = bg.groupBy("_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # Model side aggregates straight off its own explode pass (Catalyst
+    # does not reuse the probe's (_id,bg) exchange across branches — the
+    # join-key null filter differs, breaking canonical equality), and the
+    # prefix totals come from a WINDOW over the tiny model table
+    # (|alphabet|^2 rows) rather than a second model pass + second join:
+    # one model subtree, one join, explode evaluated twice total (vs 3x
+    # with the old model_bg/model_pre chain). The window sums longs —
+    # associative, order-free, deterministic.
+    model = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .withColumn(
+            "c_pre",
+            F.sum("c_bg").over(Window.partitionBy(F.substring("bg", 1, 1))),
+        )
     )
     lp_micro = F.round(
         F.log(F.col("c_bg").cast("double") / F.col("c_pre")) * 1000000.0, 0
     ).cast("long")
-    packed = (
-        bg.join(model_bg, "bg")
-        .withColumn("pre", F.substring("bg", 1, 1))
-        .join(model_pre, "pre")
-        .withColumn("_lp_micro", lp_micro)
-    )
-    n_bg = F.count(F.lit(1)).cast("long")
+    packed = doc_bg.join(model, "bg").withColumn("_lp_micro", lp_micro)
+    n_bg = F.sum("cnt").cast("long")
     scored = packed.groupBy("_id").agg(
         n_bg.alias("n_bigrams"),
         F.round(
-            F.sum("_lp_micro").cast("double") / 1000000.0 / n_bg, 4
+            F.sum(F.col("_lp_micro") * F.col("cnt")).cast("double")
+            / 1000000.0
+            / n_bg,
+            4,
         ).alias("avg_logprob"),
     )
     return scored.select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
