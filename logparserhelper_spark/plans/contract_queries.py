@@ -1770,37 +1770,117 @@ FROM (SELECT doc_id,
 """
 
 
-def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal decode, driver-checkable across BOTH paths: every 5th
-    document becomes a REAL 4x2 24-bit BMP (solid color derived from
-    doc_id, serialized by make_bmp, parsed back pixel-by-pixel by
-    bmp_decode inside the mapInPandas extractor), the rest stay opaque
-    payloads on the deterministic fake path. The oracle reproduces the BMP
-    rows in closed form from the generating color — if the stdlib BMP
-    parser mis-read the pixel array, the channel means would not match.
-    (WAV payloads take the real stdlib audio path — pinned by pytest,
-    since the testdata tables carry no audio.)"""
+MEDIA_MATRIX_CONTAINERS = (
+    "bmp", "png", "gif", "jpeg", "tiff", "png_adam7", "bmp_pal8", "tiff_mm_packbits",
+)
+
+
+def _solid_decode_expected(i: int) -> tuple[str, float, float]:
+    """Closed-form expected (container, mean_B, mean_R) features for the
+    solid-color 8x8 image that solid_media_payload builds for residue ``i``
+    (color (i%256, 7i%256, 13i%256), container by i%8 — BMP 24-bit, PNG,
+    GIF, baseline JPEG, TIFF-deflate, Adam7-interlaced PNG, 8-bit-palette
+    BMP, big-endian PackBits TIFF). Every container but JPEG is lossless so
+    the mean is the channel value; JPEG reconstructs through the
+    DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
+    YCbCr (q00=2 at quality 95 for both tables) — derived independently of
+    decode_jpeg, so the oracle actually checks the decoder math. All eight
+    verified equal to the real decoders for every residue in
+    tests/test_functions.py::test_media_decode_matrix_closed_form."""
+    import numpy as np
+
+    r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
+    k = i % 8
+    if k != 3:
+        cont = MEDIA_MATRIX_CONTAINERS[k]
+        return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def rec(v: float) -> float:
+        return float(np.round(8 * (v - 128.0) / 2.0) * 2.0 / 8.0 + 128.0)
+
+    y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
+    rr = min(255.0, max(0.0, y2 + 1.402 * (cr2 - 128.0)))
+    bb = min(255.0, max(0.0, y2 + 1.772 * (cb2 - 128.0)))
+    return "jpeg", float(np.float32(bb / 255.0)), float(np.float32(rr / 255.0))
+
+
+def solid_media_payload(rid: int) -> bytes:
+    """Serialize the solid-color 8x8 fixture image for residue ``rid``
+    (color (rid%256, 7*rid%256, 13*rid%256)) in the container picked by
+    rid % 8 — the MEDIA_MATRIX_CONTAINERS order, all written by this
+    repo's own pure-stdlib encoders. Shared by media_features (exposed)
+    and media_decode_matrix (extra) so both run the same fixture corpus;
+    also evaluated at oracle-build time for the payload-length column
+    (payload length is writer output, not decoder behavior)."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
     from logparserhelper_spark.functions.multimodal import (
-        extract_media_features,
         make_bmp,
+        make_bmp8,
+        make_gif,
+        make_png,
+        make_tiff,
     )
 
+    c = (rid % 256, (7 * rid) % 256, (13 * rid) % 256)
+    k = rid % 8
+    if k == 0:
+        return make_bmp(8, 8, [[c] * 8] * 8)
+    if k == 1:
+        return make_png(8, 8, [[c] * 8] * 8, color_type=2)
+    if k == 2:
+        return make_gif(8, 8, [c], [[0] * 8] * 8)
+    if k == 3:
+        return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
+    if k == 4:
+        return make_tiff(8, 8, [[c] * 8] * 8, compression=8)
+    if k == 5:
+        return make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
+    if k == 6:
+        return make_bmp8(8, 8, [c], [[0] * 8] * 8)
+    return make_tiff(
+        8, 8, [[c] * 8] * 8, compression=32773, rows_per_strip=3, big_endian=True
+    )
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode, driver-checkable across BOTH paths: 4 of every 5
+    documents become a REAL solid-color 8x8 image in the container picked
+    by doc_id % 8 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF —
+    all serialized by this repo's own pure-stdlib writers, decoded back
+    through auto_decode's magic-byte dispatch inside the mapInPandas
+    extractor); every 5th document stays an opaque text payload on the
+    deterministic fake path. The oracle reproduces the real rows in closed
+    form from the generating color (256-row lookup) — a wrong inflate, LZW
+    step, deinterlace, palette map, endianness, RLE, or IDCT shows up as a
+    channel-mean mismatch. (WAV payloads take the real stdlib audio path —
+    pinned by pytest, since the testdata tables carry no audio.)"""
+    from logparserhelper_spark.functions.multimodal import extract_media_features
+
     @F.pandas_udf("binary")
-    def bmp_payload(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda i: make_bmp(
-                4, 2, [[(i % 256, (i * 7) % 256, (i * 13) % 256)] * 4] * 2
-            )
-        )
+    def payload(ids: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        # payload is a pure function of doc_id % 256 (mirrors the oracle's
+        # 256-row lut), so cache per worker — the JPEG encode in particular
+        # is a full DCT+Huffman pass that would otherwise run once per row.
+        # (Wrapped inside the UDF body: lru_cache wrappers don't pickle.)
+        build = lru_cache(maxsize=256)(solid_media_payload)
+        return ids.map(lambda i: build(int(i) % 256))
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    is_bmp = F.col("doc_id") % 5 == 0
+    is_fake = F.col("doc_id") % 5 == 0
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.when(is_bmp, F.lit("image/bmp")).otherwise(F.lit("image/fake")).alias("mime"),
-        F.when(is_bmp, bmp_payload("doc_id"))
-        .otherwise(F.encode("text", "UTF-8"))
+        F.when(is_fake, F.lit("image/fake")).otherwise(F.lit(None)).alias("mime"),
+        F.when(is_fake, F.encode("text", "UTF-8"))
+        .otherwise(payload("doc_id"))
         .alias("payload"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
@@ -1820,10 +1900,10 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 def _media_features_sql() -> str:
     """DuckDB mirror of both decode paths. Fake: little-endian uint32 words
     of the md5 digest (repeated to FEATURE_DIM), divided by 2^32-1, cast
-    through REAL to replicate the float32 storage, rounded at 6. BMP: the
-    4x2 solid-color fixture in closed form — f0=width, f1=height,
-    f3=mean_B=((doc_id*13)%256)/255 through the same REAL cast; n_bytes =
-    54-byte headers + 2 rows x 12-byte stride = 78."""
+    through REAL to replicate the float32 storage, rounded at 6. Real: the
+    8x8 solid-color fixture in closed form via a 256-row lookup — f0=width,
+    f1=height, f3=mean_B from _solid_decode_expected (independent of the
+    decoders); n_bytes = the serialized fixture length per residue."""
     def byte_expr(i: int) -> str:
         return (
             f"((strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1) * 16"
@@ -1834,18 +1914,23 @@ def _media_features_sql() -> str:
         u = " + ".join(f"{byte_expr((4 * j + b) % 16)} * {256 ** b}" for b in range(4))
         return f"ROUND(CAST(CAST(({u}) / 4294967295.0 AS REAL) AS DOUBLE), 6)"
 
+    rows = ",\n".join(
+        f"({i}, {len(solid_media_payload(i))}, {_solid_decode_expected(i)[1]!r})"
+        for i in range(256)
+    )
     return f"""
-WITH h AS (SELECT doc_id AS media_id, 'image' AS kind, doc_id % 5 = 0 AS is_bmp,
-                  CAST(strlen(text) AS INT) AS text_bytes, md5(text) AS hx,
-                  doc_id FROM documents)
+WITH lut(rid, nb, mb) AS (VALUES
+{rows}),
+h AS (SELECT doc_id AS media_id, 'image' AS kind, doc_id % 5 = 0 AS is_fake,
+             CAST(strlen(text) AS INT) AS text_bytes, md5(text) AS hx,
+             doc_id FROM documents)
 SELECT media_id, kind,
-       CASE WHEN is_bmp THEN 78 ELSE text_bytes END AS n_bytes,
-       CASE WHEN is_bmp THEN 4.0 ELSE {feat_expr(0)} END AS f0,
-       CASE WHEN is_bmp THEN 2.0 ELSE {feat_expr(1)} END AS f1,
-       CASE WHEN is_bmp
-            THEN ROUND(CAST(CAST(((doc_id * 13) % 256) / 255.0 AS REAL) AS DOUBLE), 6)
-            ELSE {feat_expr(3)} END AS f3
-FROM h
+       CAST(CASE WHEN is_fake THEN text_bytes ELSE l.nb END AS INT) AS n_bytes,
+       CASE WHEN is_fake THEN {feat_expr(0)} ELSE CAST(8.0 AS DOUBLE) END AS f0,
+       CASE WHEN is_fake THEN {feat_expr(1)} ELSE CAST(8.0 AS DOUBLE) END AS f1,
+       CASE WHEN is_fake THEN {feat_expr(3)}
+            ELSE ROUND(CAST(l.mb AS DOUBLE), 6) END AS f3
+FROM h LEFT JOIN lut l ON h.doc_id % 256 = l.rid
 """
 
 
@@ -2853,43 +2938,6 @@ FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
 """
 
 
-MEDIA_MATRIX_CONTAINERS = (
-    "bmp", "png", "gif", "jpeg", "tiff", "png_adam7", "bmp_pal8", "tiff_mm_packbits",
-)
-
-
-def _solid_decode_expected(i: int) -> tuple[str, float, float]:
-    """Closed-form expected (container, mean_B, mean_R) features for the
-    solid-color 8x8 image that media_decode_matrix builds for residue ``i``
-    (color (i%256, 7i%256, 13i%256), container by i%8 — BMP 24-bit, PNG,
-    GIF, baseline JPEG, TIFF-deflate, Adam7-interlaced PNG, 8-bit-palette
-    BMP, big-endian PackBits TIFF). Every container but JPEG is lossless so
-    the mean is the channel value; JPEG reconstructs through the
-    DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
-    YCbCr (q00=2 at quality 95 for both tables) — derived independently of
-    decode_jpeg, so the oracle actually checks the decoder math. All eight
-    verified equal to the real decoders for every residue in
-    tests/test_functions.py::test_media_decode_matrix_closed_form."""
-    import numpy as np
-
-    r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
-    k = i % 8
-    if k != 3:
-        cont = MEDIA_MATRIX_CONTAINERS[k]
-        return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-
-    def rec(v: float) -> float:
-        return float(np.round(8 * (v - 128.0) / 2.0) * 2.0 / 8.0 + 128.0)
-
-    y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
-    rr = min(255.0, max(0.0, y2 + 1.402 * (cr2 - 128.0)))
-    bb = min(255.0, max(0.0, y2 + 1.772 * (cb2 - 128.0)))
-    return "jpeg", float(np.float32(bb / 255.0)), float(np.float32(rr / 255.0))
-
-
 def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Every REAL image decoder variant under the oracle in one query: each
     doc_id becomes a solid-color 8x8 image in the container picked by
@@ -2901,17 +2949,7 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
     container cycle with doc_id % 256) — a wrong inflate, LZW step,
     deinterlace, palette map, endianness, RLE, or IDCT shows up as a
     channel-mean mismatch."""
-    import numpy as np
-
-    from logparserhelper_spark.functions.jpeg import encode_jpeg
-    from logparserhelper_spark.functions.multimodal import (
-        extract_media_features,
-        make_bmp,
-        make_bmp8,
-        make_gif,
-        make_png,
-        make_tiff,
-    )
+    from logparserhelper_spark.functions.multimodal import extract_media_features
 
     @F.pandas_udf("binary")
     def payload(ids: pd.Series) -> pd.Series:
@@ -2920,30 +2958,8 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
         # payload is a pure function of doc_id % 256 (mirrors the oracle's
         # 256-row lut), so cache per worker — the JPEG encode in particular
         # is a full DCT+Huffman pass that would otherwise run once per row.
-        # (Defined inside the UDF body: lru_cache wrappers don't pickle.)
-        @lru_cache(maxsize=256)
-        def build(rid: int) -> bytes:
-            c = (rid % 256, (7 * rid) % 256, (13 * rid) % 256)
-            k = rid % 8
-            if k == 0:
-                return make_bmp(8, 8, [[c] * 8] * 8)
-            if k == 1:
-                return make_png(8, 8, [[c] * 8] * 8, color_type=2)
-            if k == 2:
-                return make_gif(8, 8, [c], [[0] * 8] * 8)
-            if k == 3:
-                return encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), quality=95)
-            if k == 4:
-                return make_tiff(8, 8, [[c] * 8] * 8, compression=8)
-            if k == 5:
-                return make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
-            if k == 6:
-                return make_bmp8(8, 8, [c], [[0] * 8] * 8)
-            return make_tiff(
-                8, 8, [[c] * 8] * 8, compression=32773,
-                rows_per_strip=3, big_endian=True,
-            )
-
+        # (Wrapped inside the UDF body: lru_cache wrappers don't pickle.)
+        build = lru_cache(maxsize=256)(solid_media_payload)
         return ids.map(lambda i: build(int(i) % 256))
 
     d = _t(spark, sf, "documents").select("doc_id")

@@ -1371,6 +1371,12 @@ def test_media_decode_matrix_closed_form():
         cont, mb, mr = _solid_decode_expected(i)
         assert (f[0], f[1]) == (8.0, 8.0), (i, cont)
         assert float(f[3]) == mb and float(f[5]) == mr, (i, cont)
+        # the shared fixture builder (used by media_features AND
+        # media_decode_matrix, and for the oracle's n_bytes column) must
+        # emit exactly this independently-assembled payload
+        from logparserhelper_spark.plans.contract_queries import solid_media_payload
+
+        assert solid_media_payload(i) == p, (i, cont)
 
 
 def test_bmp_decode_rejects_unsupported():
