@@ -1123,6 +1123,42 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_asof_coarse_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """The hot-key as-of path under the SAME DuckDB ASOF oracle as the
+    plain path: coarse_bucket_secs re-keys the ordered window on
+    (user, 1-hour time bucket) with a bucket-level carry-in seeding each
+    bucket (operators/joins.py asof_join). An hour is far smaller than the
+    events table's time span, so many buckets per user actually exercise
+    the carry chain — including left-only buckets that must still receive
+    carried values across them."""
+    from logparserhelper_spark.operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = asof_join(
+        purch,
+        views,
+        by="user_id",
+        ts_col="ts",
+        right_value_cols=["view_value"],
+        coarse_bucket_secs=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        "view_value_asof",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).cast("long").alias("gap_s"),
+    )
+
+
 def q_range_join_first_hour(spark: SparkSession, sf: str) -> DataFrame:
     """Range join (bucketed equi-join realization, operators/joins.py):
     events contained in each user's [first_ts, first_ts + 1h] interval,
@@ -3218,6 +3254,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "value_quantile_sketch": q_value_quantile_sketch,
     "temperature_mix": q_temperature_mix,
+    # net-new round-5: the bucketed (hot-key) as-of path under the same
+    # DuckDB ASOF oracle as the exposed plain path
+    "asof_coarse_bucket": q_asof_coarse_bucket,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3250,4 +3289,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
     "value_quantile_sketch": SQL_VALUE_QUANTILE_SKETCH,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "asof_coarse_bucket": SQL_ASOF_PURCHASE_LAST_VIEW,
 }
