@@ -103,6 +103,39 @@ def round_half_up(x: float, digits: int) -> float:
     return math.floor(x * scale + 0.5) / scale
 
 
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """The HLL register table (_g, _bucket, _M) behind ``hll_distinct`` —
+    max leading-zero rank of the 32-bit md5 remainder per (group, bucket).
+    Exposed so tests can fold the SAME registers through the shared Python
+    ``hll_estimate`` and compare the streaming sketch exactly (no libm
+    tolerance). Only buckets that saw a value appear (register > 0)."""
+    rest_bits = 32 - p
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("h:"), F.col("_v").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(
+            "_g",
+            F.shiftright(h, rest_bits).alias("_bucket"),
+            (h % F.lit(1 << rest_bits)).alias("_rest"),
+        )
+    )
+    rho = F.when(F.col("_rest") == 0, rest_bits + 1).otherwise(
+        rest_bits - F.length(F.bin(F.col("_rest"))) + 1
+    )
+    return (
+        base.select("_g", "_bucket", rho.alias("_rho"))
+        .groupBy("_g", "_bucket")
+        .agg(F.max("_rho").alias("_M"))
+    )
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str, p: int = 8
 ) -> DataFrame:
@@ -121,28 +154,8 @@ def hll_distinct(
     the estimate is rounded at 2 decimals to absorb libm ln() ulp
     differences. Returns (group, n_registers, hll_est)."""
     m = 1 << p
-    rest_bits = 32 - p
     alpha = 0.7213 / (1 + 1.079 / m)
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("h:"), F.col("_v").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    base = (
-        df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .select(
-            "_g",
-            F.shiftright(h, rest_bits).alias("_bucket"),
-            (h % F.lit(1 << rest_bits)).alias("_rest"),
-        )
-    )
-    rho = F.when(F.col("_rest") == 0, rest_bits + 1).otherwise(
-        rest_bits - F.length(F.bin(F.col("_rest"))) + 1
-    )
-    regs = base.select("_g", "_bucket", rho.alias("_rho")).groupBy(
-        "_g", "_bucket"
-    ).agg(F.max("_rho").alias("_M"))
+    regs = hll_registers(df, group_col, value_col, p)
     agg = regs.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n_registers"),
         F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_s"),

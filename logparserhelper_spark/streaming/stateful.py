@@ -90,6 +90,10 @@ HLL_OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_seen", T.LongType()),
         T.StructField("n_registers", T.LongType()),
         T.StructField("hll_est", T.DoubleType()),
+        # the raw 2^p register bytes: lets consumers (and the batch-parity
+        # test) merge or compare sketches register-for-register instead of
+        # trusting the scalar estimate
+        T.StructField("registers", T.BinaryType()),
     ]
 )
 HLL_STATE_SCHEMA = T.StructType(
@@ -114,10 +118,11 @@ def streaming_hll_distinct(
     ``sketch.hll_distinct`` (via the shared ``hll_rho``/``hll_estimate``
     helpers, rounded HALF_UP like Spark's ROUND), so after all data has
     streamed through, the final emitted registers per group EQUAL the
-    batch sketch's — pinned by tests/test_streaming.py (the estimate is
-    compared with a +-0.01 tolerance: the linear-counting branch's ln()
-    runs on JVM libm batch-side and C libm here, which may differ in the
-    last ulp)."""
+    batch sketch's bit-for-bit — pinned EXACTLY by tests/test_streaming.py:
+    the emitted ``registers`` bytes are compared against the batch
+    ``sketch.hll_registers`` table, and the emitted estimate against the
+    shared ``hll_estimate`` fold of those same batch registers (one code
+    path on both sides, so no libm tolerance is needed)."""
     m = 1 << p
     rest_bits = 32 - p
 
@@ -156,6 +161,7 @@ def streaming_hll_distinct(
                 "n_seen": [n],
                 "n_registers": [n_registers],
                 "hll_est": [round_half_up(est, 2)],
+                "registers": [regs.tobytes()],
             }
         )
 

@@ -179,6 +179,46 @@ def test_foreach_batch_exactly_once_sink(spark, tiny_dir, tmp_path):
     assert n_after == n_rows  # idempotent: no duplicate rows
 
 
+def test_foreach_batch_exactly_once_sink_scheme_qualified(spark, tiny_dir, tmp_path):
+    """The replay guard end-to-end on a scheme-qualified out_dir: marker
+    write-then-rename, the exists() replay check, and the commit listing all
+    go through the Hadoop FileSystem resolved from the URI — the exact code
+    path an hdfs:// or s3a:// sink takes — not driver-local os.path."""
+    from logparserhelper_spark.streaming.sink import (
+        committed_batches,
+        exactly_once_parquet_sink,
+    )
+
+    local_dir = tmp_path / "eo_sink_uri"
+    out = "file://" + str(local_dir)
+    path = os.path.join(tiny_dir, "stream_src")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    sink = exactly_once_parquet_sink(out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_uri"))
+        .start()
+    )
+    _drain(q)
+    batches = committed_batches(out, spark)  # Hadoop-FS listing branch
+    assert batches
+    # the markers really landed on the URI's filesystem (visible locally)
+    assert (local_dir / "_batches").is_dir()
+    n_rows = spark.read.parquet(out + "/batch_id=*").count()
+    assert n_rows == spark.read.parquet(path).count()
+
+    # failure-replay of an already-committed batch id: Hadoop-FS exists()
+    # guard makes it a no-op
+    sink(spark.read.parquet(path), max(batches))
+    assert spark.read.parquet(out + "/batch_id=*").count() == n_rows
+
+    # a FRESH batch id still commits through the same marker path
+    nb = max(batches) + 1
+    sink(spark.read.parquet(path), nb)
+    assert nb in committed_batches(out, spark)
+    assert (local_dir / "_batches" / f"{nb}.json").is_file()
+
+
 def test_streaming_dedup_with_watermark(spark, tiny_dir, tmp_path):
     """dropDuplicates over a keyed stream: duplicated (conv_id, turn_idx)
     input yields each key once in the sink."""
@@ -269,9 +309,15 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
     same md5 hash, same registers, same estimate."""
     import os
 
+    import numpy as np
     import pyarrow.parquet as pq
 
-    from logparserhelper_spark.functions.sketch import hll_distinct
+    from logparserhelper_spark.functions.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+        round_half_up,
+    )
     from logparserhelper_spark.streaming.stateful import streaming_hll_distinct
 
     src = "/root/testdata/sf0.001/events.parquet"
@@ -292,6 +338,18 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
         r.event_type: (r.n_registers, r.hll_est)
         for r in hll_distinct(batch_df, "event_type", "user_id").collect()
     }
+    # the batch REGISTER table, densified to the same 2^p byte layout the
+    # streaming fold keeps as state, and folded through the SHARED Python
+    # hll_estimate — one code path on both sides, so every comparison below
+    # is exact (no libm tolerance)
+    m = 256
+    batch_regs: dict[str, np.ndarray] = {}
+    for r in hll_registers(batch_df, "event_type", "user_id").collect():
+        batch_regs.setdefault(r._g, np.zeros(m, dtype=np.uint8))[r._bucket] = r._M
+    expected_exact = {}
+    for k, regs in batch_regs.items():
+        n_registers, est = hll_estimate(regs, m)
+        expected_exact[k] = (n_registers, round_half_up(est, 2), regs.tobytes())
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -315,10 +373,12 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
         prev = latest.get(r.group_key)
         if prev is None or r.n_seen >= prev.n_seen:
             latest[r.group_key] = r
-    got = {k: (r.n_registers, r.hll_est) for k, r in latest.items()}
-    assert set(got) == set(expected)
-    for k in expected:
-        assert got[k][0] == expected[k][0], k  # registers: exact
-        # estimate: JVM libm (batch F.log) vs C libm (fold math.log) may
-        # differ in the last ulp inside the linear-counting branch
-        assert abs(got[k][1] - expected[k][1]) <= 0.01, k
+    assert set(latest) == set(expected) == set(expected_exact)
+    for k, r in latest.items():
+        n_reg, est, reg_bytes = expected_exact[k]
+        assert bytes(r.registers) == reg_bytes, k  # state: bit-for-bit
+        assert r.n_registers == n_reg == expected[k][0], k
+        assert r.hll_est == est, k  # shared estimate path: exact equality
+        # and the batch JVM-expression estimate agrees with the shared
+        # Python fold of the same registers after 2-decimal rounding
+        assert abs(expected[k][1] - est) < 5e-3, k
