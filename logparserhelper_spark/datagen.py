@@ -52,6 +52,11 @@ SCALES = {
     # is <8% of wall, else Amdahl caps measurable efficiency below the 0.8
     # target no matter how well the parallel fraction scales.
     "large": (400000, 1.6),
+    # 'xlarge' is the ~100M-turn capacity probe (6x 'large'): big enough
+    # that the single-exchange parse stage must spill-manage shuffle blocks
+    # well past executor memory comfort, small enough to generate and hold
+    # on this sandbox's disk.
+    "xlarge": (2350000, 1.6),
 }
 
 ROLES = ["user", "assistant", "system", "tool"]

@@ -57,12 +57,22 @@ def main() -> int:
         action="store_true",
         help="check EXTRA_QUERIES (consolidated-out, not driver-exposed) instead",
     )
+    ap.add_argument(
+        "--parallelism", type=int, default=8,
+        help="local[N]; pass 2 with --shuffle-partitions 5 for the "
+        "adversarial partition-invariance shape (NOTES.md)",
+    )
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
     from logparserhelper_spark.session import build_session
 
-    spark = build_session(parallelism=8, app_name="check_entry", shuffle_partitions=16)
+    spark = build_session(
+        parallelism=args.parallelism,
+        app_name="check_entry",
+        shuffle_partitions=args.shuffle_partitions,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
