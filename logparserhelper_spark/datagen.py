@@ -258,6 +258,130 @@ def generate_transcripts(
     return out_dir
 
 
+def _gen_shard(args: tuple) -> tuple[str, int]:
+    """One shard of the parallel generator: conversations [lo, hi) with a
+    shard-local rng seeded (seed, lo) — deterministic for a fixed shard
+    plan, independent of worker scheduling. Same row recipe as the
+    sequential path (roles, tools, ~0.5% duplicated turn keys)."""
+    out_path, lo, hi, lens_slice, seed = args
+    rng = random.Random(f"{seed}:{lo}")
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    writer = pq.ParquetWriter(out_path, schema, compression="snappy")
+    cols: dict[str, list] = {k: [] for k in
+                             ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    total = 0
+
+    def flush() -> None:
+        nonlocal total
+        if not cols["conv_id"]:
+            return
+        batch = pa.record_batch(
+            [
+                pa.array(cols["conv_id"], pa.string()),
+                pa.array(cols["turn_idx"], pa.int32()),
+                pa.array(cols["role"], pa.string()),
+                pa.array(cols["text"], pa.string()),
+                pa.array(cols["tool"], pa.string()),
+                pa.array(cols["ts"], pa.timestamp("us", tz="UTC")),
+            ],
+            schema=schema,
+        )
+        writer.write_batch(batch)
+        total += batch.num_rows
+        for v in cols.values():
+            v.clear()
+
+    for off, ci in enumerate(range(lo, hi)):
+        conv_id = f"conv-{ci:08d}"
+        conv_base = BASE_TS + timedelta(seconds=ci * 60)
+        for ti in range(int(lens_slice[off])):
+            role = rng.choices(ROLES, weights=ROLE_WEIGHTS, k=1)[0]
+            tool = rng.choice(TOOLS) if role == "tool" else None
+            ts = conv_base + timedelta(seconds=ti)
+            cols["conv_id"].append(conv_id)
+            cols["turn_idx"].append(ti)
+            cols["role"].append(role)
+            cols["text"].append(_make_text(rng))
+            cols["tool"].append(tool)
+            cols["ts"].append(ts)
+            if rng.random() < 0.005:
+                cols["conv_id"].append(conv_id)
+                cols["turn_idx"].append(ti)
+                cols["role"].append(rng.choices(ROLES, weights=ROLE_WEIGHTS, k=1)[0])
+                cols["text"].append(_make_text(rng))
+                cols["tool"].append(None)
+                cols["ts"].append(ts + timedelta(microseconds=500000))
+        if len(cols["conv_id"]) >= 200_000:
+            flush()
+    flush()
+    writer.close()
+    return out_path, total
+
+
+def generate_transcripts_parallel(
+    out_dir: str,
+    scale: str,
+    seed: int = SEED,
+    n_procs: int = 16,
+    force: bool = False,
+) -> str:
+    """Multiprocess variant for the big capacity scales: conversations are
+    split into ``n_procs`` contiguous shards, each written as its own file
+    under ``transcripts.parquet/`` (a parquet DATASET directory — the
+    source resolver and Spark read it the same as the single file).
+    Deterministic for a fixed (scale, seed, n_procs): shard rngs are seeded
+    by "seed:shard_lo", so output does not depend on worker scheduling.
+    NOT byte-identical to the sequential generator — use for capacity
+    probes, not for re-generating the committed sequential scales."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(marker) and not force:
+        with open(marker) as f:
+            m = json.load(f)
+        if (m.get("scale"), m.get("seed"), m.get("n_procs")) == (scale, seed, n_procs):
+            return out_dir
+
+    n_convs, sigma = SCALES[scale]
+    lens = conversation_lengths(n_convs, sigma, seed)
+    ds_dir = os.path.join(out_dir, "transcripts.parquet")
+    if os.path.isfile(ds_dir):
+        os.remove(ds_dir)
+    os.makedirs(ds_dir, exist_ok=True)
+    bounds = [n_convs * i // n_procs for i in range(n_procs + 1)]
+    jobs = [
+        (
+            os.path.join(ds_dir, f"shard-{i:04d}.parquet"),
+            bounds[i],
+            bounds[i + 1],
+            lens[bounds[i]: bounds[i + 1]],
+            seed,
+        )
+        for i in range(n_procs)
+        if bounds[i + 1] > bounds[i]
+    ]
+    total_rows = 0
+    with ProcessPoolExecutor(max_workers=n_procs) as ex:
+        for _path, n in ex.map(_gen_shard, jobs):
+            total_rows += n
+
+    _write_dims(out_dir)
+    with open(marker, "w") as f:
+        json.dump({"scale": scale, "seed": seed, "rows": total_rows,
+                   "n_convs": n_convs, "n_procs": n_procs}, f)
+    return out_dir
+
+
 def _write_dims(out_dir: str) -> None:
     role = pa.table(
         {

@@ -240,3 +240,33 @@ def test_orc_source_roundtrip_and_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "role" in plan.split("PushedFilters")[1][:120]
     assert "ReadSchema: struct<conv_id:string,turn_idx:int" in plan
+
+
+def test_parallel_generator_deterministic_and_readable(spark, tmp_path):
+    """The sharded capacity-scale generator: shard rngs keyed by
+    "seed:shard_lo" make output independent of worker scheduling (two runs
+    byte-identical), the dataset-directory layout resolves through the
+    normal transcript source, and per-conversation turn counts follow the
+    same global length plan as the sequential generator."""
+    import glob
+    import hashlib
+
+    from logparserhelper_spark.datagen import (
+        conversation_lengths,
+        generate_transcripts_parallel,
+    )
+    from logparserhelper_spark.sources.transcripts import read_transcripts
+
+    d1 = generate_transcripts_parallel(str(tmp_path / "p1"), "tiny", n_procs=3)
+    d2 = generate_transcripts_parallel(str(tmp_path / "p2"), "tiny", n_procs=3)
+    h = lambda d: [
+        hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in sorted(glob.glob(d + "/transcripts.parquet/*.parquet"))
+    ]
+    assert h(d1) == h(d2) and len(h(d1)) == 3
+
+    df = read_transcripts(spark, d1)
+    lens = conversation_lengths(40, 1.6)
+    base = df.filter(~(F.col("ts").cast("string").endswith(".5")))  # drop dup rows
+    got = {r.conv_id: r.n for r in base.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    assert got == {f"conv-{i:08d}": int(lens[i]) for i in range(40)}
