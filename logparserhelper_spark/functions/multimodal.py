@@ -56,6 +56,7 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -258,7 +259,7 @@ def _bgr_features(w: int, h: int, bpp: float, bgr: np.ndarray) -> np.ndarray:
     )
 
 
-def bmp_decode(payload: bytes) -> np.ndarray:
+def bmp_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for BMP payloads (pure stdlib ``struct``):
     uncompressed (BI_RGB) 8-bit palettized (indices mapped through the
     BGRX color table that sits between the DIB header and the pixel
@@ -310,10 +311,10 @@ def bmp_decode(payload: bytes) -> np.ndarray:
             bgr = np.repeat(img, 3, axis=2)
     else:
         bgr = img[:, :, :3]  # drop alpha for 32-bit
-    return _bgr_features(w, h_abs, bpp, bgr)
+    return w, h_abs, float(bpp), bgr
 
 
-def ppm_decode(payload: bytes) -> np.ndarray:
+def ppm_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for binary PPM (P6) payloads: ASCII header
     (magic, width, height, maxval; '#' comments allowed) then raw RGB
     triplets. Same feature layout as bmp_decode —
@@ -342,17 +343,7 @@ def ppm_decode(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PPM (w={w}, h={h}, maxval={maxval})")
     px = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=w * h * 3)
     img = px.reshape(h, w, 3).astype(np.float64) * (255.0 / maxval)
-    rgb = img  # PPM stores RGB; features use the BGR mean order bmp uses
-    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0  # [R, G, B]
-    lum = rgb.mean(axis=(1, 2)) / 255.0
-    bands = [
-        float(np.mean(c)) if c.size else 0.0
-        for c in np.array_split(lum, FEATURE_DIM - 6)
-    ]
-    return np.array(
-        [float(w), float(h), 24.0, means[2], means[1], means[0]] + bands,
-        dtype=np.float32,
-    )
+    return w, h, 24.0, img[:, :, ::-1]  # PPM stores RGB; flip to BGR
 
 
 def make_bmp(width: int, height: int, pixels_rgb) -> bytes:
@@ -437,7 +428,7 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     return out.tobytes()
 
 
-def png_decode(payload: bytes) -> np.ndarray:
+def png_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for PNG payloads (pure stdlib ``zlib`` +
     ``struct``): every spec-legal depth/color-type combination — gray at
     1/2/4/8/16 bits, palette at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16 —
@@ -561,7 +552,7 @@ def png_decode(payload: bytes) -> np.ndarray:
     else:  # 2, 6
         rgb = img[:, :, :3]
     bgr = rgb[:, :, ::-1]
-    return _bgr_features(w, h, float(depth * channels), bgr)
+    return w, h, float(depth * channels), bgr
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -583,7 +574,7 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def tiff_decode(payload: bytes) -> np.ndarray:
+def tiff_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for TIFF payloads (pure stdlib ``struct`` +
     ``zlib``): either byte order, first IFD, strip-based layout,
     compression 1 (none), 8/32946 (zlib deflate), or 32773 (PackBits);
@@ -690,7 +681,7 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         rgb = lut[img[:, :, 0].astype(np.intp)]
     else:
         raise ValueError(f"unsupported TIFF photometric {photo}")
-    return _bgr_features(w, h, float(8 * spp), rgb[:, :, ::-1])
+    return w, h, float(8 * spp), rgb[:, :, ::-1]
 
 
 def make_tiff(
@@ -792,7 +783,7 @@ def make_tiff(
     return out
 
 
-def jpeg_decode(payload: bytes) -> np.ndarray:
+def jpeg_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for JPEG payloads (functions/jpeg.py: pure
     stdlib+numpy — Huffman entropy decode, dequant, 8x8 IDCT, chroma
     upsample, BT.601 YCbCr->RGB; 4:4:4/4:2:2/4:2:0, restart intervals).
@@ -810,7 +801,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
 
     rgb = apply_exif_orientation(decode_jpeg(payload), exif_orientation(payload))
     h, w = rgb.shape[:2]
-    return _bgr_features(w, h, 24.0, rgb[:, :, ::-1])
+    return w, h, 24.0, rgb[:, :, ::-1]
 
 
 def make_png(
@@ -980,7 +971,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list:
     return out[:n_expected]
 
 
-def gif_decode(payload: bytes) -> np.ndarray:
+def gif_decode_bgr(payload: bytes) -> tuple:
     """REAL image decode for GIF87a/GIF89a payloads (pure stdlib): full LZW
     decompression (variable code width, clear/EOI, KwKwK case), global or
     local color table, Adam-style 4-pass deinterlace. First frame only;
@@ -1050,7 +1041,7 @@ def gif_decode(payload: bytes) -> np.ndarray:
         if int(idx.max()) >= table.shape[0]:
             raise ValueError("GIF index beyond color table")
         rgb = table[idx].astype(np.float64)
-        return _bgr_features(iw, ih, 8.0, rgb[:, :, ::-1])
+        return iw, ih, 8.0, rgb[:, :, ::-1]
     raise ValueError("no image data in GIF")
 
 
@@ -1159,6 +1150,181 @@ def make_bmp8(width: int, height: int, palette_rgb, pixels_idx) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
                       len(body), 2835, 2835, len(pal), 0)
     return header + dib + pal_bytes + body
+
+
+# ---- feature wrappers over the pixel-returning decoders -------------------
+# Each *_decode_bgr returns (width, height, bits_per_pixel, bgr) with bgr an
+# (h, w, 3) float64 array of 0..255 channel values; the *_decode wrappers
+# keep the original FEATURE_DIM-float contract. Pixel access exists for the
+# perceptual-hash operator (phash64), which needs real image content, not
+# the 16-float summary.
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*bmp_decode_bgr(payload))
+
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*ppm_decode_bgr(payload))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*png_decode_bgr(payload))
+
+
+def gif_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*gif_decode_bgr(payload))
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*jpeg_decode_bgr(payload))
+
+
+def tiff_decode(payload: bytes) -> np.ndarray:
+    return _bgr_features(*tiff_decode_bgr(payload))
+
+
+_IMAGE_DECODERS_BGR = (
+    (lambda p: len(p) >= 54 and p[:2] == b"BM", bmp_decode_bgr),
+    (lambda p: p[:2] == b"P6", ppm_decode_bgr),
+    (lambda p: p[:8] == b"\x89PNG\r\n\x1a\n", png_decode_bgr),
+    (lambda p: p[:6] in (b"GIF87a", b"GIF89a"), gif_decode_bgr),
+    (lambda p: p[:3] == b"\xff\xd8\xff", jpeg_decode_bgr),
+    (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"), tiff_decode_bgr),
+)
+
+
+def auto_decode_bgr(payload: bytes) -> tuple:
+    """Pixel-level dispatch on container magic: (w, h, bpp, bgr) for any
+    supported IMAGE container. Raises for audio/unknown payloads — pixel
+    consumers (phash) have no meaningful fake path; callers skip/null."""
+    if payload is None:
+        raise ValueError("null payload")
+    for sniff, dec in _IMAGE_DECODERS_BGR:
+        if sniff(payload):
+            return dec(payload)
+    raise ValueError("not a supported image container")
+
+
+def _gray_resize(bgr: np.ndarray, size: int = 32) -> np.ndarray:
+    """Deterministic area-mean downscale of the luminance plane ((B+G+R)/3)
+    to size x size: output cell (r, c) is the mean of input rows
+    [floor(r*h/size), max(that+1, floor((r+1)*h/size))) x the analogous
+    column range — no interpolation kernel, no resampling library, fully
+    reproducible. Images smaller than ``size`` repeat source cells."""
+    lum = bgr.mean(axis=2)
+    h, w = lum.shape
+    rb = (np.arange(size + 1) * h) // size
+    cb = (np.arange(size + 1) * w) // size
+    out = np.empty((size, size), dtype=np.float64)
+    for r in range(size):
+        r0, r1 = rb[r], max(rb[r] + 1, rb[r + 1])
+        band = lum[r0:r1]
+        for c in range(size):
+            c0, c1 = cb[c], max(cb[c] + 1, cb[c + 1])
+            out[r, c] = band[:, c0:c1].mean()
+    return out
+
+
+def _dct2(a: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D DCT-II (the JPEG/pHash transform) via two matrix
+    products: D @ a @ D.T with D[k,n] = s_k * cos(pi*(2n+1)*k/(2N))."""
+    n = a.shape[0]
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d @ a @ d.T
+
+
+def phash64_from_bgr(bgr: np.ndarray) -> int:
+    """64-bit perceptual hash (the classic pHash recipe): luminance ->
+    32x32 area-mean resize -> 2-D DCT -> keep the 8x8 low-frequency block
+    -> threshold each coefficient against the MEDIAN of the 63 non-DC
+    coefficients (odd count, so the median is an exact element — no
+    averaging, no tie-at-the-boundary ambiguity) -> pack row-major,
+    MSB-first, reinterpreted as a signed int64. Coefficients are quantized
+    to 1e-6 BEFORE the median/threshold so an independently-coded DCT
+    (different op order, last-ulp differences) produces the identical
+    hash — what lets the contract oracle re-derive expected hashes from
+    its own implementation. Perceptually identical
+    images (same pixels through different lossless containers, or a
+    JPEG re-encode) land at Hamming distance ~0-3; unrelated images at
+    ~32."""
+    coeffs = np.round(_dct2(_gray_resize(bgr, 32))[:8, :8].ravel(), 6)
+    med = float(np.sort(coeffs[1:])[31])
+    bits = coeffs > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash64(payload: bytes) -> int:
+    """pHash of any supported image container (via auto_decode_bgr);
+    raises on undecodable payloads — callers null/skip."""
+    _w, _h, _bpp, bgr = auto_decode_bgr(payload)
+    return phash64_from_bgr(bgr)
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, phash) per row: decode + hash inside an Arrow-batched pandas
+    UDF (per-blob Python is inherent for pure-stdlib codecs; one Arrow
+    crossing, no shuffle). Undecodable/null payloads yield null phash so
+    mixed corpora don't poison the stage."""
+
+    @F.pandas_udf("bigint")
+    def ph(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads.tolist():
+            try:
+                out.append(phash64(bytes(p)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=payloads.index, dtype="object")
+
+    return df.select(F.col(id_col).alias("id"), ph(F.col(payload_col)).alias("phash"))
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs with Hamming(phash) <=
+    max_hamming via 16-bit chunk bucketing — pigeonhole over 4 chunks
+    covers d<=3 exactly (same O(n)-shuffle plan shape as
+    dedup.simhash_near_pairs; candidates only meet inside a shared
+    16-bit bucket, never all-pairs)."""
+    sig = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    chunks = sig.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("phash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("id", "phash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), "chunk", "ckey")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), "chunk", "ckey")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
 
 
 def auto_decode(payload: bytes) -> np.ndarray:

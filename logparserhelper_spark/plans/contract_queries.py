@@ -1973,6 +1973,124 @@ FROM h LEFT JOIN lut l ON h.doc_id % 256 = l.rid
 SQL_MEDIA_FEATURES = _media_features_sql()
 
 
+PHASH_PATTERNS = 29  # pattern residue: doc_id % 29 (coprime to the 4 containers)
+
+
+def _phash_gradient_pixels(rid: int):
+    """The pHash fixture recipe: a deterministic 64x64 RGB gradient per
+    pattern residue (non-trivial spatial structure so the DCT block is
+    informative — solid colors would hash degenerately). Shared by the
+    Spark-side payload builder and the oracle's independent hasher (the
+    PIXELS are the fixture; the decode+hash path is what differs)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    r = (x * (rid % 7 + 1) + y * (rid % 5 + 1)) % 256
+    g = (x * 3 + y * (rid % 11 + 1) + rid) % 256
+    b = (x * (rid % 3 + 1) * 2 + y + 7 * rid) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def gradient_media_payload(i: int) -> bytes:
+    """Serialize fixture pattern (i % 29) in the lossless container picked
+    by i % 4 (24-bit BMP, PNG, TIFF-deflate, binary PPM): a payload is a
+    pure function of i % 116 (lcm). 29 being coprime to 4, every pattern
+    group spans all four containers — so identical phashes within a group
+    prove container-invariant perceptual hashing, not byte equality."""
+    from logparserhelper_spark.functions.multimodal import (
+        make_bmp,
+        make_png,
+        make_tiff,
+    )
+
+    px = _phash_gradient_pixels(i % PHASH_PATTERNS)
+    k = i % 4
+    if k == 3:
+        return b"P6\n64 64\n255\n" + px.tobytes()
+    rows = [[tuple(int(v) for v in px[y, x]) for x in range(64)] for y in range(64)]
+    if k == 0:
+        return make_bmp(64, 64, rows)
+    if k == 1:
+        return make_png(64, 64, rows, color_type=2)
+    return make_tiff(64, 64, rows, compression=8)
+
+
+def _phash_expected(rid: int) -> int:
+    """INDEPENDENT pHash of fixture pattern ``rid`` for the oracle lut —
+    same documented spec as multimodal.phash64_from_bgr (channel-mean
+    luminance, area-mean 32x32, orthonormal DCT-II, 8x8 block, 1e-6
+    quantization, exact-element median of the 63 non-DC coefficients,
+    MSB-first signed pack) but separately coded: block-reshape mean
+    resize (the 64->32 case is exact 2x2 blocks), einsum DCT. A decoder
+    bug, resize drift, or packing error in the engine shows up as a
+    phash group mismatch."""
+    import numpy as np
+
+    lum = _phash_gradient_pixels(rid).astype(np.float64).mean(axis=2)
+    small = lum.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    n = 32
+    k = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * np.outer(k, 2 * k + 1) / (2 * n))
+    d[0] *= np.sqrt(0.5)
+    coeffs = np.round(np.einsum("kn,nm,lm->kl", d, small, d)[:8, :8].ravel(), 6)
+    med = float(np.sort(coeffs[1:])[31])
+    h = 0
+    for bit in coeffs > med:
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def q_image_phash_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup, end to end: every document becomes a
+    64x64 gradient image (pattern = doc_id % 29) serialized in a lossless
+    container cycling with doc_id % 4 (BMP / PNG / TIFF-deflate / PPM),
+    decoded back through auto_decode_bgr and hashed with phash64 inside
+    the Arrow-batched image_phash operator, then grouped by hash. All
+    documents sharing a pattern must land in ONE group regardless of
+    container — the oracle's 29-row lut carries hashes derived by an
+    independently-coded DCT pipeline, so a decoder or hash defect breaks
+    the group keys, and n_containers pins the cross-container collapse."""
+    from logparserhelper_spark.functions.multimodal import image_phash
+
+    @F.pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        build = lru_cache(maxsize=128)(gradient_media_payload)
+        return ids.map(lambda i: build(int(i) % 116))
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.select(F.col("doc_id").alias("media_id"), payload("doc_id").alias("payload"))
+    ph = image_phash(media)  # (id, phash)
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.countDistinct(F.col("id") % 4).cast("long").alias("n_containers"),
+        )
+        .select("phash", "n_docs", "id_sum", "n_containers")
+    )
+
+
+def _image_phash_dup_sql() -> str:
+    rows = ",\n".join(
+        f"({rid}, {_phash_expected(rid)})" for rid in range(PHASH_PATTERNS)
+    )
+    return f"""
+WITH lut(rid, ph) AS (VALUES
+{rows})
+SELECT l.ph AS phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT d.doc_id % 4) AS BIGINT) AS n_containers
+FROM documents d JOIN lut l ON d.doc_id % {PHASH_PATTERNS} = l.rid
+GROUP BY l.ph
+"""
+
+
+SQL_IMAGE_PHASH_DUP = _image_phash_dup_sql()
+
+
 def q_frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: a deterministic video table
     (duration derived from doc_id) expanded one row per sampled frame offset
@@ -3255,8 +3373,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantile_sketch": q_value_quantile_sketch,
     "temperature_mix": q_temperature_mix,
     # net-new round-5: the bucketed (hot-key) as-of path under the same
-    # DuckDB ASOF oracle as the exposed plain path
+    # DuckDB ASOF oracle as the exposed plain path; perceptual-hash image
+    # dedup over the real decoders
     "asof_coarse_bucket": q_asof_coarse_bucket,
+    "image_phash_dup": q_image_phash_dup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3290,4 +3410,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "value_quantile_sketch": SQL_VALUE_QUANTILE_SKETCH,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "asof_coarse_bucket": SQL_ASOF_PURCHASE_LAST_VIEW,
+    "image_phash_dup": SQL_IMAGE_PHASH_DUP,
 }

@@ -1439,3 +1439,76 @@ def test_ppm_decode_matches_bmp_features():
         ppm_decode(b"P5 1 1 255\n\x00")  # grayscale PGM: unsupported here
     with _pytest.raises(ValueError):
         ppm_decode(b"P6 2 2 70000\n" + b"\x00" * 12)  # 16-bit maxval
+
+
+def test_phash64_container_invariant_and_discriminative():
+    """The classic pHash properties, over this repo's own codecs: identical
+    pixels through different lossless containers hash identically; a JPEG
+    re-encode stays within a small Hamming distance; different patterns are
+    far apart; solid-color degenerate images still hash without error."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import (
+        make_bmp,
+        make_gif,
+        make_png,
+        make_tiff,
+        phash64,
+    )
+    from logparserhelper_spark.plans.contract_queries import _phash_gradient_pixels
+
+    px = _phash_gradient_pixels(5)
+    rows = [[tuple(int(v) for v in px[y, x]) for x in range(64)] for y in range(64)]
+    h_bmp = phash64(make_bmp(64, 64, rows))
+    assert h_bmp == phash64(make_png(64, 64, rows, color_type=2))
+    assert h_bmp == phash64(make_tiff(64, 64, rows, compression=8))
+    assert h_bmp == phash64(b"P6\n64 64\n255\n" + px.tobytes())
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(h_bmp, phash64(encode_jpeg(px, quality=95))) <= 3
+    assert ham(h_bmp, phash64(encode_jpeg(px, quality=60))) <= 8
+
+    px2 = _phash_gradient_pixels(9)
+    rows2 = [[tuple(int(v) for v in px2[y, x]) for x in range(64)] for y in range(64)]
+    assert ham(h_bmp, phash64(make_bmp(64, 64, rows2))) >= 16
+
+    # grayscale ramp through GIF's palette path == the same pixels via BMP
+    pal = [(v, v, v) for v in range(256)]
+    idx = [[(x * 4 + y) % 256 for x in range(64)] for y in range(64)]
+    rgb_rows = [[pal[i] for i in r] for r in idx]
+    assert phash64(make_gif(64, 64, pal, idx)) == phash64(make_bmp(64, 64, rgb_rows))
+
+    # degenerate (solid) image: all non-DC coefficients equal -> still a
+    # well-defined hash, no exception
+    solid = [[(40, 90, 200)] * 64] * 64
+    assert isinstance(phash64(make_bmp(64, 64, solid)), int)
+
+
+def test_phash_near_pairs_finds_jpeg_dups(spark):
+    """The banded near-dup join over phash: JPEG re-encodes of the same
+    pattern pair up with their lossless original (hamming <= 3 via 16-bit
+    chunk pigeonhole), unrelated patterns do not."""
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import (
+        make_bmp,
+        phash_near_pairs,
+    )
+    from logparserhelper_spark.plans.contract_queries import _phash_gradient_pixels
+
+    rows_data = []
+    for rid in (3, 11):
+        px = _phash_gradient_pixels(rid)
+        rows = [[tuple(int(v) for v in px[y, x]) for x in range(64)] for y in range(64)]
+        rows_data.append((rid * 10, bytearray(make_bmp(64, 64, rows))))
+        rows_data.append((rid * 10 + 1, bytearray(encode_jpeg(px, quality=95))))
+    rows_data.append((999, None))  # null payload must not poison the stage
+    df = spark.createDataFrame(rows_data, "media_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(df, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(30, 31), (110, 111)}
+    assert all(h <= 3 for h in pairs.values())
