@@ -174,6 +174,106 @@ def hll_distinct(
     )
 
 
+def log_histogram_bins(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The bin table (_g, _bin, _c, _rep) behind ``log_histogram_quantiles``
+    — integer-micro scaling, (bit_length, next-2-bits) binning, per-group
+    counts with map-side combine. Exposed so the streaming twin's state can
+    be compared against it bin-for-bin (same role as ``hll_registers`` for
+    the HLL pair). ``log_bin_value`` is the Python mirror of this exact
+    expression tree."""
+    m = F.greatest(F.round(F.col(value_col) * 1e6).cast("long"), F.lit(1))
+    bl = F.length(F.bin(m))
+    p = F.pow(F.lit(2.0), (bl - 3).cast("double"))
+    sub = F.when(bl >= 3, F.floor(m / p) % 4).otherwise(F.lit(0)).cast("int")
+    lower = F.when(
+        bl >= 3, (4 + sub) * p
+    ).otherwise(F.pow(F.lit(2.0), (bl - 1).cast("double")))
+    upper = F.when(
+        bl >= 3, (5 + sub) * p
+    ).otherwise(F.pow(F.lit(2.0), bl.cast("double")))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            (bl * 4 + sub).alias("_bin"),
+            ((lower + upper) / 2.0 / 1e6).alias("_rep"),
+        )
+        .groupBy("_g", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("_rep").alias("_rep"))
+    )
+
+
+def log_bin_value(v: float) -> tuple[int, float]:
+    """Python mirror of ``log_histogram_bins``'s per-value expressions:
+    (bin, rep) for one value. Float ops deliberately mimic the Spark tree
+    (long -> double division for the sub-bin, power-of-two products exact
+    in IEEE double) so a streaming fold lands values in bit-identical
+    bins. The ONE Python source of truth for the streaming sketch."""
+    import math
+
+    m = max(int(math.floor(v * 1e6 + 0.5)), 1)  # Spark ROUND = HALF_UP
+    bl = m.bit_length()
+    if bl >= 3:
+        p = 2.0 ** (bl - 3)
+        sub = int(math.floor(float(m) / p)) % 4
+        lower, upper = (4 + sub) * p, (5 + sub) * p
+    else:
+        sub = 0
+        lower, upper = 2.0 ** (bl - 1), 2.0 ** bl
+    return bl * 4 + sub, (lower + upper) / 2.0 / 1e6
+
+
+def quantiles_from_bins(
+    bins: dict[int, tuple[int, float]], qs: tuple
+) -> tuple[int, list[float]]:
+    """(n, [q estimates]) from a {bin: (count, rep)} histogram — the same
+    first-bin-reaching-ceil(q*n/100) rule the batch window expressions
+    compute, with Spark's HALF_UP rounding at 6. Shared by the streaming
+    fold and the batch-parity test (one code path => exact comparisons)."""
+    import math
+
+    n = sum(c for c, _ in bins.values())
+    out = []
+    for q in qs:
+        need = math.ceil(n * q / 100)
+        cum = 0
+        est = None
+        for b in sorted(bins):
+            c, rep = bins[b]
+            cum += c
+            if cum >= need:
+                est = round_half_up(rep, 6)
+                break
+        out.append(est)
+    return n, out
+
+
+def pack_bins(bins: dict[int, tuple[int, float]]) -> bytes:
+    """Canonical byte form of a bin histogram (sorted bin ids; int32 bin,
+    int64 count, float64 rep arrays) — the streaming state layout, reused
+    to serialize batch bins for bit-for-bit parity assertions."""
+    import numpy as np
+
+    ks = sorted(bins)
+    return (
+        np.array(ks, dtype=np.int32).tobytes()
+        + np.array([bins[k][0] for k in ks], dtype=np.int64).tobytes()
+        + np.array([bins[k][1] for k in ks], dtype=np.float64).tobytes()
+    )
+
+
+def unpack_bins(blob: bytes) -> dict[int, tuple[int, float]]:
+    import numpy as np
+
+    nb = len(blob) // 20
+    ks = np.frombuffer(blob, dtype=np.int32, count=nb)
+    cs = np.frombuffer(blob, dtype=np.int64, count=nb, offset=4 * nb)
+    rs = np.frombuffer(blob, dtype=np.float64, count=nb, offset=12 * nb)
+    return {int(k): (int(c), float(r)) for k, c, r in zip(ks, cs, rs)}
+
+
 def log_histogram_quantiles(
     df: DataFrame,
     group_col: str,
@@ -195,26 +295,7 @@ def log_histogram_quantiles(
     string length (integer, no float log), and the power-of-two products
     in the bin bounds are exact in IEEE double, so both engines compute
     identical bins and midpoints. Returns (group, n, q<q>_est ...)."""
-    m = F.greatest(F.round(F.col(value_col) * 1e6).cast("long"), F.lit(1))
-    bl = F.length(F.bin(m))
-    p = F.pow(F.lit(2.0), (bl - 3).cast("double"))
-    sub = F.when(bl >= 3, F.floor(m / p) % 4).otherwise(F.lit(0)).cast("int")
-    lower = F.when(
-        bl >= 3, (4 + sub) * p
-    ).otherwise(F.pow(F.lit(2.0), (bl - 1).cast("double")))
-    upper = F.when(
-        bl >= 3, (5 + sub) * p
-    ).otherwise(F.pow(F.lit(2.0), bl.cast("double")))
-    binned = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("_g"),
-            (bl * 4 + sub).alias("_bin"),
-            ((lower + upper) / 2.0 / 1e6).alias("_rep"),
-        )
-        .groupBy("_g", "_bin")
-        .agg(F.count(F.lit(1)).alias("_c"), F.min("_rep").alias("_rep"))
-    )
+    binned = log_histogram_bins(df, group_col, value_col)
     # single pass over the histogram: running count + per-group total as
     # window functions, then ONE conditional aggregation picks every
     # quantile's first qualifying bin (min of (bin, rep) structs — a

@@ -181,3 +181,76 @@ def streaming_hll_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+QUANTILE_STATE_SCHEMA = T.StructType([T.StructField("bins", T.BinaryType())])
+
+
+def streaming_log_histogram_quantiles(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (50, 95),
+) -> DataFrame:
+    """Streaming quantiles with BOUNDED state: the partition-invariant
+    log-binned histogram (sketch.log_histogram_quantiles) as
+    ``applyInPandasWithState`` state — at most ~260 (bin, count, rep)
+    triples per group no matter how many values stream through, where a
+    raw percentile would buffer every value. Each micro-batch folds its
+    values through ``sketch.log_bin_value`` (the Python mirror of the
+    batch expression tree) and emits updated estimates via the SHARED
+    ``quantiles_from_bins`` rule, so after all data has streamed through
+    the emitted bins EQUAL the batch ``log_histogram_bins`` table
+    bit-for-bit and the estimates compare exactly — pinned by
+    tests/test_streaming.py."""
+    out_schema = T.StructType(
+        [
+            T.StructField("group_key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            *[T.StructField(f"q{q}_est", T.DoubleType()) for q in qs],
+            T.StructField("bins", T.BinaryType()),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        from logparserhelper_spark.functions.sketch import (
+            log_bin_value,
+            pack_bins,
+            quantiles_from_bins,
+            unpack_bins,
+        )
+
+        bins = unpack_bins(bytes(state.get[0])) if state.exists else {}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                b, rep = log_bin_value(float(v))
+                c, r = bins.get(b, (0, rep))
+                bins[b] = (c + 1, min(r, rep))
+        blob = pack_bins(bins)
+        state.update((blob,))
+        n, ests = quantiles_from_bins(bins, qs)
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "n": [n],
+                **{f"q{q}_est": [e] for q, e in zip(qs, ests)},
+                "bins": [blob],
+            }
+        )
+
+    return (
+        stream_df.select(
+            F.col(group_col).cast("string").alias("group_key"),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=QUANTILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -382,3 +382,76 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
         # and the batch JVM-expression estimate agrees with the shared
         # Python fold of the same registers after 2-decimal rounding
         assert abs(expected[k][1] - est) < 5e-3, k
+
+
+def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
+    """The streaming log-histogram quantile sketch (bounded ~260-triple
+    state per group) must converge to EXACTLY the batch sketch: bins
+    bit-for-bit against sketch.log_histogram_bins, estimates through the
+    shared quantiles_from_bins rule, and the batch Spark-expression
+    output itself — no tolerances anywhere."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.sketch import (
+        log_histogram_bins,
+        log_histogram_quantiles,
+        pack_bins,
+        quantiles_from_bins,
+    )
+    from logparserhelper_spark.streaming.stateful import (
+        streaming_log_histogram_quantiles,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not present")
+    t = pq.read_table(src)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "ev_files_q")
+    os.makedirs(sdir)
+    pq.write_table(t.slice(0, third), os.path.join(sdir, "a.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(sdir, "b.parquet"))
+    pq.write_table(t.slice(2 * third), os.path.join(sdir, "c.parquet"))
+
+    batch_df = spark.read.parquet(src).select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    batch_bins: dict[str, dict[int, tuple[int, float]]] = {}
+    for r in log_histogram_bins(batch_df, "event_type", "value").collect():
+        batch_bins.setdefault(r._g, {})[r._bin] = (r._c, r._rep)
+    batch_spark = {
+        r.event_type: (r.n, r.q50_est, r.q95_est)
+        for r in log_histogram_quantiles(batch_df, "event_type", "value").collect()
+    }
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_log_histogram_quantiles(
+        stream.filter(F.col("value").isNotNull()), "event_type", "value"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q_sketch")
+        .option("checkpointLocation", str(tmp_path / "q_ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM q_sketch").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r.group_key)
+        if prev is None or r.n >= prev.n:
+            latest[r.group_key] = r
+    assert set(latest) == set(batch_bins) == set(batch_spark)
+    for k, r in latest.items():
+        assert bytes(r.bins) == pack_bins(batch_bins[k]), k  # state: exact
+        n, (e50, e95) = quantiles_from_bins(batch_bins[k], (50, 95))
+        assert (r.n, r.q50_est, r.q95_est) == (n, e50, e95), k
+        # and the batch Spark-expression output agrees exactly
+        assert (r.n, r.q50_est, r.q95_est) == batch_spark[k], k
