@@ -82,6 +82,75 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return w.select("id", F.explode(shingles).alias("shingle"))
 
 
+def duplicated_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Deduplicating-training-data statistics (Lee et al. 2022's cross-doc
+    duplicated-text signal, at shingle granularity): for each document, the
+    fraction of its word k-gram POSITIONS whose shingle occurs in at least
+    2 distinct documents — high fractions flag boilerplate/mirrored text
+    that exact- and near-dedup both miss when it is embedded in otherwise
+    unique pages.
+
+    Plan: positional shingles (NOT deduped — repeats inside a doc count
+    per occurrence) pre-aggregate to (id, shingle, cnt) with map-side
+    combine; document frequency is one more count over that table (rows
+    per shingle == docs containing it — no COUNT DISTINCT expansion);
+    join back on shingle, per-doc sums. Everything is linear in distinct
+    (doc, shingle) pairs — no posting lists, no pairs, no all-pairs. Hot
+    shingles ("in the of") collapse map-side on the frequency branch and
+    rely on AQE skew-join splitting on the probe join.
+
+    The (id, shingle) subtree is evaluated once per consumer (2x): Catalyst
+    prunes cnt from the frequency branch, rewriting its inner aggregate to
+    a distinct — canonically different from the probe's, so ReuseExchange
+    cannot fire (verified on the executed plan). The alternative — a
+    count() window over dsc partitioned by shingle — would compute the
+    subtree once but has NO partial aggregation: a corpus-hot shingle
+    serializes its entire row set into one window task at 100 TB, whereas
+    the join formulation keeps both branches map-side-combinable and
+    skew-splittable. Two linear scans is the safer trade."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    arr = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
+    shp = w.select("id", F.explode(arr).alias("shingle"))
+    dsc = (
+        shp.filter(F.col("shingle").isNotNull())
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = dsc.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        dsc.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_fraction"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2091,6 +2091,40 @@ GROUP BY l.ph
 SQL_IMAGE_PHASH_DUP = _image_phash_dup_sql()
 
 
+def q_duplicated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-text statistics (Lee et al. 2022 signal)
+    over the planted-dup corpus: per doc, the fraction of word-3-gram
+    positions whose shingle occurs in >= 2 documents
+    (functions/dedup.py:duplicated_ngram_stats). Planted exact and
+    near-copies guarantee docs at dup_fraction 1.0 while unique docs sit
+    near their prose-template baseline. Oracle = the same definition in
+    DuckDB over positional (non-distinct) shingles."""
+    from logparserhelper_spark.functions.dedup import duplicated_ngram_stats
+
+    d = _docs_with_planted_dups(spark, sf)
+    return duplicated_ngram_stats(d, k=3)
+
+
+SQL_DUPLICATED_NGRAM_SPANS = rf"""
+WITH {SQL_DOCS_PLANTED},
+w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws FROM docs2),
+shp AS (SELECT doc_id AS id, unnest(list_transform(
+            generate_series(1, len(ws) - 2),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM w WHERE len(ws) >= 3),
+dsc AS (SELECT id, shingle, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM shp GROUP BY id, shingle),
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS nd FROM dsc GROUP BY shingle)
+SELECT dsc.id AS doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS dup_fraction
+FROM dsc JOIN dfreq USING (shingle)
+GROUP BY dsc.id
+"""
+
+
 def q_frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: a deterministic video table
     (duration derived from doc_id) expanded one row per sampled frame offset
@@ -3377,6 +3411,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup over the real decoders
     "asof_coarse_bucket": q_asof_coarse_bucket,
     "image_phash_dup": q_image_phash_dup,
+    "duplicated_ngram_spans": q_duplicated_ngram_spans,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3411,4 +3446,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "asof_coarse_bucket": SQL_ASOF_PURCHASE_LAST_VIEW,
     "image_phash_dup": SQL_IMAGE_PHASH_DUP,
+    "duplicated_ngram_spans": SQL_DUPLICATED_NGRAM_SPANS,
 }

@@ -284,3 +284,30 @@ def test_temperature_mix_flattens_sources(spark):
         for r in kept0.groupBy("source").agg(F.max("mix_fraction").alias("f")).collect()
     }
     assert fr0["rare"] == 1.0
+
+
+def test_duplicated_ngram_stats_semantics(spark):
+    """Positional cross-doc duplicated-shingle fractions on a hand-built
+    corpus: shared 3-grams count per POSITION, within-doc repetition alone
+    is not cross-doc duplication, and doc frequency is distinct-doc-based."""
+    from logparserhelper_spark.functions.dedup import duplicated_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z w"),          # shingles: "x y z", "y z w"
+            (2, "x y z q"),          # shares "x y z" with doc 1
+            (3, "a b c d e"),        # all unique
+            (4, "m n o m n o m n o"),  # 7 positions, all self-repeats only
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup, r.dup_fraction)
+        for r in duplicated_ngram_stats(df, k=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (3, 0, 0.0),
+        4: (7, 0, 0.0),
+    }
