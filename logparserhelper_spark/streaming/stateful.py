@@ -183,6 +183,121 @@ def streaming_hll_distinct(
     )
 
 
+LSH_STATE_SCHEMA = T.StructType([T.StructField("ids", T.BinaryType())])
+LSH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+    ]
+)
+
+
+def streaming_lsh_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-duplicate detection — the production ingestion
+    shape: each arriving document is checked against every document EVER
+    seen in its LSH buckets, without recomputing the corpus. MinHash
+    band keys are computed statelessly per row (Python mirror of
+    dedup.minhash_signatures: distinct word k-grams of the normalized
+    text, per-seed min of md5('<seed>:<shingle>') under STRING order,
+    band key = md5 of the '|'-joined band slice — bit-identical to the
+    batch columns); the stream then groups by (band, key) and keeps the
+    bucket's sorted doc-id set as ``applyInPandasWithState`` state,
+    emitting (id_a, id_b, band) exactly once, when the later document
+    arrives. After any prefix of the stream, the distinct emitted pairs
+    EQUAL batch ``minhash_lsh_pairs`` over the same prefix, and per-pair
+    band counts equal n_shared_bands — pinned by tests/test_streaming.py.
+
+    State per bucket is the ids that hashed there (8 bytes each), capped
+    at ``max_bucket``: a pathological bucket (empty-text cluster) stops
+    emitting new pairs past the cap instead of growing O(corpus) state —
+    the same degenerate-bucket reasoning as ngram_jaccard_pairs'
+    frequency cap. Parity with batch holds while buckets stay under the
+    cap (the batch op would emit quadratic candidates there too)."""
+    import hashlib
+
+    rows_per_band = n_hashes // bands
+
+    import re as _re
+
+    _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s is ASCII-only
+    _java_trim = "".join(map(chr, range(0x21)))  # Java trim strips <= U+0020
+
+    def band_keys(text: str) -> list:
+        if not isinstance(text, str):
+            return []
+        norm = _java_ws.sub(" ", text.lower().strip(_java_trim))
+        toks = norm.split(" ")
+        if len(toks) < k or toks == [""]:
+            return []
+        shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        sig = [
+            min(hashlib.md5(f"{s}:{sh}".encode()).hexdigest() for sh in shingles)
+            for s in range(n_hashes)
+        ]
+        return [
+            hashlib.md5(
+                "|".join(sig[b * rows_per_band : (b + 1) * rows_per_band]).encode()
+            ).hexdigest()
+            for b in range(bands)
+        ]
+
+    @F.pandas_udf("array<string>")
+    def bk(texts: pd.Series) -> pd.Series:
+        return texts.map(band_keys)
+
+    stacked = (
+        stream_df.select(
+            F.col(id_col).cast("long").alias("id"), bk(F.col(text_col)).alias("_bks")
+        )
+        .select(
+            "id", F.posexplode("_bks").alias("band", "key")
+        )
+    )
+
+    def fold(key, pdfs, state):
+        import numpy as np
+
+        seen = (
+            np.frombuffer(bytes(state.get[0]), dtype=np.int64)
+            if state.exists
+            else np.array([], dtype=np.int64)
+        )
+        known = set(int(x) for x in seen)
+        out_a, out_b = [], []
+        band = int(key[0])
+        for pdf in pdfs:
+            for i in sorted(int(x) for x in pdf["id"]):
+                if i in known or len(known) >= max_bucket:
+                    continue
+                for j in known:
+                    lo, hi = (j, i) if j < i else (i, j)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                known.add(i)
+        state.update((np.array(sorted(known), dtype=np.int64).tobytes(),))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "band": [band] * len(out_a)}
+            )
+
+    return stacked.groupBy("band", "key").applyInPandasWithState(
+        fold,
+        outputStructType=LSH_OUTPUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 QUANTILE_STATE_SCHEMA = T.StructType([T.StructField("bins", T.BinaryType())])
 
 

@@ -455,3 +455,59 @@ def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
         assert (r.n, r.q50_est, r.q95_est) == (n, e50, e95), k
         # and the batch Spark-expression output agrees exactly
         assert (r.n, r.q50_est, r.q95_est) == batch_spark[k], k
+
+
+def test_streaming_lsh_dedup_equals_batch(spark, tmp_path):
+    """Incremental LSH dedup: after the whole corpus has streamed through
+    (3 micro-batches), the distinct emitted (id_a, id_b) pairs EQUAL batch
+    minhash_lsh_pairs over the same corpus, and per-pair emitted band
+    counts equal n_shared_bands. Pairs are emitted exactly once (no
+    duplicate (band, pair) rows)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.dedup import minhash_lsh_pairs
+    from logparserhelper_spark.plans.contract_queries import _docs_with_planted_dups
+    from logparserhelper_spark.streaming.stateful import streaming_lsh_dedup
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    docs = _docs_with_planted_dups(spark, sf)  # planted exact + near copies
+    pdf = docs.toPandas()
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "doc_files")
+    os.makedirs(sdir)
+    pq.write_table(t.slice(0, third), os.path.join(sdir, "a.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(sdir, "b.parquet"))
+    pq.write_table(t.slice(2 * third), os.path.join(sdir, "c.parquet"))
+
+    expected = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_lsh_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_stream")
+        .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM lsh_stream").collect()
+    emitted = [(r.id_a, r.id_b, r.band) for r in rows]
+    assert len(emitted) == len(set(emitted))  # exactly-once per (pair, band)
+    got: dict = {}
+    for a, b, _band in emitted:
+        got[(a, b)] = got.get((a, b), 0) + 1
+    assert got == expected and expected  # pairs AND band multiplicities
