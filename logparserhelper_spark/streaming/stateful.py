@@ -298,6 +298,64 @@ def streaming_lsh_dedup(
     )
 
 
+CMS_STATE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("d", T.IntegerType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def streaming_count_min(
+    stream_df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Streaming count-min sketch: slots are computed statelessly per row
+    (Python mirror of ``sketch.md5_slot`` — md5('<d>:<value>') first 8 hex
+    chars mod width, bit-identical to the batch expression), then ONE long
+    of state per (d, slot) group — the whole sketch is a hard-bounded
+    depth*width state rows regardless of stream cardinality. Emits the
+    updated (d, slot, cnt) rows each micro-batch; counts are additive, so
+    after all data has streamed through the final row set EQUALS the
+    batch ``count_min_table`` exactly — pinned by tests/test_streaming.py.
+    Null keys are dropped (the batch op's md5 of null is null — feed it
+    the same filtered input when comparing)."""
+    import hashlib
+
+    @F.pandas_udf("array<long>")
+    def slots(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda v: [
+                int(hashlib.md5(f"{d}:{v}".encode()).hexdigest()[:8], 16) % width
+                for d in range(depth)
+            ]
+        )
+
+    stacked = (
+        stream_df.filter(F.col(key_col).isNotNull())
+        .select(slots(F.col(key_col).cast("string")).alias("_s"))
+        .select(F.posexplode("_s").alias("d", "slot"))
+    )
+
+    def fold(key, pdfs, state):
+        cnt = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"d": [int(key[0])], "slot": [int(key[1])], "cnt": [cnt]}
+        )
+
+    return stacked.groupBy("d", "slot").applyInPandasWithState(
+        fold,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 QUANTILE_STATE_SCHEMA = T.StructType([T.StructField("bins", T.BinaryType())])
 
 

@@ -1512,3 +1512,36 @@ def test_phash_near_pairs_finds_jpeg_dups(spark):
     }
     assert set(pairs) == {(30, 31), (110, 111)}
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_log_bin_value_mirrors_spark_expressions(spark):
+    """The streaming quantile fold's Python binning (sketch.log_bin_value)
+    must agree with the batch Spark expression tree bin-for-bin on
+    adversarial values: power-of-two micro boundaries +-1, HALF_UP .5
+    rounding edges, sub-micro values clamped to 1, and magnitudes past
+    2^53 where the long->double division inside the sub-bin matters."""
+    from logparserhelper_spark.functions.sketch import (
+        log_bin_value,
+        log_histogram_bins,
+    )
+
+    vals = [1e-9, 4.9e-7, 5.1e-7, 1.5e-6, 2.5e-6]          # clamp + rounding edges
+    vals += [(2.0**e) / 1e6 for e in range(0, 62, 7)]       # exact boundaries
+    vals += [(2.0**e + 1) / 1e6 for e in range(3, 62, 7)]   # boundary + 1 micro
+    vals += [(2.0**e - 1) / 1e6 for e in range(3, 62, 7)]
+    # past 2^53 micros, up to the sketch's domain edge (value*1e6 must fit
+    # int64, so values above ~9.2e12 are out of domain for BOTH sides)
+    vals += [123.456789, 9.87654321e8, 7.2e12, 9.2e12]
+    df = spark.createDataFrame([(v,) for v in vals], "value double").withColumn(
+        "g", F.lit("x")
+    )
+    got = {
+        r._bin: (r._c, r._rep)
+        for r in log_histogram_bins(df, "g", "value").collect()
+    }
+    exp: dict = {}
+    for v in vals:
+        b, rep = log_bin_value(v)
+        c, r = exp.get(b, (0, rep))
+        exp[b] = (c + 1, min(r, rep))
+    assert got == exp

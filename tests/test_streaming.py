@@ -511,3 +511,58 @@ def test_streaming_lsh_dedup_equals_batch(spark, tmp_path):
     for a, b, _band in emitted:
         got[(a, b)] = got.get((a, b), 0) + 1
     assert got == expected and expected  # pairs AND band multiplicities
+
+
+def test_streaming_count_min_equals_batch(spark, tmp_path):
+    """The streaming CMS (one long of state per (d, slot); whole sketch
+    hard-bounded at depth*width rows) must converge to EXACTLY the batch
+    count_min_table after all micro-batches — additive counts, identical
+    md5 slots, no tolerances."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.sketch import count_min_table
+    from logparserhelper_spark.streaming.stateful import streaming_count_min
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not present")
+    t = pq.read_table(src)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "ev_files_cms")
+    os.makedirs(sdir)
+    pq.write_table(t.slice(0, third), os.path.join(sdir, "a.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(sdir, "b.parquet"))
+    pq.write_table(t.slice(2 * third), os.path.join(sdir, "c.parquet"))
+
+    batch_df = spark.read.parquet(src).filter(F.col("user_id").isNotNull())
+    expected = {
+        (r.d, r.slot): r.cnt
+        for r in count_min_table(
+            batch_df.select(F.col("user_id").cast("string").alias("user_id")),
+            "user_id",
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_count_min(stream, "user_id")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM cms_stream").collect()
+    latest = {}
+    for r in rows:  # memory sink appends every update; counts only grow
+        kk = (r.d, r.slot)
+        if kk not in latest or r.cnt > latest[kk]:
+            latest[kk] = r.cnt
+    assert latest == expected and len(expected) <= 4 * 64
