@@ -357,7 +357,14 @@ def generate_transcripts_parallel(
     ds_dir = os.path.join(out_dir, "transcripts.parquet")
     if os.path.isfile(ds_dir):
         os.remove(ds_dir)
-    os.makedirs(ds_dir, exist_ok=True)
+    # wipe any previous dataset: regenerating with fewer shards must not
+    # leave stale shard files mixed into the directory (a reader would see
+    # more rows than the manifest claims)
+    if os.path.isdir(ds_dir):
+        import shutil
+
+        shutil.rmtree(ds_dir)
+    os.makedirs(ds_dir)
     bounds = [n_convs * i // n_procs for i in range(n_procs + 1)]
     jobs = [
         (

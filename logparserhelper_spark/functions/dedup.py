@@ -52,10 +52,12 @@ def exact_dedup_groups(
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (id, shingle). Built-ins only:
-    split -> transform over index range -> explode. Text is normalized
-    (lower, collapsed whitespace) first.
+                  k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-gram shingles per doc: (id, shingle) — distinct per doc by
+    default (set semantics for Jaccard/MinHash); ``distinct=False`` keeps
+    one row per POSITION (bag semantics for duplicated-span statistics).
+    Built-ins only: split -> transform over index range -> explode. Text
+    is normalized (lower, collapsed whitespace) first.
 
     The words array is materialized in its OWN projection before the
     k-gram transform references it k times per element: inlining the
@@ -70,15 +72,13 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ws = F.col("_ws")
     n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingles = F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]),
-            )
-        ),
-    ).otherwise(F.array())
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    shingles = F.when(n >= k, grams).otherwise(F.array())
     return w.select("id", F.explode(shingles).alias("shingle"))
 
 
@@ -110,28 +110,8 @@ def duplicated_ngram_stats(
     serializes its entire row set into one window task at 100 TB, whereas
     the join formulation keeps both branches map-side-combinable and
     skew-splittable. Two linear scans is the safer trade."""
-    w = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text_col(F.col(text_col)), " ").alias("_ws"),
-    )
-    ws = F.col("_ws")
-    n = F.size(ws)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    arr = F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array())
-    shp = w.select("id", F.explode(arr).alias("shingle"))
-    dsc = (
-        shp.filter(F.col("shingle").isNotNull())
-        .groupBy("id", "shingle")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    shp = word_shingles(df, text_col, id_col, k, distinct=False)
+    dsc = shp.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
     dfreq = dsc.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     per_doc = (
         dsc.join(dfreq, "shingle")

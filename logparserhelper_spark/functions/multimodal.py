@@ -1277,10 +1277,16 @@ def image_phash(
 
     @F.pandas_udf("bigint")
     def ph(payloads: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        # fixture-style corpora repeat payloads (the contract query cycles
+        # 116 of them); a bounded per-worker cache skips the decode + DCT
+        # for repeats and costs one dict lookup for unique blobs
+        cached = lru_cache(maxsize=256)(phash64)
         out = []
         for p in payloads.tolist():
             try:
-                out.append(phash64(bytes(p)))
+                out.append(cached(bytes(p)))
             except Exception:
                 out.append(None)
         return pd.Series(out, index=payloads.index, dtype="object")
@@ -1328,8 +1334,10 @@ def phash_near_pairs(
 
 
 def auto_decode(payload: bytes) -> np.ndarray:
-    """Default decoder: dispatch on container magic. RIFF/WAVE -> real stdlib
-    decode; other formats have no codec in this image -> deterministic fake."""
+    """Default decoder: dispatch on container magic — the SAME sniffing
+    table the pixel path uses (_IMAGE_DECODERS_BGR), features via
+    _bgr_features. RIFF/WAVE -> real stdlib audio decode; unknown or
+    failing payloads -> deterministic fake."""
     if (
         payload is not None
         and len(payload) >= 12
@@ -1340,36 +1348,13 @@ def auto_decode(payload: bytes) -> np.ndarray:
             return wav_decode(payload)
         except Exception:
             return fake_decode(payload)
-    if payload is not None and len(payload) >= 54 and payload[:2] == b"BM":
-        try:
-            return bmp_decode(payload)
-        except Exception:
-            return fake_decode(payload)
-    if payload is not None and payload[:2] == b"P6":
-        try:
-            return ppm_decode(payload)
-        except Exception:
-            return fake_decode(payload)
-    if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        try:
-            return png_decode(payload)
-        except Exception:
-            return fake_decode(payload)
-    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
-        try:
-            return gif_decode(payload)
-        except Exception:
-            return fake_decode(payload)
-    if payload is not None and payload[:3] == b"\xff\xd8\xff":
-        try:
-            return jpeg_decode(payload)
-        except Exception:
-            return fake_decode(payload)
-    if payload is not None and payload[:4] in (b"II*\x00", b"MM\x00*"):
-        try:
-            return tiff_decode(payload)
-        except Exception:
-            return fake_decode(payload)
+    if payload is not None:
+        for sniff, dec in _IMAGE_DECODERS_BGR:
+            if sniff(payload):
+                try:
+                    return _bgr_features(*dec(payload))
+                except Exception:
+                    return fake_decode(payload)
     return fake_decode(payload)
 
 

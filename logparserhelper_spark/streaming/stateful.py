@@ -229,14 +229,18 @@ def streaming_lsh_dedup(
     import re as _re
 
     _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s is ASCII-only
-    _java_trim = "".join(map(chr, range(0x21)))  # Java trim strips <= U+0020
 
     def band_keys(text: str) -> list:
+        # bit-faithful mirror of dedup.normalize_text_col + word_shingles:
+        # Spark F.trim strips ONLY spaces (0x20) and runs BEFORE the \s+
+        # collapse, so '\tfoo' normalizes to ' foo' -> a leading EMPTY
+        # token that participates in shingles. Mirroring anything looser
+        # (str.strip of all whitespace) silently changes the shingle set.
         if not isinstance(text, str):
             return []
-        norm = _java_ws.sub(" ", text.lower().strip(_java_trim))
+        norm = _java_ws.sub(" ", text.lower().strip(" "))
         toks = norm.split(" ")
-        if len(toks) < k or toks == [""]:
+        if len(toks) < k:
             return []
         shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
         sig = [
@@ -393,10 +397,15 @@ def streaming_log_histogram_quantiles(
             unpack_bins,
         )
 
+        import math
+
         bins = unpack_bins(bytes(state.get[0])) if state.exists else {}
         for pdf in pdfs:
             for v in pdf[value_col]:
-                if v is None:
+                # SQL NULL arrives as NaN in a float64 pandas column, not
+                # None — both must be skipped (batch log_histogram_bins
+                # filters nulls itself)
+                if v is None or (isinstance(v, float) and math.isnan(v)):
                     continue
                 b, rep = log_bin_value(float(v))
                 c, r = bins.get(b, (0, rep))

@@ -265,6 +265,17 @@ def test_parallel_generator_deterministic_and_readable(spark, tmp_path):
     ]
     assert h(d1) == h(d2) and len(h(d1)) == 3
 
+    # regenerating with FEWER shards must not leave stale shard files from
+    # the wider run mixed into the dataset (rows would exceed the manifest)
+    import json
+
+    d3 = generate_transcripts_parallel(str(tmp_path / "p1"), "tiny", n_procs=2, force=True)
+    n_files = len(glob.glob(d3 + "/transcripts.parquet/*.parquet"))
+    manifest_rows = json.load(open(d3 + "/_MANIFEST.json"))["rows"]
+    assert n_files == 2
+    assert read_transcripts(spark, d3).count() == manifest_rows
+    generate_transcripts_parallel(str(tmp_path / "p1"), "tiny", n_procs=3, force=True)
+
     df = read_transcripts(spark, d1)
     lens = conversation_lengths(40, 1.6)
     base = df.filter(~(F.col("ts").cast("string").endswith(".5")))  # drop dup rows

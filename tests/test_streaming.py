@@ -414,6 +414,24 @@ def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
     pq.write_table(t.slice(0, third), os.path.join(sdir, "a.parquet"))
     pq.write_table(t.slice(third, third), os.path.join(sdir, "b.parquet"))
     pq.write_table(t.slice(2 * third), os.path.join(sdir, "c.parquet"))
+    # a 4th micro-batch carrying a NULL value for an existing group: the
+    # testdata has no null values, so plant one — it must be skipped by
+    # the fold (it arrives as NaN in the float64 pandas column, not None)
+    import pyarrow as pa
+
+    first_et = t.column("event_type")[0].as_py()
+    null_row = pa.table(
+        {
+            "event_id": pa.array([10**12], "int64"),
+            "ts": t.column("ts").slice(0, 1),
+            "user_id": pa.array([1], "int64"),
+            "event_type": pa.array([first_et]),
+            "value": pa.array([None], "float64"),
+            "props": pa.array([None], "string"),
+        },
+        schema=pa.schema([f.remove_metadata() for f in t.schema]),
+    )
+    pq.write_table(null_row, os.path.join(sdir, "d.parquet"))
 
     batch_df = spark.read.parquet(src).select("event_type", "value").filter(
         F.col("value").isNotNull()
@@ -431,9 +449,10 @@ def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(sdir)
     )
-    out = streaming_log_histogram_quantiles(
-        stream.filter(F.col("value").isNotNull()), "event_type", "value"
-    )
+    # no null pre-filter on the stream side: SQL NULLs arrive as NaN in the
+    # fold's float64 column and the op must skip them itself (regression
+    # for the NaN-crash finding; the batch side filters nulls in-plan)
+    out = streaming_log_histogram_quantiles(stream, "event_type", "value")
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
@@ -477,6 +496,29 @@ def test_streaming_lsh_dedup_equals_batch(spark, tmp_path):
         pytest.skip("driver testdata not present")
     docs = _docs_with_planted_dups(spark, sf)  # planted exact + near copies
     pdf = docs.toPandas()
+    # adversarial edge-whitespace dups: Spark's trim strips only spaces, so
+    # '\t'-edged text keeps a leading EMPTY token in its shingles — the
+    # Python band-key mirror must reproduce that exactly (regression for
+    # the normalization-mirror finding)
+    import pandas as _pd
+
+    edge = _pd.DataFrame(
+        {
+            "doc_id": [900001, 900002, 900003, 900004],
+            # each pair: one clean, one edge-whitespace copy. Spark keeps
+            # an EMPTY token for the '\t'/'\n' edge (trim strips only
+            # spaces), so the two shingle sets differ — a mirror that
+            # str.strip()s all whitespace would wrongly pair them
+            "text": [
+                "\tthe quick brown fox jumps",
+                "the quick brown fox jumps",
+                "over the lazy dog tonight",
+                "over the lazy dog tonight\n",
+            ],
+        }
+    )
+    pdf = _pd.concat([pdf, edge], ignore_index=True)
+    docs = spark.createDataFrame(pdf)  # batch side sees the same corpus
     t = pa.Table.from_pandas(pdf, preserve_index=False)
     third = t.num_rows // 3
     sdir = str(tmp_path / "doc_files")
