@@ -1387,6 +1387,136 @@ def extract_media_features(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def make_avi(frames_jpeg: list, width: int, height: int, fps: int = 10) -> bytes:
+    """Serialize a minimal Motion-JPEG AVI (RIFF 'AVI ': hdrl with
+    avih/strh/strf, movi with one '00dc' chunk per JPEG frame, even-byte
+    chunk padding) — the standard MJPEG-in-AVI layout (msdn AVI RIFF
+    spec / OpenDML). Test/fixture writer for avi_frames."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    n = len(frames_jpeg)
+    max_sz = max((len(f) for f in frames_jpeg), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_sz * fps,      # dwMaxBytesPerSec
+        0, 0x10,           # padding, AVIF_HASINDEX-less but fine
+        n, 0, 1, max_sz,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<I2H8I", 0, 0, 0, 0, 1, fps, 0, n, max_sz, 10000, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER: 11 fields, biCompression='MJPG'
+        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes):
+    """REAL video-container parse for Motion-JPEG AVI payloads (pure
+    stdlib ``struct``): walks the RIFF chunk tree, reads the frame period
+    from avih, and yields (frame_idx, frame_ms, jpeg_bytes) for every
+    '00dc'/'00db' chunk in the movi LIST. Raises on anything that is not
+    a RIFF/AVI or has no movi frames (callers fall back / null out).
+    Frame pixels come from this repo's own decode_jpeg — end-to-end
+    video decode with no codec library."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    micro_per_frame = None
+    frames = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal micro_per_frame
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_end)  # skip list kind
+            elif fourcc == b"avih" and size >= 4:
+                (micro_per_frame,) = struct.unpack_from("<I", buf, data_start)
+            elif fourcc in (b"00dc", b"00db") and size > 0:
+                frames.append(bytes(buf[data_start:data_end]))
+            pos = data_start + size + (size % 2)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    ms = (micro_per_frame or 100_000) / 1000.0
+    for i, f in enumerate(frames):
+        yield i, int(i * ms), f
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL frame sampling for MJPEG AVI payloads: parse the container,
+    decode every ``every_n``-th frame through this repo's decode_jpeg,
+    emit (media_id, frame_idx, frame_ms, features array<float>) with the
+    shared _bgr_features layout per frame. mapInPandas with lazily
+    iterated batches (one Arrow batch of payloads resident per worker);
+    undecodable payloads or frames yield no rows — mixed corpora don't
+    poison the stage."""
+    out_schema = "media_id long, frame_idx int, frame_ms int, features array<float>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logparserhelper_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    frame_iter = list(avi_frames(bytes(p)))
+                except Exception:
+                    continue
+                for idx, ms, jpg in frame_iter:
+                    if idx % every_n:
+                        continue
+                    try:
+                        rgb = decode_jpeg(jpg)
+                    except Exception:
+                        continue
+                    h, w = rgb.shape[:2]
+                    feats = _bgr_features(w, h, 24.0, rgb[:, :, ::-1].astype(np.float64))
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ms"].append(ms)
+                    rows["features"].append([float(x) for x in feats])
+            if rows["media_id"]:  # empty pdf infers float64 for the list col
+                yield pd.DataFrame(
+                    {
+                        "media_id": rows["media_id"],
+                        "frame_idx": rows["frame_idx"],
+                        "frame_ms": rows["frame_ms"],
+                        "features": pd.Series(rows["features"], dtype="object"),
+                    }
+                )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: expands each video row into one row per
     sampled frame offset (real decode NotImplemented; offsets computed from

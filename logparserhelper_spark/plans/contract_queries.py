@@ -1830,6 +1830,19 @@ def _solid_decode_expected(i: int) -> tuple[str, float, float]:
     if k != 3:
         cont = MEDIA_MATRIX_CONTAINERS[k]
         return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
+    mb, mr = _jpeg_solid_expected(r, g, b)
+    return "jpeg", mb, mr
+
+
+def _jpeg_solid_expected(r: int, g: int, b: int) -> tuple[float, float]:
+    """Closed-form (mean_B, mean_R) of a solid-color image after a
+    quality-95 baseline JPEG round trip: only the DC coefficient is
+    nonzero, so reconstruction is v' = round(8(v-128)/q00)*q00/8 + 128
+    per YCbCr channel (q00=2 for both tables at quality 95) — derived
+    independently of decode_jpeg. Shared by the media_decode_matrix and
+    video_frame_features oracle luts."""
+    import numpy as np
+
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
@@ -1840,7 +1853,7 @@ def _solid_decode_expected(i: int) -> tuple[str, float, float]:
     y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
     rr = min(255.0, max(0.0, y2 + 1.402 * (cr2 - 128.0)))
     bb = min(255.0, max(0.0, y2 + 1.772 * (cb2 - 128.0)))
-    return "jpeg", float(np.float32(bb / 255.0)), float(np.float32(rr / 255.0))
+    return float(np.float32(bb / 255.0)), float(np.float32(rr / 255.0))
 
 
 def solid_media_payload(rid: int) -> bytes:
@@ -2089,6 +2102,90 @@ GROUP BY l.ph
 
 
 SQL_IMAGE_PHASH_DUP = _image_phash_dup_sql()
+
+
+VIDEO_FRAMES = 3
+VIDEO_FPS = 10
+
+
+def _video_frame_color(rid: int, fi: int) -> tuple[int, int, int]:
+    """Fixture recipe: frame ``fi`` of residue ``rid``'s clip."""
+    return ((rid + 31 * fi) % 256, (7 * rid + 17 * fi) % 256, (13 * rid + 11 * fi) % 256)
+
+
+def video_media_payload(rid: int) -> bytes:
+    """A 3-frame 8x8 Motion-JPEG AVI for residue ``rid`` (solid-color
+    frames, quality-95 JPEG, 10 fps) — serialized by this repo's own
+    make_avi/encode_jpeg. Pure function of rid; shared by the Spark
+    payload UDF and nothing else (the oracle derives expectations in
+    closed form via _jpeg_solid_expected, independent of the decoders)."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import make_avi
+
+    frames = [
+        encode_jpeg(
+            np.full((8, 8, 3), _video_frame_color(rid, fi), dtype=np.uint8),
+            quality=95,
+        )
+        for fi in range(VIDEO_FRAMES)
+    ]
+    return make_avi(frames, 8, 8, fps=VIDEO_FPS)
+
+
+def q_video_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode under the oracle: every document becomes a
+    3-frame solid-color Motion-JPEG AVI (colors a function of doc_id %
+    256 and the frame index), parsed by the pure-stdlib RIFF/AVI walker
+    and decoded frame-by-frame through this repo's own JPEG decoder
+    inside sample_video_frames (mapInPandas). The oracle joins a 768-row
+    closed-form lookup built from the DC-quantization identity — a wrong
+    chunk walk, frame order, timing, or JPEG reconstruction shows up as
+    a frame-mean or frame_ms mismatch."""
+    from logparserhelper_spark.functions.multimodal import sample_video_frames
+
+    @F.pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        build = lru_cache(maxsize=256)(video_media_payload)
+        return ids.map(lambda i: build(int(i) % 256))
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.select(F.col("doc_id").alias("media_id"), payload("doc_id").alias("payload"))
+    out = sample_video_frames(media)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+        F.round(F.element_at("features", 4).cast("double"), 6).alias("mean_b"),
+        F.round(F.element_at("features", 6).cast("double"), 6).alias("mean_r"),
+    )
+
+
+def _video_frame_features_sql() -> str:
+    rows = []
+    for rid in range(256):
+        for fi in range(VIDEO_FRAMES):
+            mb, mr = _jpeg_solid_expected(*_video_frame_color(rid, fi))
+            rows.append(f"({rid}, {fi}, {fi * 1000 // VIDEO_FPS}, {mb!r}, {mr!r})")
+    values = ",\n".join(rows)
+    return f"""
+WITH lut(rid, fidx, fms, mb, mr) AS (VALUES
+{values})
+SELECT d.doc_id AS media_id, CAST(l.fidx AS INT) AS frame_idx,
+       CAST(l.fms AS INT) AS frame_ms,
+       CAST(8.0 AS DOUBLE) AS f0, CAST(8.0 AS DOUBLE) AS f1,
+       ROUND(CAST(l.mb AS DOUBLE), 6) AS mean_b,
+       ROUND(CAST(l.mr AS DOUBLE), 6) AS mean_r
+FROM documents d JOIN lut l ON d.doc_id % 256 = l.rid
+"""
+
+
+SQL_VIDEO_FRAME_FEATURES = _video_frame_features_sql()
 
 
 def q_duplicated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -3412,6 +3509,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_coarse_bucket": q_asof_coarse_bucket,
     "image_phash_dup": q_image_phash_dup,
     "duplicated_ngram_spans": q_duplicated_ngram_spans,
+    "video_frame_features": q_video_frame_features,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3447,4 +3545,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "asof_coarse_bucket": SQL_ASOF_PURCHASE_LAST_VIEW,
     "image_phash_dup": SQL_IMAGE_PHASH_DUP,
     "duplicated_ngram_spans": SQL_DUPLICATED_NGRAM_SPANS,
+    "video_frame_features": SQL_VIDEO_FRAME_FEATURES,
 }

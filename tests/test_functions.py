@@ -1545,3 +1545,55 @@ def test_log_bin_value_mirrors_spark_expressions(spark):
         c, r = exp.get(b, (0, rep))
         exp[b] = (c + 1, min(r, rep))
     assert got == exp
+
+
+def test_avi_roundtrip_and_error_paths():
+    """make_avi <-> avi_frames round-trip: frame bytes come back verbatim
+    in order with fps-derived timestamps; non-AVI / truncated / frameless
+    payloads raise (callers null out)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from logparserhelper_spark.functions.multimodal import avi_frames, make_avi
+
+    frames = [
+        encode_jpeg(np.full((8, 8, 3), (c, (2 * c) % 256, (3 * c) % 256), dtype=np.uint8), quality=95)
+        for c in (10, 60, 200)
+    ]
+    avi = make_avi(frames, 8, 8, fps=25)
+    got = list(avi_frames(avi))
+    assert [j for _, _, j in got] == frames
+    assert [(i, ms) for i, ms, _ in got] == [(0, 0), (1, 40), (2, 80)]
+    assert decode_jpeg(got[2][2]).shape == (8, 8, 3)
+
+    for bad in (b"nope", b"RIFF\x04\x00\x00\x00AVI ", avi[:40]):
+        with _pytest.raises(ValueError):
+            list(avi_frames(bad))
+
+
+def test_sample_video_frames_spark(spark):
+    """The mapInPandas video sampler: MJPEG AVI rows expand one row per
+    sampled frame with correct stride and timing; null and non-AVI
+    payloads contribute no rows."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import make_avi, sample_video_frames
+
+    frames = [
+        encode_jpeg(np.full((8, 8, 3), (40 * i, 0, 0), dtype=np.uint8), quality=95)
+        for i in range(4)
+    ]
+    avi = make_avi(frames, 8, 8, fps=10)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, None), (3, bytearray(b"garbage bytes"))],
+        "media_id long, payload binary",
+    )
+    rows = sample_video_frames(df, every_n=2).collect()
+    assert {(r.media_id, r.frame_idx, r.frame_ms) for r in rows} == {
+        (1, 0, 0),
+        (1, 2, 200),
+    }
+    for r in rows:
+        assert (r.features[0], r.features[1]) == (8.0, 8.0)
