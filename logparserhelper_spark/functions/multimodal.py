@@ -168,13 +168,15 @@ def _ima_adpcm_decode_block(data: bytes, n_ch: int) -> np.ndarray:
     return np.array([o[:n] for o in out], dtype=np.int64).T
 
 
-def wav_decode(payload: bytes) -> np.ndarray:
-    """REAL audio decode for RIFF/WAVE payloads: FEATURE_DIM floats =
-    [duration_s, n_channels, sample_rate/1e5, global RMS] + 12 windowed RMS
-    values. Formats: PCM 8/16-bit (stdlib ``wave``), G.711 mu-law (7) and
-    A-law (6) companding, and IMA ADPCM (0x11) blocks — the formats
+def wav_decode_samples(payload: bytes) -> tuple:
+    """REAL audio decode for RIFF/WAVE payloads, at sample level:
+    (sample_rate, n_channels, n_frames, x) with x the flat float64
+    sample stream in [-1, 1) (interleaved when n_channels > 1). Formats:
+    PCM 8/16-bit (stdlib ``wave``), G.711 mu-law (7) and A-law (6)
+    companding, and IMA ADPCM (0x11) blocks — the formats
     telephony/meeting-transcript corpora actually carry. Anything else
-    raises (callers fall back to fake_decode)."""
+    raises (callers fall back). ``wav_decode`` summarizes this into the
+    FEATURE_DIM layout; ``audio_tone_features`` consumes it spectrally."""
     import io
     import struct
     import wave as _wave
@@ -233,6 +235,13 @@ def wav_decode(payload: bytes) -> np.ndarray:
         x = (samples.reshape(-1).astype(np.float64)) / 32768.0
     else:
         raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+    return sr, ch, n_frames, x
+
+
+def wav_decode(payload: bytes) -> np.ndarray:
+    """FEATURE_DIM floats over ``wav_decode_samples``: [duration_s,
+    n_channels, sample_rate/1e5, global RMS] + 12 windowed RMS values."""
+    sr, ch, n_frames, x = wav_decode_samples(payload)
     dur = n_frames / sr if sr else 0.0
     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
     win_rms = [
@@ -240,6 +249,43 @@ def wav_decode(payload: bytes) -> np.ndarray:
         for c in np.array_split(x, FEATURE_DIM - 4)
     ]
     return np.array([dur, float(ch), sr / 1e5, rms] + win_rms, dtype=np.float32)
+
+
+def audio_tone_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Spectral audio analysis over the real WAV decoders: per row,
+    (media_id, sr, n_samples, dom_bin, dom_freq) where dom_bin is the
+    rFFT magnitude argmax over bins 1..N/2 (DC excluded — it only carries
+    offset) of the channel-averaged signal and dom_freq = dom_bin*sr/N.
+    mapInPandas (per-blob Python is inherent for stdlib codecs); payloads
+    that are not decodable WAV yield no rows."""
+    out_schema = "media_id long, sr int, n_samples int, dom_bin int, dom_freq double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sr", "n_samples", "dom_bin", "dom_freq")}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    sr, ch, n_frames, x = wav_decode_samples(bytes(p))
+                except Exception:
+                    continue
+                if n_frames < 2:
+                    continue
+                mono = x.reshape(n_frames, ch).mean(axis=1) if ch > 1 else x
+                mag = np.abs(np.fft.rfft(mono))
+                k = int(np.argmax(mag[1:])) + 1  # skip DC
+                rows["media_id"].append(mid)
+                rows["sr"].append(sr)
+                rows["n_samples"].append(n_frames)
+                rows["dom_bin"].append(k)
+                rows["dom_freq"].append(k * sr / len(mono))
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=out_schema)
 
 
 def _bgr_features(w: int, h: int, bpp: float, bgr: np.ndarray) -> np.ndarray:

@@ -2188,6 +2188,83 @@ FROM documents d JOIN lut l ON d.doc_id % 256 = l.rid
 SQL_VIDEO_FRAME_FEATURES = _video_frame_features_sql()
 
 
+TONE_N = 2048
+TONE_SR = 8000
+
+
+def tone_media_payload(rid: int) -> bytes:
+    """A mono PCM16 WAV fixture: 2048 samples at 8 kHz of a pure sine
+    sitting EXACTLY on FFT bin k = 16 + 3*(rid % 64) (frequency
+    k*sr/N — integer cycles, so the spectrum is a single line and the
+    rFFT argmax is k with no leakage ambiguity), amplitude 0.5,
+    round-half-away int16 quantization. Pure function of rid % 64."""
+    import struct
+
+    import numpy as np
+
+    k = 16 + 3 * (rid % 64)
+    t = np.arange(TONE_N, dtype=np.float64)
+    samples = np.round(0.5 * 32767.0 * np.sin(2 * np.pi * k * t / TONE_N)).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, TONE_SR, TONE_SR * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def q_audio_tone_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode + spectral analysis under the oracle: every
+    document becomes a pure-tone PCM16 WAV (bin index a function of
+    doc_id % 64), parsed by the stdlib RIFF/WAVE decoder and analyzed by
+    audio_tone_features' rFFT argmax inside mapInPandas. The oracle joins
+    a closed-form 64-row lookup — bin k and frequency k*sr/N follow from
+    the fixture construction alone (integer cycles => single spectral
+    line), so a wrong chunk walk, sample decode, or FFT indexing breaks
+    the match."""
+    from logparserhelper_spark.functions.multimodal import audio_tone_features
+
+    @F.pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        build = lru_cache(maxsize=64)(tone_media_payload)
+        return ids.map(lambda i: build(int(i) % 64))
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.select(F.col("doc_id").alias("media_id"), payload("doc_id").alias("payload"))
+    out = audio_tone_features(media)
+    return out.select(
+        "media_id",
+        "sr",
+        "n_samples",
+        "dom_bin",
+        F.round("dom_freq", 2).alias("dom_freq"),
+    )
+
+
+def _audio_tone_spectrum_sql() -> str:
+    rows = ",\n".join(
+        f"({rid}, {16 + 3 * rid}, {(16 + 3 * rid) * TONE_SR / TONE_N!r})"
+        for rid in range(64)
+    )
+    return f"""
+WITH lut(rid, k, freq) AS (VALUES
+{rows})
+SELECT d.doc_id AS media_id, CAST({TONE_SR} AS INT) AS sr,
+       CAST({TONE_N} AS INT) AS n_samples, CAST(l.k AS INT) AS dom_bin,
+       ROUND(CAST(l.freq AS DOUBLE), 2) AS dom_freq
+FROM documents d JOIN lut l ON d.doc_id % 64 = l.rid
+"""
+
+
+SQL_AUDIO_TONE_SPECTRUM = _audio_tone_spectrum_sql()
+
+
 def q_duplicated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document duplicated-text statistics (Lee et al. 2022 signal)
     over the planted-dup corpus: per doc, the fraction of word-3-gram
@@ -3510,6 +3587,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash_dup": q_image_phash_dup,
     "duplicated_ngram_spans": q_duplicated_ngram_spans,
     "video_frame_features": q_video_frame_features,
+    "audio_tone_spectrum": q_audio_tone_spectrum,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3546,4 +3624,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "image_phash_dup": SQL_IMAGE_PHASH_DUP,
     "duplicated_ngram_spans": SQL_DUPLICATED_NGRAM_SPANS,
     "video_frame_features": SQL_VIDEO_FRAME_FEATURES,
+    "audio_tone_spectrum": SQL_AUDIO_TONE_SPECTRUM,
 }

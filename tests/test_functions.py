@@ -1597,3 +1597,38 @@ def test_sample_video_frames_spark(spark):
     }
     for r in rows:
         assert (r.features[0], r.features[1]) == (8.0, 8.0)
+
+
+def test_audio_tone_features_spark(spark):
+    """Spectral audio op end-to-end: a PCM16 pure tone lands on its exact
+    FFT bin; the SAME tone through G.711 mu-law companding still has the
+    same dominant bin (coarse quantization does not move a spectral
+    line); a stereo tone channel-averages; null/garbage rows vanish."""
+    import audioop
+
+    import numpy as np
+
+    from logparserhelper_spark.functions.multimodal import audio_tone_features
+
+    n, sr, k = 1024, 8000, 37
+    t = np.arange(n, dtype=np.float64)
+    mono = np.round(0.5 * 32767.0 * np.sin(2 * np.pi * k * t / n)).astype("<i2")
+    pcm = _make_wav(1, 1, sr, 16, 2, mono.tobytes())
+    stereo = _make_wav(1, 2, sr, 16, 4, np.repeat(mono, 2).astype("<i2").tobytes())
+    ulaw = _make_wav(7, 1, sr, 8, 1, audioop.lin2ulaw(mono.tobytes(), 2))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(pcm)),
+            (2, bytearray(stereo)),
+            (3, bytearray(ulaw)),
+            (4, None),
+            (5, bytearray(b"not audio at all")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_tone_features(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for mid in (1, 2, 3):
+        r = rows[mid]
+        assert (r.sr, r.n_samples, r.dom_bin) == (sr, n, k), mid
+        assert abs(r.dom_freq - k * sr / n) < 1e-9
