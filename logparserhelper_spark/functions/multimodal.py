@@ -1340,18 +1340,12 @@ def image_phash(
     return df.select(F.col(id_col).alias("id"), ph(F.col(payload_col)).alias("phash"))
 
 
-def phash_near_pairs(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Perceptual near-duplicate image pairs with Hamming(phash) <=
-    max_hamming via 16-bit chunk bucketing — pigeonhole over 4 chunks
-    covers d<=3 exactly (same O(n)-shuffle plan shape as
+def _hash_near_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash) <= max_hamming over
+    an (id, phash) table, via 16-bit chunk bucketing — pigeonhole over 4
+    chunks covers d<=3 exactly (same O(n)-shuffle plan shape as
     dedup.simhash_near_pairs; candidates only meet inside a shared
     16-bit bucket, never all-pairs)."""
-    sig = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
     chunks = sig.select(
         "id",
         "phash",
@@ -1377,6 +1371,49 @@ def phash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode+hash (image_phash)
+    then the banded Hamming join (_hash_near_pairs)."""
+    sig = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    return _hash_near_pairs(sig, max_hamming)
+
+
+def phash_dup_clusters(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual duplicate CLUSTERS — the end-to-end image-dedup shape:
+    (id, phash, component) with component = min id reachable through
+    Hamming<=max_hamming links. Exact-hash groups collapse to ONE
+    representative (min id) BEFORE the banded near-pair join, so a
+    million byte-identical or re-encoded copies contribute one node —
+    never quadratic pairs; connected components (label propagation,
+    dedup.connected_components) then merge representatives within
+    max_hamming, and exact members re-expand onto their representative's
+    component. Because each representative is already the min id of its
+    exact group, the component label is the cluster's global min id."""
+    from logparserhelper_spark.functions.dedup import connected_components
+
+    sig = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    reps = sig.groupBy("phash").agg(F.min("id").alias("rep_id"))
+    pairs = _hash_near_pairs(
+        reps.select(F.col("rep_id").alias("id"), "phash"), max_hamming
+    )
+    comp = connected_components(pairs)
+    rep_comp = (
+        reps.join(comp, reps.rep_id == comp.id, "left")
+        .select("phash", F.coalesce("component", "rep_id").alias("component"))
+    )
+    return sig.join(rep_comp, "phash").select("id", "phash", "component")
 
 
 def auto_decode(payload: bytes) -> np.ndarray:

@@ -2104,6 +2104,46 @@ GROUP BY l.ph
 SQL_IMAGE_PHASH_DUP = _image_phash_dup_sql()
 
 
+def q_image_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end perceptual image dedup CLUSTERS over the same gradient
+    fixture corpus as image_phash_dup: exact-hash collapse -> banded
+    Hamming<=3 near pairs between representatives -> connected components
+    -> re-expand (multimodal.phash_dup_clusters). The 29 fixture patterns
+    sit >= 18 bits apart (verified), so with the threshold at 3 the
+    clusters are EXACTLY the pattern groups across all four containers,
+    and the component label is each group's min doc_id — closed-form in
+    DuckDB without any hash lut."""
+    from logparserhelper_spark.functions.multimodal import phash_dup_clusters
+
+    @F.pandas_udf("binary")
+    def payload(ids: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        build = lru_cache(maxsize=128)(gradient_media_payload)
+        return ids.map(lambda i: build(int(i) % 116))
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = d.select(F.col("doc_id").alias("media_id"), payload("doc_id").alias("payload"))
+    clusters = phash_dup_clusters(media)
+    return (
+        clusters.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+        .select("component", "n_members", "id_sum")
+    )
+
+
+SQL_IMAGE_DUP_CLUSTERS = f"""
+WITH g AS (SELECT doc_id, doc_id % {PHASH_PATTERNS} AS rid FROM documents)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM g GROUP BY rid
+"""
+
+
 VIDEO_FRAMES = 3
 VIDEO_FPS = 10
 
@@ -3588,6 +3628,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_ngram_spans": q_duplicated_ngram_spans,
     "video_frame_features": q_video_frame_features,
     "audio_tone_spectrum": q_audio_tone_spectrum,
+    "image_dup_clusters": q_image_dup_clusters,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3625,4 +3666,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "duplicated_ngram_spans": SQL_DUPLICATED_NGRAM_SPANS,
     "video_frame_features": SQL_VIDEO_FRAME_FEATURES,
     "audio_tone_spectrum": SQL_AUDIO_TONE_SPECTRUM,
+    "image_dup_clusters": SQL_IMAGE_DUP_CLUSTERS,
 }

@@ -1632,3 +1632,33 @@ def test_audio_tone_features_spark(spark):
         r = rows[mid]
         assert (r.sr, r.n_samples, r.dom_bin) == (sr, n, k), mid
         assert abs(r.dom_freq - k * sr / n) < 1e-9
+
+
+def test_phash_dup_clusters_merges_exact_and_near(spark):
+    """The cluster composition: byte-identical copies collapse to one
+    representative BEFORE pairing, a JPEG re-encode (near, hamming<=3)
+    merges into the same component, an unrelated pattern stays its own
+    singleton component, and the component label is the cluster min id."""
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import make_bmp, phash_dup_clusters
+    from logparserhelper_spark.plans.contract_queries import _phash_gradient_pixels
+
+    px = _phash_gradient_pixels(3)
+    rows = [[tuple(int(v) for v in px[y, x]) for x in range(64)] for y in range(64)]
+    bmp = make_bmp(64, 64, rows)
+    jpg = encode_jpeg(px, quality=95)
+    px2 = _phash_gradient_pixels(9)
+    rows2 = [[tuple(int(v) for v in px2[y, x]) for x in range(64)] for y in range(64)]
+    other = make_bmp(64, 64, rows2)
+    df = spark.createDataFrame(
+        [
+            (10, bytearray(bmp)),
+            (11, bytearray(bmp)),   # byte-identical copy
+            (12, bytearray(jpg)),   # near (JPEG re-encode)
+            (20, bytearray(other)),  # unrelated singleton
+            (30, None),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.id: r.component for r in phash_dup_clusters(df).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20}
