@@ -219,9 +219,12 @@ def wav_decode_samples(payload: bytes) -> tuple:
         n_frames = n
     elif fmt_tag in (6, 7):  # G.711 A-law / mu-law
         codes = np.frombuffer(data, dtype=np.uint8)
+        n_frames = len(codes) // ch
+        # truncate a ragged tail (data bytes not divisible by n_channels)
+        # so the contract x.size == n_frames * ch holds for every format
+        codes = codes[: n_frames * ch]
         lin = _alaw_to_lin(codes) if fmt_tag == 6 else _ulaw_to_lin(codes)
         x = lin.astype(np.float64) / 32768.0
-        n_frames = len(codes) // ch
     elif fmt_tag == 0x11:  # IMA ADPCM
         if not block_align or block_align < 4 * ch:
             raise ValueError("bad ADPCM block align")
@@ -270,13 +273,15 @@ def audio_tone_features(
                     continue
                 try:
                     sr, ch, n_frames, x = wav_decode_samples(bytes(p))
+                    if n_frames < 2:
+                        continue
+                    # inside the try: a malformed stream must skip this
+                    # row, never abort the stage
+                    mono = x.reshape(n_frames, ch).mean(axis=1) if ch > 1 else x
+                    mag = np.abs(np.fft.rfft(mono))
+                    k = int(np.argmax(mag[1:])) + 1  # skip DC
                 except Exception:
                     continue
-                if n_frames < 2:
-                    continue
-                mono = x.reshape(n_frames, ch).mean(axis=1) if ch > 1 else x
-                mag = np.abs(np.fft.rfft(mono))
-                k = int(np.argmax(mag[1:])) + 1  # skip DC
                 rows["media_id"].append(mid)
                 rows["sr"].append(sr)
                 rows["n_samples"].append(n_frames)
@@ -1313,6 +1318,19 @@ def phash64(payload: bytes) -> int:
     return phash64_from_bgr(bgr)
 
 
+# worker-lifetime cache for repeated payloads (module level so it survives
+# across Arrow batches; fixture-style corpora repeat blobs heavily and a
+# miss costs a full decode + DCT). Bounded, keyed by the payload bytes.
+# Defined as its own decorated function (not lru_cache(phash64)): the
+# wrapper must carry THIS name for cloudpickle's pickle-by-reference.
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=256)
+def phash64_cached(payload: bytes) -> int:
+    return phash64(payload)
+
+
 def image_phash(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
@@ -1323,16 +1341,12 @@ def image_phash(
 
     @F.pandas_udf("bigint")
     def ph(payloads: pd.Series) -> pd.Series:
-        from functools import lru_cache
-
-        # fixture-style corpora repeat payloads (the contract query cycles
-        # 116 of them); a bounded per-worker cache skips the decode + DCT
-        # for repeats and costs one dict lookup for unique blobs
-        cached = lru_cache(maxsize=256)(phash64)
         out = []
         for p in payloads.tolist():
             try:
-                out.append(cached(bytes(p)))
+                # module-level cache: warm across Arrow batches for the
+                # worker's lifetime, not rebuilt per batch
+                out.append(phash64_cached(bytes(p)))
             except Exception:
                 out.append(None)
         return pd.Series(out, index=payloads.index, dtype="object")
@@ -1403,7 +1417,15 @@ def phash_dup_clusters(
     exact group, the component label is the cluster's global min id."""
     from logparserhelper_spark.functions.dedup import connected_components
 
-    sig = image_phash(df, payload_col, id_col).filter(F.col("phash").isNotNull())
+    # persist: sig's lineage is the per-blob decode + DCT hash — the cost
+    # center of the whole op — and three branches below (reps, the CC
+    # pair derivation, and the final re-expand join) would otherwise each
+    # re-decode the corpus. MEMORY_AND_DISK: (id, long) rows are tiny.
+    sig = (
+        image_phash(df, payload_col, id_col)
+        .filter(F.col("phash").isNotNull())
+        .persist()
+    )
     reps = sig.groupBy("phash").agg(F.min("id").alias("rep_id"))
     pairs = _hash_near_pairs(
         reps.select(F.col("rep_id").alias("id"), "phash"), max_hamming
@@ -1506,7 +1528,7 @@ def make_avi(frames_jpeg: list, width: int, height: int, fps: int = 10) -> bytes
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
     body = b"AVI " + hdrl + movi
-    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def avi_frames(payload: bytes):
@@ -1563,8 +1585,6 @@ def sample_video_frames(
     out_schema = "media_id long, frame_idx int, frame_ms int, features array<float>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from logparserhelper_spark.functions.jpeg import decode_jpeg
-
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
@@ -1578,11 +1598,12 @@ def sample_video_frames(
                     if idx % every_n:
                         continue
                     try:
-                        rgb = decode_jpeg(jpg)
+                        # the still-image JPEG path end to end (incl. EXIF
+                        # orientation) — identical frame bytes must yield
+                        # identical features through either entry point
+                        feats = _bgr_features(*jpeg_decode_bgr(jpg))
                     except Exception:
                         continue
-                    h, w = rgb.shape[:2]
-                    feats = _bgr_features(w, h, 24.0, rgb[:, :, ::-1].astype(np.float64))
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["frame_ms"].append(ms)

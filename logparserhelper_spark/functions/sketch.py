@@ -182,7 +182,17 @@ def log_histogram_bins(
     counts with map-side combine. Exposed so the streaming twin's state can
     be compared against it bin-for-bin (same role as ``hll_registers`` for
     the HLL pair). ``log_bin_value`` is the Python mirror of this exact
-    expression tree."""
+    expression tree. NULLs and (for float columns) NaN data values are
+    both excluded — a NaN would otherwise cast to bin 1 here while the
+    streaming fold cannot tell it apart from a SQL NULL, breaking the
+    bit-for-bit parity contract."""
+    vc = F.col(value_col)
+    not_nan = (
+        ~F.isnan(vc)
+        if dict(df.dtypes).get(value_col) in ("float", "double")
+        else F.lit(True)
+    )
+    df = df.filter(vc.isNotNull() & not_nan)
     m = F.greatest(F.round(F.col(value_col) * 1e6).cast("long"), F.lit(1))
     bl = F.length(F.bin(m))
     p = F.pow(F.lit(2.0), (bl - 3).cast("double"))
@@ -194,8 +204,7 @@ def log_histogram_bins(
         bl >= 3, (5 + sub) * p
     ).otherwise(F.pow(F.lit(2.0), bl.cast("double")))
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
+        df.select(
             F.col(group_col).alias("_g"),
             (bl * 4 + sub).alias("_bin"),
             ((lower + upper) / 2.0 / 1e6).alias("_rep"),

@@ -397,15 +397,16 @@ def streaming_log_histogram_quantiles(
             unpack_bins,
         )
 
-        import math
-
         bins = unpack_bins(bytes(state.get[0])) if state.exists else {}
         for pdf in pdfs:
             for v in pdf[value_col]:
-                # SQL NULL arrives as NaN in a float64 pandas column, not
-                # None — both must be skipped (batch log_histogram_bins
-                # filters nulls itself)
-                if v is None or (isinstance(v, float) and math.isnan(v)):
+                # SQL NULL arrives as NaN in a float64/float32 pandas
+                # column, not None — `v != v` catches NaN of every dtype
+                # (np.float32 is NOT a Python float subclass, so an
+                # isinstance check would miss it). The batch side filters
+                # both nulls and NaN data values in-plan, so skipping here
+                # keeps the bins bit-identical.
+                if v is None or v != v:
                     continue
                 b, rep = log_bin_value(float(v))
                 c, r = bins.get(b, (0, rep))

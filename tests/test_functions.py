@@ -1616,6 +1616,10 @@ def test_audio_tone_features_spark(spark):
     pcm = _make_wav(1, 1, sr, 16, 2, mono.tobytes())
     stereo = _make_wav(1, 2, sr, 16, 4, np.repeat(mono, 2).astype("<i2").tobytes())
     ulaw = _make_wav(7, 1, sr, 8, 1, audioop.lin2ulaw(mono.tobytes(), 2))
+    # ragged stereo mu-law: 101 data bytes over 2 channels — the decoder
+    # truncates the tail frame so the op still analyzes it (regression
+    # for the reshape-outside-try stage crash)
+    ragged = _make_wav(7, 2, sr, 8, 2, audioop.lin2ulaw(mono.tobytes(), 2)[:101])
     df = spark.createDataFrame(
         [
             (1, bytearray(pcm)),
@@ -1623,11 +1627,13 @@ def test_audio_tone_features_spark(spark):
             (3, bytearray(ulaw)),
             (4, None),
             (5, bytearray(b"not audio at all")),
+            (6, bytearray(ragged)),
         ],
         "media_id long, payload binary",
     )
     rows = {r.media_id: r for r in audio_tone_features(df).collect()}
-    assert set(rows) == {1, 2, 3}
+    assert set(rows) == {1, 2, 3, 6}
+    assert rows[6].n_samples == 50  # 101 mu-law bytes / 2 ch, tail dropped
     for mid in (1, 2, 3):
         r = rows[mid]
         assert (r.sr, r.n_samples, r.dom_bin) == (sr, n, k), mid
