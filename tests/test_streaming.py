@@ -608,3 +608,56 @@ def test_streaming_count_min_equals_batch(spark, tmp_path):
         if kk not in latest or r.cnt > latest[kk]:
             latest[kk] = r.cnt
     assert latest == expected and len(expected) <= 4 * 64
+
+
+def test_streaming_lsh_dedup_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the incremental dedup: stop the query after
+    batch 1, add more data, restart from the SAME checkpoint — the bucket
+    state (doc ids seen) is recovered, so the new doc pairs against BOTH
+    earlier docs, and the already-emitted pair is NOT re-emitted (exactly
+    once across restarts)."""
+    import os
+
+    from logparserhelper_spark.streaming.stateful import streaming_lsh_dedup
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    sdir = str(tmp_path / "docs_restart")
+    os.makedirs(sdir)
+    ckpt = str(tmp_path / "lsh_restart_ckpt")
+    out = str(tmp_path / "lsh_restart_out")  # durable sink: memory sinks
+    # cannot recover from a checkpoint
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        q = (
+            streaming_lsh_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _drain(q)
+        return [
+            (r.id_a, r.id_b, r.band) for r in spark.read.parquet(out).collect()
+        ]
+
+    spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(sdir)
+    first = run()
+    assert {(a, b) for a, b, _ in first} == {(1, 2)} and len(first) == 4  # all 4 bands
+
+    spark.createDataFrame([(3, t)], "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    # restart from the SAME checkpoint: (1,2) must not re-emit, and doc 3
+    # must pair with BOTH ids recovered from bucket state
+    cumulative = run()
+    second = [p for p in cumulative if p not in set(first)]
+    assert {(a, b) for a, b, _ in second} == {(1, 3), (2, 3)}
+    assert len(cumulative) == 12  # 3 pairs x 4 bands, each exactly once
