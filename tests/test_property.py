@@ -464,3 +464,72 @@ def test_property_jpeg_layouts_agree(dims, rnd, subsample, quality):
     )
     assert np.array_equal(base, prog)
     assert np.array_equal(base, split)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _img_dims,
+    st.randoms(use_true_random=False),
+    st.booleans(),
+    st.sampled_from([1, 8, 32773]),
+    st.booleans(),
+)
+def test_property_phash_container_invariant(dims, rnd, interlaced, tiff_comp, big_endian):
+    """pHash is a 64-bit probe of the FULL pixel plane (DCT of the 32x32
+    luminance), so identical random pixels through BMP / PNG / TIFF / PPM
+    must hash IDENTICALLY — a single mis-decoded pixel anywhere flips DCT
+    coefficients. Stronger than the 16-float feature ring above."""
+    from logparserhelper_spark.functions.multimodal import (
+        make_bmp,
+        make_png,
+        make_tiff,
+        phash64,
+    )
+
+    w, h = dims
+    px = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    ref = phash64(make_bmp(w, h, px))
+    assert ref == phash64(
+        make_png(w, h, px, color_type=2, interlaced=interlaced,
+                 filters=[rnd.randrange(5) for _ in range(7)])
+    )
+    assert ref == phash64(
+        make_tiff(w, h, px, compression=tiff_comp,
+                  rows_per_strip=rnd.randrange(1, h + 1), big_endian=big_endian)
+    )
+    flat = bytes(v for row in px for c in row for v in c)
+    assert ref == phash64(b"P6\n%d %d\n255\n" % (w, h) + flat)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.sampled_from([5, 10, 24, 30]),
+    _img_dims,
+    st.randoms(use_true_random=False),
+)
+def test_property_avi_roundtrip(n_frames, fps, dims, rnd):
+    """Random MJPEG AVIs round-trip: frame bytes come back verbatim, in
+    order, with timestamps derived from the avih frame period."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import avi_frames, make_avi
+
+    w, h = dims
+    frames = []
+    for _ in range(n_frames):
+        px = np.array(
+            [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )
+        frames.append(encode_jpeg(px, quality=rnd.randrange(70, 99)))
+    got = list(avi_frames(make_avi(frames, w, h, fps=fps)))
+    assert [j for _, _, j in got] == frames
+    period_ms = (1_000_000 // fps) / 1000.0
+    assert [(i, ms) for i, ms, _ in got] == [
+        (i, int(i * period_ms)) for i in range(n_frames)
+    ]
