@@ -36,6 +36,12 @@ SNAPSHOT_QUERIES = [
     "asof_purchase_last_view",
     "contamination",
     "char_lm_quality",
+    # round-5 extras with regression-prone join plans (resolved from
+    # EXTRA_QUERIES): the banded Hamming join must never degrade to a
+    # nested-loop/cartesian, and the doc-frequency join must stay
+    # partial-aggregated on both branches
+    "image_phash_dup",
+    "duplicated_ngram_spans",
 ]
 
 _NORMALIZERS = [
@@ -103,7 +109,10 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    from logparserhelper_spark.plans.contract_queries import QUERIES
+    from logparserhelper_spark.plans.contract_queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
     from logparserhelper_spark.session import build_session
 
     spark = build_session(parallelism=8, app_name="plan_snapshots", shuffle_partitions=16)
@@ -114,7 +123,11 @@ def main() -> int:
         (n, df) for n, df in pipeline_dfs.items()
     ]
     for name, pre_built in targets:
-        df = pre_built if pre_built is not None else QUERIES[name](spark, SF_DIR)
+        if pre_built is not None:
+            df = pre_built
+        else:
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+            df = fn(spark, SF_DIR)
         plan = normalize(formatted_plan(spark, df))
         path = os.path.join(PLANS_DIR, f"{name}.txt")
         if args.check:
