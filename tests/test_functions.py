@@ -1666,5 +1666,10 @@ def test_phash_dup_clusters_merges_exact_and_near(spark):
         ],
         "media_id long, payload binary",
     )
-    got = {r.id: r.component for r in phash_dup_clusters(df).collect()}
+    out = phash_dup_clusters(df)
+    got = {r.id: r.component for r in out.collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20}
+    # the banded Hamming join must never degrade to an all-pairs plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
