@@ -661,3 +661,73 @@ def test_streaming_lsh_dedup_survives_restart(spark, tmp_path):
     second = [p for p in cumulative if p not in set(first)]
     assert {(a, b) for a, b, _ in second} == {(1, 3), (2, 3)}
     assert len(cumulative) == 12  # 3 pairs x 4 bands, each exactly once
+
+
+def test_streaming_hll_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the HLL registers: stop after the first
+    micro-batch, add the rest of the data, restart from the SAME
+    checkpoint — the recovered 2^p register state folds the new values in
+    and the final registers EQUAL the batch sketch over ALL data,
+    bit-for-bit (update-mode output is collected through foreachBatch
+    into parquet, since the file sink itself cannot do update mode)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.sketch import hll_distinct
+    from logparserhelper_spark.streaming.stateful import streaming_hll_distinct
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not present")
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    sdir = str(tmp_path / "ev_restart")
+    os.makedirs(sdir)
+    ckpt = str(tmp_path / "hll_restart_ckpt")
+    out = str(tmp_path / "hll_restart_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        hll = streaming_hll_distinct(
+            stream.filter(F.col("user_id").isNotNull()), "event_type", "user_id"
+        )
+        q = (
+            hll.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _drain(q)
+
+    pq.write_table(t.slice(0, half), os.path.join(sdir, "a.parquet"))
+    run()
+    pq.write_table(t.slice(half), os.path.join(sdir, "b.parquet"))
+    run()  # restart from checkpoint: state must carry batch 1's registers
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r.group_key)
+        if prev is None or r.n_seen >= prev.n_seen:
+            latest[r.group_key] = r
+    batch_df = spark.read.parquet(src).select("event_type", "user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    import numpy as np
+
+    from logparserhelper_spark.functions.sketch import hll_registers
+
+    m = 256
+    expected = {}
+    for r in hll_registers(batch_df, "event_type", "user_id").collect():
+        expected.setdefault(r._g, np.zeros(m, dtype=np.uint8))[r._bucket] = r._M
+    assert set(latest) == set(expected)
+    for k, r in latest.items():
+        assert bytes(r.registers) == expected[k].tobytes(), k  # bit-for-bit
