@@ -1356,20 +1356,34 @@ def image_phash(
 
 def _hash_near_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(hash) <= max_hamming over
-    an (id, phash) table, via 16-bit chunk bucketing — pigeonhole over 4
-    chunks covers d<=3 exactly (same O(n)-shuffle plan shape as
-    dedup.simhash_near_pairs; candidates only meet inside a shared
-    16-bit bucket, never all-pairs)."""
+    an (id, phash) table, via chunk bucketing: the 64-bit hash splits into
+    ``max_hamming + 1`` contiguous bit ranges, so by pigeonhole any pair
+    within the distance budget agrees exactly on at least one chunk
+    (same O(n)-shuffle plan shape as dedup.simhash_near_pairs; candidates
+    only meet inside a shared chunk bucket, never all-pairs). The default
+    d<=3 therefore buckets on 4x16-bit chunks; larger budgets widen the
+    explode fan-out (and recall cost) instead of silently missing pairs."""
+    if not 0 <= max_hamming <= 16:
+        # n_chunks = d+1 caps at 17 before chunks shrink below ~4 bits and
+        # the buckets stop discriminating (every value collides).
+        raise ValueError(f"max_hamming must be in [0, 16], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+
+    def _ckey(c: int):
+        width = bounds[c + 1] - bounds[c]
+        shifted = F.shiftright("phash", bounds[c])
+        if width >= 64:  # d=0: the whole hash is the (exact-match) bucket key
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = sig.select(
         "id",
         "phash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftright("phash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                )
-                for c in range(4)
+                F.struct(F.lit(c).alias("chunk"), _ckey(c).alias("ckey"))
+                for c in range(n_chunks)
             ])
         ).alias("ck"),
     ).select("id", "phash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
@@ -1414,17 +1428,29 @@ def phash_dup_clusters(
     dedup.connected_components) then merge representatives within
     max_hamming, and exact members re-expand onto their representative's
     component. Because each representative is already the min id of its
-    exact group, the component label is the cluster's global min id."""
+    exact group, the component label is the cluster's global min id.
+
+    Skew note: the final re-expand join keys on ``phash``, so a corpus
+    where one exact hash dominates (billions of identical blank images)
+    makes that join skewed. It is a LINEAR hash-join — the quadratic
+    stages (pairs, CC) see one node per distinct hash regardless — and
+    rep_comp carries one row per DISTINCT hash, so after a heavy exact
+    collapse it is typically broadcast-sized (no shuffle, no skew); when
+    it is not, AQE skew-split handles the residual imbalance (pinned by
+    tests/test_functions.py's hot-hash fixture)."""
     from logparserhelper_spark.functions.dedup import connected_components
 
-    # persist: sig's lineage is the per-blob decode + DCT hash — the cost
-    # center of the whole op — and three branches below (reps, the CC
-    # pair derivation, and the final re-expand join) would otherwise each
-    # re-decode the corpus. MEMORY_AND_DISK: (id, long) rows are tiny.
+    # localCheckpoint (eager): sig's lineage is the per-blob decode + DCT
+    # hash — the cost center of the whole op — and three branches below
+    # (reps, the CC pair derivation, and the final re-expand join) would
+    # otherwise each re-decode the corpus. Checkpoint rather than persist
+    # so the cached (id, long) blocks are reclaimed by the ContextCleaner
+    # once the returned DataFrame is GC'd — an explicit persist here
+    # stayed pinned for the session after the query completed.
     sig = (
         image_phash(df, payload_col, id_col)
         .filter(F.col("phash").isNotNull())
-        .persist()
+        .localCheckpoint()
     )
     reps = sig.groupBy("phash").agg(F.min("id").alias("rep_id"))
     pairs = _hash_near_pairs(

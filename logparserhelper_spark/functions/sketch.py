@@ -221,8 +221,16 @@ def log_bin_value(v: float) -> tuple[int, float]:
     in IEEE double) so a streaming fold lands values in bit-identical
     bins. The ONE Python source of truth for the streaming sketch."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    m = max(int(math.floor(v * 1e6 + 0.5)), 1)  # Spark ROUND = HALF_UP
+    # Spark ROUND(double) = BigDecimal on the double's SHORTEST repr,
+    # HALF_UP. floor(x + 0.5) is not that: for odd integer micros in
+    # [2^52, 2^53) the +0.5 add ties-to-even and lands on m+1 where
+    # HALF_UP keeps m. Python repr() is the same shortest round-trip
+    # string Java's Double.toString produces, so Decimal(repr(x))
+    # quantized HALF_UP matches Spark bit-for-bit across the range.
+    x = v * 1e6
+    m = max(int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)), 1)
     bl = m.bit_length()
     if bl >= 3:
         p = 2.0 ** (bl - 3)

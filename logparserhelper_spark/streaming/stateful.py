@@ -259,7 +259,13 @@ def streaming_lsh_dedup(
         return texts.map(band_keys)
 
     stacked = (
-        stream_df.select(
+        # drop null ids BEFORE the band-key explode: band keys depend only
+        # on text, so a null id would survive to the fold as float64 NaN
+        # (pandas has no long-null) and int(NaN) raises mid-task — the
+        # batch minhash_lsh_pairs path tolerates null ids the same way
+        # (mirrors the documented null-key handling in streaming_count_min).
+        stream_df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("id"), bk(F.col(text_col)).alias("_bks")
         )
         .select(

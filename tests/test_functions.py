@@ -1514,6 +1514,45 @@ def test_phash_near_pairs_finds_jpeg_dups(spark):
     assert all(h <= 3 for h in pairs.values())
 
 
+def test_hash_near_pairs_chunks_follow_max_hamming(spark):
+    """The pigeonhole chunk count derives from max_hamming (d+1 chunks):
+    budgets above 3 must still be COMPLETE — with the old fixed 4x16-bit
+    split, a pair differing by one bit in each of 4 chunks (hamming 4)
+    shares no bucket and is silently missed. Out-of-range budgets raise."""
+    import pytest as _pytest
+
+    from logparserhelper_spark.functions.multimodal import _hash_near_pairs
+
+    base = 0x123456789ABCDEF0
+    # flip one bit inside EACH 16-bit quarter -> hamming 4, no shared
+    # 16-bit chunk; also a hamming-5 neighbor and an unrelated hash
+    h4 = base ^ 0x0001_0001_0001_0001
+    h5 = base ^ 0x0001_0001_0001_0003
+    rows = [(1, base), (2, h4), (3, h5), (4, ~base & 0x7FFFFFFFFFFFFFFF)]
+    sig = spark.createDataFrame(rows, "id long, phash long")
+
+    got3 = {(r.id_a, r.id_b) for r in _hash_near_pairs(sig, 3).collect()}
+    assert (1, 2) not in got3  # hamming 4 > budget 3: correctly excluded
+
+    got5 = {
+        (r.id_a, r.id_b): r.hamming for r in _hash_near_pairs(sig, 5).collect()
+    }
+    assert got5[(1, 2)] == 4 and got5[(1, 3)] == 5 and got5[(2, 3)] == 1
+    assert not any(4 in p for p in got5)
+
+    # negative phash (int64 sign bit set) still buckets consistently
+    neg = spark.createDataFrame(
+        [(10, -2), (11, -1)], "id long, phash long"  # hamming(-2,-1) = 1
+    )
+    assert [
+        (r.id_a, r.id_b, r.hamming) for r in _hash_near_pairs(neg, 1).collect()
+    ] == [(10, 11, 1)]
+
+    for bad in (-1, 17):
+        with _pytest.raises(ValueError):
+            _hash_near_pairs(sig, bad)
+
+
 def test_log_bin_value_mirrors_spark_expressions(spark):
     """The streaming quantile fold's Python binning (sketch.log_bin_value)
     must agree with the batch Spark expression tree bin-for-bin on
@@ -1532,6 +1571,15 @@ def test_log_bin_value_mirrors_spark_expressions(spark):
     # past 2^53 micros, up to the sketch's domain edge (value*1e6 must fit
     # int64, so values above ~9.2e12 are out of domain for BOTH sides)
     vals += [123.456789, 9.87654321e8, 7.2e12, 9.2e12]
+    # HALF_UP ties: v*1e6 an EXACT odd-integer micro in [2^52, 2^53)
+    # sitting one below a sub-bin boundary (m = k*2^50 - 1). A naive
+    # floor(x + 0.5) ties-to-even there and lands one sub-bin high;
+    # Decimal HALF_UP on the shortest repr matches Spark's BigDecimal.
+    vals += [
+        float.fromhex("0x1.4f8b588e368efp+32"),  # micros = 5*2^50 - 1
+        float.fromhex("0x1.92a737110e453p+32"),  # micros = 6*2^50 - 1
+        float.fromhex("0x1.d5c31593e5fb6p+32"),  # micros = 7*2^50 - 1
+    ]
     df = spark.createDataFrame([(v,) for v in vals], "value double").withColumn(
         "g", F.lit("x")
     )

@@ -504,7 +504,11 @@ def test_streaming_lsh_dedup_equals_batch(spark, tmp_path):
 
     edge = _pd.DataFrame(
         {
-            "doc_id": [900001, 900002, 900003, 900004],
+            # the None doc_id row is the NaN-in-the-fold regression: band
+            # keys depend only on text, so without the null-id filter the
+            # id arrives in the stateful fold as float64 NaN and int(NaN)
+            # kills the task — both sides must simply ignore the row
+            "doc_id": _pd.array([900001, 900002, 900003, 900004, None], dtype="Int64"),
             # each pair: one clean, one edge-whitespace copy. Spark keeps
             # an EMPTY token for the '\t'/'\n' edge (trim strips only
             # spaces), so the two shingle sets differ — a mirror that
@@ -514,10 +518,12 @@ def test_streaming_lsh_dedup_equals_batch(spark, tmp_path):
                 "the quick brown fox jumps",
                 "over the lazy dog tonight",
                 "over the lazy dog tonight\n",
+                "orphan row with a null id never pairs",
             ],
         }
     )
     pdf = _pd.concat([pdf, edge], ignore_index=True)
+    pdf["doc_id"] = pdf["doc_id"].astype("Int64")
     docs = spark.createDataFrame(pdf)  # batch side sees the same corpus
     t = pa.Table.from_pandas(pdf, preserve_index=False)
     third = t.num_rows // 3
