@@ -1571,23 +1571,31 @@ def avi_frames(payload: bytes):
         raise ValueError("not an AVI")
     micro_per_frame = None
     frames = []
-
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal micro_per_frame
+    buf = payload
+    # explicit-stack DFS over the chunk tree: hostile payloads can nest
+    # LIST chunks one per 12 bytes, so recursing would hit the interpreter
+    # recursion limit mid-walk — the stack depth here is bounded by the
+    # number of ANCESTOR lists only, and a crafted million-deep nest costs
+    # heap, not C stack. Child chunks are walked before resuming after the
+    # list, so frame order is identical to the recursive walk.
+    stack = [(12, len(payload))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
             data_start = pos + 8
             data_end = min(data_start + size, end)
+            next_pos = data_start + size + (size % 2)  # chunks pad to even
             if fourcc == b"LIST":
-                walk(buf, data_start + 4, data_end)  # skip list kind
-            elif fourcc == b"avih" and size >= 4:
+                stack.append((next_pos, end))  # resume here after the list
+                pos, end = data_start + 4, data_end  # descend (skip list kind)
+                continue
+            if fourcc == b"avih" and size >= 4:
                 (micro_per_frame,) = struct.unpack_from("<I", buf, data_start)
             elif fourcc in (b"00dc", b"00db") and size > 0:
                 frames.append(bytes(buf[data_start:data_end]))
-            pos = data_start + size + (size % 2)  # chunks pad to even
-
-    walk(payload, 12, len(payload))
+            pos = next_pos
     if not frames:
         raise ValueError("AVI contains no video frames")
     ms = (micro_per_frame or 100_000) / 1000.0

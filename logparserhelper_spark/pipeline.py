@@ -78,6 +78,14 @@ class PipelineConfig:
     # dedup exchange + AQE size it — right when the source is already
     # bucket-partitioned, e.g. a conv_id-bucketed Iceberg scan).
     parse_partitions: int | None = None
+    # routed-sink format: "parquet" (directory per bucket, the default) or
+    # "table" — the snapshot-table shim (sinks/hadoop_table.py): ONE
+    # routed table partitioned by (bucket, sink), every bucket commit a
+    # REPLACE-partitions snapshot. This is the Iceberg production shape:
+    # bucket replay converges by partition replace, readers time-travel
+    # per snapshot, and a writer death mid-bucket leaves the table at its
+    # previous snapshot (commit-or-nothing) instead of a half-written dir.
+    routed_format: str = "parquet"
     # test hook: raise after committing this many buckets (resume test)
     fail_after_buckets: int | None = None
 
@@ -110,6 +118,7 @@ def _run_fingerprint(cfg: PipelineConfig, effective_parse_partitions: int) -> di
         "dedup_strategy": cfg.dedup_strategy,
         "salt": cfg.salt,
         "parse_partitions": effective_parse_partitions,
+        "routed_format": cfg.routed_format,
     }
 
 
@@ -365,8 +374,28 @@ def _run_bucket(
     # submit them concurrently (Spark schedules jobs from multiple threads;
     # on a cluster this is the FAIR-pool pattern). The bucket still commits
     # atomically: the progress marker lands only after ALL of them finish.
+    if cfg.routed_format == "table":
+        # production sink shape: ONE snapshot table partitioned by
+        # (bucket, sink); this bucket's commit is a REPLACE-partitions
+        # snapshot, so a replayed bucket converges and a mid-write death
+        # leaves the table at its previous snapshot (commit-or-nothing) —
+        # the Iceberg overwritePartitions contract, via the shim.
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        routed_table_loc = os.path.join(cfg.out_dir, "routed_table")
+
+        def _routed_write() -> None:
+            HadoopTable(spark, routed_table_loc).replace_partitions(
+                routed.withColumn("bucket", F.lit(k)), ["bucket", "sink"]
+            )
+
+    else:
+
+        def _routed_write() -> None:
+            routed.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
+
     jobs = [
-        lambda: routed.write.mode("overwrite").partitionBy("sink").parquet(routed_dir),
+        _routed_write,
         lambda: sink_pattern_freq_from_turns(back, bdim)
         .write.mode("overwrite")
         .parquet(os.path.join(partial_dir, "sink_pattern_freq", f"bucket={k}")),

@@ -1,0 +1,441 @@
+"""Filesystem snapshot-table shim with Iceberg HadoopTables commit semantics.
+
+The production sink story (north rule) is per-sink **Iceberg** tables whose
+REPLACE-partition commits make the pipeline's bucket resume exactly-once.
+This sandbox has no network and no Iceberg runtime jar, so the commit path
+could never execute — this module is the faithful stand-in: a directory
+table format implementing the SAME commit protocol Iceberg's HadoopTables
+uses (versioned metadata files, atomic fail-if-exists promotion of the next
+version, optimistic-concurrency retry, snapshot time travel), sized down to
+inline manifests. Semantics mirrored from the public Apache Iceberg spec and
+``HadoopTableOperations`` behavior; no Iceberg code or byte format is used.
+
+Layout::
+
+    <location>/
+      data/<commit-uuid>/[col=val/...]*.parquet   # immutable once written
+      metadata/v<N>.metadata.json                 # snapshot N (FULL state)
+      metadata/version-hint.text                  # advisory cache of N
+
+Commit protocol (commit-or-nothing, single atomic step):
+
+1. Stage: write the incoming DataFrame's parquet files under a fresh
+   ``data/<uuid>/`` directory. Staged files are UNREFERENCED — a crash
+   here leaves orphans (reclaimed by :func:`HadoopTable.cleanup_orphans`)
+   and the table state untouched.
+2. Compose the child snapshot's full file list from the parent snapshot
+   per the operation: ``append`` keeps all parent files; ``replace``
+   (dynamic partition overwrite — Iceberg ``overwritePartitions``) drops
+   parent files whose partition value is present in the staged data;
+   ``overwrite_all`` drops everything.
+3. Write the snapshot JSON to a temp name, then promote it to
+   ``v<parent+1>.metadata.json`` with ``os.link`` — POSIX hardlink
+   creation is atomic and FAILS if the target exists, which is exactly
+   the fail-if-exists rename HadoopTables relies on from HDFS. Losing a
+   race raises ``CommitConflict``; the public entry points re-read the
+   new parent and retry (staged data files stay valid across retries).
+4. ``version-hint.text`` is refreshed best-effort AFTER the commit —
+   readers never trust it, they list ``metadata/`` for the max version,
+   so a torn or stale hint cannot produce a wrong read.
+
+A reader therefore sees either the parent snapshot or the child snapshot,
+never a mix, no matter where a writer dies — proven by the kill-tests in
+tests/test_table_shim.py (SIGKILL injected at every protocol point via
+``LPH_TABLE_FAULT``).
+
+Scale note: this shim inlines the manifest (file list) in each metadata
+version, which is O(files) JSON per commit — right for the sandbox, and the
+read path still does manifest-level partition pruning driver-side like
+Iceberg's planner (only matching files reach ``spark.read``). At 100 TB the
+real Iceberg manifest tree + metastore catalog replaces this module behind
+the same ``write_table`` call (sinks/writer.py); nothing above the sink API
+changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer promoted this version first (optimistic concurrency)."""
+
+
+class NoSuchTable(Exception):
+    pass
+
+
+def _fault(point: str) -> None:
+    """Kill-test hook: die WITHOUT cleanup at a named protocol point when
+    LPH_TABLE_FAULT names it — SIGKILL, not an exception, so no finally/
+    atexit path can tidy up and mask a broken protocol."""
+    if os.environ.get("LPH_TABLE_FAULT") == point:
+        import signal
+
+        os.kill(os.getpid(), signal.SIGKILL)
+
+
+def _local_path(location: str) -> str:
+    """Filesystem path for a table location (bare path or file:// URI)."""
+    if location.startswith("file:"):
+        rest = location[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return unquote(rest)
+    return location
+
+
+@dataclass(frozen=True)
+class DataFile:
+    path: str  # relative to the table location
+    partition: dict[str, str]  # raw hive dir values (url-decoded strings)
+    records: int
+    bytes: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "partition": self.partition,
+            "records": self.records,
+            "bytes": self.bytes,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(d["path"], dict(d["partition"]), d["records"], d["bytes"])
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    operation: str
+    timestamp_ms: int
+    schema_json: str
+    partition_cols: list[str]
+    files: list[DataFile] = field(default_factory=list)
+
+    @property
+    def total_records(self) -> int:
+        return sum(f.records for f in self.files)
+
+
+class HadoopTable:
+    """One snapshot-versioned table rooted at ``location`` (local path or
+    file:// URI — the one filesystem this sandbox can execute; the commit
+    step's atomic primitive is pluggable per scheme, see _promote)."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.root = _local_path(location)
+
+    # ---------------------------------------------------------------- paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version}.metadata.json")
+
+    # ------------------------------------------------------------- metadata
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._meta_dir):
+            return []
+        out = []
+        for name in os.listdir(self._meta_dir):
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                try:
+                    out.append(int(name[1:-len(".metadata.json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise NoSuchTable(self.location)
+        return vs[-1]
+
+    def exists(self) -> bool:
+        return bool(self.versions())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        try:
+            with open(self._meta_path(v)) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            raise NoSuchTable(f"{self.location}@v{v}")
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            operation=d["operation"],
+            timestamp_ms=d["timestamp_ms"],
+            schema_json=d["schema_json"],
+            partition_cols=list(d["partition_cols"]),
+            files=[DataFile.from_json(x) for x in d["files"]],
+        )
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot log, oldest first (operation + counts per version)."""
+        out = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": s.parent,
+                    "operation": s.operation,
+                    "timestamp_ms": s.timestamp_ms,
+                    "n_files": len(s.files),
+                    "n_records": s.total_records,
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------------- write
+    def _stage(self, df: DataFrame, partition_cols: list[str]) -> list[DataFile]:
+        """Write df's parquet under data/<uuid>/ and return the manifest
+        entries. Files land at their FINAL paths (never moved — Iceberg
+        writes data in place and only the metadata swap publishes them)."""
+        commit_id = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join("data", commit_id)
+        stage_abs = os.path.join(self.root, rel_dir)
+        _fault("mid-stage")
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(stage_abs)
+        entries: list[DataFile] = []
+        import pyarrow.parquet as pq
+
+        for dirpath, _dirs, names in os.walk(stage_abs):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                abs_p = os.path.join(dirpath, name)
+                rel_p = os.path.relpath(abs_p, self.root)
+                part: dict[str, str] = {}
+                for comp in os.path.relpath(dirpath, stage_abs).split(os.sep):
+                    if "=" in comp:
+                        k, _, val = comp.partition("=")
+                        part[k] = unquote(val)
+                entries.append(
+                    DataFile(
+                        path=rel_p,
+                        partition=part,
+                        records=pq.ParquetFile(abs_p).metadata.num_rows,
+                        bytes=os.path.getsize(abs_p),
+                    )
+                )
+        _fault("after-stage")
+        return entries
+
+    def _promote(self, payload: dict[str, Any], version: int) -> None:
+        """THE atomic commit step: temp JSON -> hardlink to v<version>.
+        link(2) fails with EEXIST when the target is already there, which
+        is the fail-if-exists rename HadoopTables gets from HDFS; readers
+        see the old or the new metadata file, never a partial one."""
+        os.makedirs(self._meta_dir, exist_ok=True)
+        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        _fault("after-tmp-meta")
+        try:
+            os.link(tmp, self._meta_path(version))
+        except FileExistsError:
+            raise CommitConflict(f"v{version} already committed")
+        finally:
+            os.unlink(tmp)
+        _fault("after-commit")
+        # advisory only — readers list metadata/, they never trust the hint
+        hint_tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, os.path.join(self._meta_dir, "version-hint.text"))
+
+    def _commit(
+        self, staged: list[DataFile], df: DataFrame, op: str, partition_cols: list[str]
+    ) -> Snapshot:
+        while True:
+            versions = self.versions()
+            parent: Snapshot | None = self.snapshot(versions[-1]) if versions else None
+            if parent is not None and parent.partition_cols != partition_cols:
+                raise ValueError(
+                    f"partitioning is fixed at table creation: table has "
+                    f"{parent.partition_cols}, write used {partition_cols}"
+                )
+            if op == "append":
+                keep = parent.files if parent else []
+            elif op == "replace":
+                incoming = {tuple(sorted(e.partition.items())) for e in staged}
+                keep = [
+                    f
+                    for f in (parent.files if parent else [])
+                    if tuple(sorted(f.partition.items())) not in incoming
+                ]
+            elif op == "overwrite_all":
+                keep = []
+            else:
+                raise ValueError(op)
+            version = (parent.version + 1) if parent else 1
+            snap = Snapshot(
+                version=version,
+                parent=parent.version if parent else None,
+                operation=op,
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=df.schema.json(),
+                partition_cols=partition_cols,
+                files=list(keep) + list(staged),
+            )
+            payload = {
+                "format_version": 1,
+                "version": snap.version,
+                "parent": snap.parent,
+                "operation": snap.operation,
+                "timestamp_ms": snap.timestamp_ms,
+                "schema_json": snap.schema_json,
+                "partition_cols": snap.partition_cols,
+                "summary": {
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                    "added_records": sum(e.records for e in staged),
+                    "total_records": snap.total_records,
+                },
+                "files": [e.to_json() for e in snap.files],
+            }
+            try:
+                self._promote(payload, version)
+                return snap
+            except CommitConflict:
+                # another writer landed this version: re-read the new
+                # parent and recompose (staged data files remain valid)
+                continue
+
+    def append(self, df: DataFrame, partition_cols: list[str] | None = None) -> Snapshot:
+        pcols = self._resolve_pcols(partition_cols)
+        return self._commit(self._stage(df, pcols), df, "append", pcols)
+
+    def replace_partitions(
+        self, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> Snapshot:
+        """Dynamic partition overwrite — Iceberg ``overwritePartitions``:
+        partitions PRESENT in df are replaced wholesale, absent partitions
+        are untouched. The pipeline's bucket resume keys on this: replaying
+        a bucket re-lands identical partitions, so the table converges to
+        the same state no matter how many times a bucket is retried."""
+        pcols = self._resolve_pcols(partition_cols)
+        if not pcols:
+            raise ValueError("replace_partitions needs partition columns")
+        return self._commit(self._stage(df, pcols), df, "replace", pcols)
+
+    def overwrite_all(
+        self, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> Snapshot:
+        pcols = self._resolve_pcols(partition_cols)
+        return self._commit(self._stage(df, pcols), df, "overwrite_all", pcols)
+
+    def _resolve_pcols(self, partition_cols: list[str] | None) -> list[str]:
+        if partition_cols is not None:
+            return list(partition_cols)
+        if self.exists():
+            return self.snapshot().partition_cols
+        return []
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``). ``partition_filter``
+        prunes at the MANIFEST level — non-matching files never reach the
+        scan, the shim-scale analogue of Iceberg's planner pruning."""
+        snap = self.snapshot(version)
+        files = snap.files
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            files = [
+                f
+                for f in files
+                if all(f.partition.get(k) == v for k, v in want.items())
+            ]
+        if not files:
+            schema = self._empty_schema(snap)
+            return self.spark.createDataFrame([], schema)
+        # group by staging root so hive partition-dir inference stays exact:
+        # basePath = data/<uuid> makes Spark rebuild the partition columns
+        # from the col=val components below it, per group; groups then union
+        by_root: dict[str, list[str]] = {}
+        for f in files:
+            parts = f.path.split("/")
+            root = os.path.join(self.root, *parts[:2])  # data/<uuid>
+            by_root.setdefault(root, []).append(os.path.join(self.root, f.path))
+        out: DataFrame | None = None
+        for root, paths in sorted(by_root.items()):
+            part = (
+                self.spark.read.option("basePath", root).parquet(*sorted(paths))
+                if snap.partition_cols
+                else self.spark.read.parquet(*sorted(paths))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _empty_schema(self, snap: Snapshot):
+        from pyspark.sql.types import StructType
+
+        # schema json round-trips exactly (nullability, ntz timestamps)
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    # ------------------------------------------------------------ housekeep
+    def cleanup_orphans(self) -> list[str]:
+        """Remove data files not referenced by ANY retained snapshot — the
+        debris of commits that died before their metadata swap. Safe to run
+        any time: files only become readable via a committed snapshot."""
+        live = {
+            f.path for v in self.versions() for f in self.snapshot(v).files
+        }
+        removed = []
+        # stale temp metadata (a writer died between its tmp write and the
+        # atomic link): invisible to readers, reclaimed here
+        if os.path.isdir(self._meta_dir):
+            for name in os.listdir(self._meta_dir):
+                if name.startswith(".tmp-") or name.startswith(".hint-"):
+                    os.unlink(os.path.join(self._meta_dir, name))
+                    removed.append(os.path.join("metadata", name))
+        data_dir = os.path.join(self.root, "data")
+        if not os.path.isdir(data_dir):
+            return removed
+        for dirpath, _dirs, names in os.walk(data_dir, topdown=False):
+            for name in names:
+                abs_p = os.path.join(dirpath, name)
+                rel_p = os.path.relpath(abs_p, self.root)
+                if rel_p not in live and name.endswith(".parquet"):
+                    os.unlink(abs_p)
+                    removed.append(rel_p)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots, then reclaim
+        files only they referenced. Expiry is metadata-first (unlink the
+        version files, THEN collect garbage) so a crash mid-expiry can
+        strand files but never break a retained snapshot."""
+        vs = self.versions()
+        drop = vs[:-keep_last] if keep_last > 0 else vs
+        for v in drop:
+            os.unlink(self._meta_path(v))
+        self.cleanup_orphans()
+        return drop

@@ -66,14 +66,32 @@ def write_table(
     target: str,
     partition_by: list[str] | None = None,
     iceberg: bool | None = None,
+    mode: str = "overwrite",
 ) -> None:
-    """target: ``iceberg:<catalog.db.table>`` or a filesystem path."""
+    """target: ``iceberg:<catalog.db.table>`` (real catalog),
+    ``table:<path>`` (the snapshot-table shim — Iceberg HadoopTables
+    commit semantics over parquet, sinks/hadoop_table.py), or a plain
+    filesystem path (directory parquet). ``mode`` maps onto the snapshot
+    operation for table targets: ``overwrite`` -> dynamic partition
+    REPLACE when partitioned (overwrite-all otherwise), ``append`` ->
+    snapshot append."""
     use_iceberg = target.startswith("iceberg:") if iceberg is None else iceberg
     if use_iceberg:
         name = target.split(":", 1)[1]
         iceberg_writer(df, name, partition_by).createOrReplace()
         return
-    w = df.write.mode("overwrite")
+    if target.startswith("table:"):
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        t = HadoopTable(df.sparkSession, target.split(":", 1)[1])
+        if mode == "append":
+            t.append(df, partition_by)
+        elif partition_by:
+            t.replace_partitions(df, partition_by)
+        else:
+            t.overwrite_all(df, partition_by)
+        return
+    w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(target)
