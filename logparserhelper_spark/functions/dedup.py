@@ -255,13 +255,22 @@ def connected_components(
     turns near-dup PAIRS into duplicate CLUSTERS (one canonical doc per
     component). Returns (id, component) with component = min id reachable.
 
-    The iterative-algorithm pattern done Spark-side: label propagation
-    (each node takes the min of its own and its neighbors' labels) as a
-    join + groupBy-min per round, loop on the driver until a round changes
-    nothing. Converges in O(graph diameter) rounds — dedup graphs are
-    near-stars, so 2-4 in practice; each round is one shuffle of
-    (node, label) pairs, never an adjacency explosion. localCheckpoint per
-    round truncates the lineage so the plan does not grow exponentially."""
+    The iterative-algorithm pattern done Spark-side: each round does (a)
+    label propagation — every node takes the min of its own and its
+    neighbors' labels (edge join + groupBy-min) — then (b) POINTER
+    JUMPING — it also adopts its candidate label's OWN current label
+    (labels self-join). The jump doubles the propagated distance per
+    round, so convergence is O(log diameter) rounds, not O(diameter): a
+    10^4-node path converges in ~14 rounds where plain propagation needs
+    10^4 (same shape as the star-contraction bound in Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Dedup graphs are
+    near-stars (2-4 rounds in practice); each round is two bounded
+    shuffles of (node, label) pairs, never an adjacency explosion, and a
+    giant component's hot label key in the jump join is AQE-skew-split
+    territory. localCheckpoint per round truncates the lineage so the
+    plan does not grow exponentially. The round count of the last call is
+    exposed as ``connected_components.last_rounds`` (capacity budgeting +
+    tests); default max_iters=25 therefore covers diameters past 10^6."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -278,24 +287,41 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("_nmin"))
         )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("_nmin", F.col("component"))
+            ).alias("_cand"),
+            F.col("component").alias("_old"),
+        )
+        # pointer jump: a label is itself a node id, so adopting the
+        # label's OWN label shortcuts the path — propagation distance
+        # doubles per round (k -> 2k+1), O(log d) total rounds
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            stepped.join(jump, stepped._cand == jump._jid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                    F.col("_cand"), F.coalesce("_jcomp", F.col("_cand"))
                 ).alias("component"),
-                (F.coalesce("_nmin", F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
+                (
+                    F.least(F.col("_cand"), F.coalesce("_jcomp", F.col("_cand")))
+                    < F.col("_old")
+                ).alias("_changed"),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         n_changed = new_labels.filter(F.col("_changed")).count()
         # the new round is materialized; drop the previous round's blocks
         # instead of accumulating max_iters label copies in storage
@@ -304,11 +330,13 @@ def connected_components(
         if n_changed == 0:
             converged = True
             break
+    connected_components.last_rounds = rounds
     if not converged:
         # partially-propagated labels would silently fragment clusters
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            "(graph diameter exceeds max_iters) — raise max_iters"
+            "(graph diameter past ~2^max_iters, or a label cycle bug) — "
+            "raise max_iters"
         )
     return labels
 

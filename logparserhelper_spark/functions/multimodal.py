@@ -1461,6 +1461,19 @@ def phash_dup_clusters(
         reps.join(comp, reps.rep_id == comp.id, "left")
         .select("phash", F.coalesce("component", "rep_id").alias("component"))
     )
+    # re-expand join sizing: rep_comp is one (long, long) row per DISTINCT
+    # hash. When that is broadcast-sized, broadcasting it means the (huge,
+    # possibly hot-key-skewed) sig side is never shuffled on phash at all —
+    # a billion identical blank images flow map-side. AQE cannot make this
+    # call here: the checkpoint boundary hides runtime stats, so the join
+    # would stay a phash-keyed sort-merge (verified on executed plans). The
+    # count is one cheap pass over the already-materialized sig blocks.
+    # Above the threshold (~hundreds of MB broadcast) per-key fan-in is
+    # tiny by construction (rows/distinct-hash ~ 1), so the plain shuffle
+    # join with AQE skew-split is the right plan.
+    n_reps = reps.count()
+    if n_reps <= 8_000_000:
+        rep_comp = F.broadcast(rep_comp)
     return sig.join(rep_comp, "phash").select("id", "phash", "component")
 
 

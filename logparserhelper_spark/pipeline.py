@@ -86,6 +86,12 @@ class PipelineConfig:
     # per snapshot, and a writer death mid-bucket leaves the table at its
     # previous snapshot (commit-or-nothing) instead of a half-written dir.
     routed_format: str = "parquet"
+    # opt-in JVM rlike prefilter for the parse stage: definitely-miss
+    # turns (per a provable Java superset of the bank's patterns —
+    # operators/prefilter.py) bypass the Python crossing. Output is
+    # bit-equal either way; the flag exists because the win depends on
+    # the corpus miss rate and the plan gains a branch-union.
+    parse_prefilter: bool = False
     # test hook: raise after committing this many buckets (resume test)
     fail_after_buckets: int | None = None
 
@@ -119,6 +125,7 @@ def _run_fingerprint(cfg: PipelineConfig, effective_parse_partitions: int) -> di
         "salt": cfg.salt,
         "parse_partitions": effective_parse_partitions,
         "routed_format": cfg.routed_format,
+        "parse_prefilter": cfg.parse_prefilter,
     }
 
 
@@ -242,7 +249,32 @@ def build_turns_plan(
     # fan-out ever duplicates text bytes (the earlier per-span-row layout
     # measured ~40% slower end-to-end at 3.4M turns).
     pn = make_parse_normalize_udf(bank, tbank)
-    turns = turns.withColumn("_pn", pn(F.col("text")))
+    pre = None
+    if cfg.parse_prefilter:
+        from logparserhelper_spark.operators.extract import SPAN_ARRAY_TYPE
+        from logparserhelper_spark.operators.prefilter import bank_prefilter_regex
+
+        pre = bank_prefilter_regex(bank, tbank)
+    if pre is not None:
+        # JVM rlike prefilter (operators/prefilter.py): the regex is a
+        # provable SUPERSET of "any pattern/transform fires", so rows it
+        # rejects are bit-equal to the UDF's identity output and skip the
+        # Arrow crossing + Python re entirely — the win is proportional to
+        # the corpus miss rate (4 of 6 reference corpora are all-miss).
+        # Both branches filter the SAME exchange output (ReusedExchange),
+        # so the source is still scanned/shuffled once.
+        hit_cond = F.col("text").isNotNull() & F.col("text").rlike(pre)
+        hits = turns.filter(hit_cond).withColumn("_pn", pn(F.col("text")))
+        misses = turns.filter(~F.coalesce(hit_cond, F.lit(False))).withColumn(
+            "_pn",
+            F.struct(
+                F.col("text").alias("norm_text"),
+                F.array().cast(SPAN_ARRAY_TYPE).alias("spans"),
+            ),
+        )
+        turns = hits.unionByName(misses)
+    else:
+        turns = turns.withColumn("_pn", pn(F.col("text")))
     turns = turns.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "src_partition_id",

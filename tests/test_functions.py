@@ -319,14 +319,32 @@ def test_connected_components_raises_when_not_converged(spark):
 
     from logparserhelper_spark.functions.dedup import connected_components
 
+    # pointer jumping reaches distance 2^t - 1 after t rounds, so a
+    # 41-node chain (diameter 40 > 2^3 - 1) cannot converge in 3 rounds
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=3)
     # and with enough rounds the whole chain is one component
     cc = {r.id: r.component for r in connected_components(chain, max_iters=15).collect()}
     assert set(cc.values()) == {0}
+
+
+def test_connected_components_large_diameter_logarithmic(spark):
+    """10^4-node path graph (diameter 10^4): the pointer-jumping hop must
+    converge in O(log d) rounds — plain one-hop label propagation needs
+    10^4 rounds and would trip the default max_iters. The whole path
+    collapses to component 0, in <= 16 rounds (2^14 - 1 > 10^4)."""
+    from logparserhelper_spark.functions.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    cc = connected_components(pairs)
+    assert connected_components.last_rounds <= 16
+    agg = cc.groupBy("component").count().collect()
+    assert len(agg) == 1
+    assert agg[0].component == 0 and agg[0]["count"] == n
 
 
 def test_bmp_decode_real_path():
@@ -1721,3 +1739,45 @@ def test_phash_dup_clusters_merges_exact_and_near(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_dup_clusters_hot_hash_skew(spark):
+    """Hot-hash corpus (one exact hash = 60% of rows — the billions-of-
+    identical-blank-images shape): correctness must hold, the quadratic
+    stages must see ONE node for the hot hash (exact-collapse), and the
+    re-expand join must execute BROADCAST on the per-distinct-hash side —
+    the skewed fact side is never shuffled on phash, so the hot key
+    cannot serialize into one reducer."""
+    from logparserhelper_spark.functions.jpeg import encode_jpeg
+    from logparserhelper_spark.functions.multimodal import make_bmp, phash_dup_clusters
+    from logparserhelper_spark.plans.contract_queries import _phash_gradient_pixels
+
+    def _bmp(rid):
+        px = _phash_gradient_pixels(rid)
+        rows = [[tuple(int(v) for v in px[y, x]) for x in range(64)] for y in range(64)]
+        return make_bmp(64, 64, rows)
+
+    hot = _bmp(5)
+    near = encode_jpeg(_phash_gradient_pixels(5), quality=95)
+    rows = [(i, bytearray(hot)) for i in range(120)]  # 60%: one exact hash
+    rows += [(200 + i, bytearray(near)) for i in range(10)]
+    rows += [(300 + i, bytearray(_bmp(17))) for i in range(70)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = phash_dup_clusters(df)
+    got = {r.id: r.component for r in out.collect()}
+    # every hot copy + the near re-encodes cluster at global min id 0
+    assert all(got[i] == 0 for i in range(120))
+    assert all(got[200 + i] == 0 for i in range(10))
+    assert all(got[300 + i] == 300 for i in range(70))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # AQE turns the re-expand join into a broadcast of rep_comp (3 distinct
+    # hashes here); a sort-merge join keyed on phash would be the skew
+    # hazard — assert it never appears in the executed plan
+    assert "BroadcastHashJoin" in plan
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "phash" not in m.group(1)
