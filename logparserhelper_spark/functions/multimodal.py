@@ -1446,7 +1446,11 @@ def phash_dup_clusters(
     # otherwise each re-decode the corpus. Checkpoint rather than persist
     # so the cached (id, long) blocks are reclaimed by the ContextCleaner
     # once the returned DataFrame is GC'd — an explicit persist here
-    # stayed pinned for the session after the query completed.
+    # stayed pinned for the session after the query completed. TRADEOFF:
+    # the truncated lineage means losing an executor that holds checkpoint
+    # blocks fails the query instead of recomputing those partitions (same
+    # exposure connected_components already accepts per round); on a
+    # preemptible-heavy cluster, rerunning the op is the recovery path.
     sig = (
         image_phash(df, payload_col, id_col)
         .filter(F.col("phash").isNotNull())

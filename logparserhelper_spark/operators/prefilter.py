@@ -21,8 +21,9 @@ negated word/space classes (the negation of a superset is not a
 superset), etc. Dialect margins are widened, not assumed equal:
 
 - ``.`` gains ``(?s)`` (Python's no-DOTALL dot is narrower),
-- ``\\w`` -> ``[\\w\\p{L}\\p{M}\\p{Nd}\\p{Pc}]`` (covers Python's unicode
-  word definition whatever Java's (?U)\\w exactly is),
+- ``\\w`` -> ``[\\w\\p{L}\\p{M}\\p{N}\\p{Pc}]`` (covers Python's unicode
+  word definition — str.isalnum + underscore, which includes No/Nl
+  numerics like SUPERSCRIPT TWO that Java's (?U)\\w excludes),
 - ``\\s`` -> ``[\\s\\u001c-\\u001f\\u0085\\p{Z}]`` (Python \\s includes
   the FS..US separators and NEL which are not Unicode whitespace),
 - ``\\d`` -> ``\\p{Nd}`` (exactly Python's unicode \\d),
@@ -52,14 +53,14 @@ _JAVA_META = set("\\[](){}.*+?^$|")
 _CATEGORY_POS = {
     "category_digit": r"\p{Nd}",
     "category_not_digit": r"\P{Nd}",  # exact complement of an exact class
-    "category_word": r"[\w\p{L}\p{M}\p{Nd}\p{Pc}]",
+    "category_word": r"[\w\p{L}\p{M}\p{N}\p{Pc}]",
     "category_space": "[\\s\\u001c-\\u001f\\u0085\\p{Z}]",
 }
 # inside a character class the same categories render without brackets
 _CATEGORY_IN = {
     "category_digit": r"\p{Nd}",
     "category_not_digit": r"\P{Nd}",
-    "category_word": r"\w\p{L}\p{M}\p{Nd}\p{Pc}",
+    "category_word": r"\w\p{L}\p{M}\p{N}\p{Pc}",
     "category_space": "\\s\\u001c-\\u001f\\u0085\\p{Z}",
 }
 # members that render EXACTLY (legal inside a negated class — a widened
@@ -234,8 +235,13 @@ def java_superset_regex(patterns) -> str | None:
         jp = java_superset_pattern(p)
         if jp is None:
             return None
-        if jp:
-            parts.append(jp)
+        if jp == "":
+            # an empty rendering means the pattern matches the empty string
+            # at EVERY position — Python fires it on every turn, so no
+            # filter can reject anything: disable rather than silently
+            # drop it from the alternation (which would under-match)
+            return None
+        parts.append(jp)
     if not parts:
         return None
     # (?s): dot covers \n (superset of Python's default dot);

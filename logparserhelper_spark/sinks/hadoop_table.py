@@ -371,12 +371,17 @@ class HadoopTable:
                 for f in files
                 if all(f.partition.get(k) == v for k, v in want.items())
             ]
+        schema = self._empty_schema(snap)
         if not files:
-            schema = self._empty_schema(snap)
             return self.spark.createDataFrame([], schema)
-        # group by staging root so hive partition-dir inference stays exact:
-        # basePath = data/<uuid> makes Spark rebuild the partition columns
-        # from the col=val components below it, per group; groups then union
+        # group by staging root so hive partition-dir reconstruction stays
+        # exact: basePath = data/<uuid> makes Spark rebuild the partition
+        # columns from the col=val components below it, per group. The
+        # STORED schema is supplied on every group: partition values parse
+        # under their written type instead of being re-inferred from the
+        # dir strings (inference would turn a string partition "00" into
+        # int 0 — silent corruption — and make the empty-prune path and
+        # the data path disagree on types). Groups then union.
         by_root: dict[str, list[str]] = {}
         for f in files:
             parts = f.path.split("/")
@@ -384,13 +389,12 @@ class HadoopTable:
             by_root.setdefault(root, []).append(os.path.join(self.root, f.path))
         out: DataFrame | None = None
         for root, paths in sorted(by_root.items()):
-            part = (
-                self.spark.read.option("basePath", root).parquet(*sorted(paths))
-                if snap.partition_cols
-                else self.spark.read.parquet(*sorted(paths))
-            )
+            reader = self.spark.read.schema(schema)
+            if snap.partition_cols:
+                reader = reader.option("basePath", root)
+            part = reader.parquet(*sorted(paths))
             out = part if out is None else out.unionByName(part)
-        return out
+        return out.select(*[f.name for f in schema.fields])
 
     def _empty_schema(self, snap: Snapshot):
         from pyspark.sql.types import StructType
@@ -399,20 +403,40 @@ class HadoopTable:
         return StructType.fromJson(json.loads(snap.schema_json))
 
     # ------------------------------------------------------------ housekeep
-    def cleanup_orphans(self) -> list[str]:
+    def cleanup_orphans(self, older_than_sec: float = 3600.0) -> list[str]:
         """Remove data files not referenced by ANY retained snapshot — the
-        debris of commits that died before their metadata swap. Safe to run
-        any time: files only become readable via a committed snapshot."""
+        debris of commits that died before their metadata swap.
+
+        ``older_than_sec`` is the in-flight-writer grace period: a LIVE
+        commit's staged files are also unreferenced until its atomic
+        metadata swap, so reclaiming by liveness alone would race a
+        concurrent writer (delete its staged data, then its commit
+        publishes a manifest of missing files — the same reason Iceberg's
+        remove_orphan_files defaults to a 3-day retention). Only files
+        whose mtime is older than the grace period are deleted; pass 0
+        when the caller KNOWS no writer is in flight (tests, maintenance
+        windows)."""
+        import time as _time
+
+        cutoff = _time.time() - older_than_sec
         live = {
             f.path for v in self.versions() for f in self.snapshot(v).files
         }
         removed = []
+
+        def _old(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= cutoff
+            except OSError:
+                return False  # vanished concurrently: someone else's problem
+
         # stale temp metadata (a writer died between its tmp write and the
         # atomic link): invisible to readers, reclaimed here
         if os.path.isdir(self._meta_dir):
             for name in os.listdir(self._meta_dir):
-                if name.startswith(".tmp-") or name.startswith(".hint-"):
-                    os.unlink(os.path.join(self._meta_dir, name))
+                p = os.path.join(self._meta_dir, name)
+                if (name.startswith(".tmp-") or name.startswith(".hint-")) and _old(p):
+                    os.unlink(p)
                     removed.append(os.path.join("metadata", name))
         data_dir = os.path.join(self.root, "data")
         if not os.path.isdir(data_dir):
@@ -421,21 +445,26 @@ class HadoopTable:
             for name in names:
                 abs_p = os.path.join(dirpath, name)
                 rel_p = os.path.relpath(abs_p, self.root)
-                if rel_p not in live and name.endswith(".parquet"):
+                if rel_p not in live and name.endswith(".parquet") and _old(abs_p):
                     os.unlink(abs_p)
                     removed.append(rel_p)
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
         return removed
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, cleanup_older_than_sec: float = 3600.0
+    ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots, then reclaim
         files only they referenced. Expiry is metadata-first (unlink the
         version files, THEN collect garbage) so a crash mid-expiry can
-        strand files but never break a retained snapshot."""
+        strand files but never break a retained snapshot. The cleanup
+        keeps :meth:`cleanup_orphans`' in-flight-writer grace period —
+        freshly-expired files younger than it are reclaimed by the next
+        cleanup instead."""
         vs = self.versions()
         drop = vs[:-keep_last] if keep_last > 0 else vs
         for v in drop:
             os.unlink(self._meta_path(v))
-        self.cleanup_orphans()
+        self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
         return drop

@@ -83,6 +83,13 @@ def write_table(
     if target.startswith("table:"):
         from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
+        if mode not in ("append", "overwrite"):
+            # "error"/"ignore" express existence semantics the snapshot
+            # table does not implement — refusing beats silently replacing
+            # partitions a caller asked errorifexists to protect
+            raise ValueError(
+                f"table: targets support mode 'append' or 'overwrite', got {mode!r}"
+            )
         t = HadoopTable(df.sparkSession, target.split(":", 1)[1])
         if mode == "append":
             t.append(df, partition_by)

@@ -264,7 +264,9 @@ def streaming_lsh_dedup(
         # (pandas has no long-null) and int(NaN) raises mid-task — the
         # batch minhash_lsh_pairs path tolerates null ids the same way
         # (mirrors the documented null-key handling in streaming_count_min).
-        stream_df.filter(F.col(id_col).isNotNull())
+        # Filter on the POST-cast value: a non-numeric string id casts to
+        # null too, and would otherwise reach the fold as the same NaN.
+        stream_df.filter(F.col(id_col).cast("long").isNotNull())
         .select(
             F.col(id_col).cast("long").alias("id"), bk(F.col(text_col)).alias("_bks")
         )

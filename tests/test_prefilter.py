@@ -40,6 +40,11 @@ def test_unsupported_constructs_refuse_translation():
     assert java_superset_regex([r"\d+", r"(?=x)"]) is None
     # uncompilable python patterns also refuse (they match nothing anyway)
     assert java_superset_pattern(r"(unclosed") is None
+    # an empty-matchable pattern fires on EVERY turn in Python, so no
+    # filter can reject anything: the bank translation must disable, not
+    # silently drop it from the alternation
+    assert java_superset_regex([r"\d+", r""]) is None
+    assert java_superset_regex([r"\d+", r"a*"]) is not None  # a* is fine: renders non-empty
 
 
 def test_supported_constructs_translate():
@@ -110,6 +115,8 @@ def test_superset_property_adversarial_and_random(spark):
         "nelsep",       # NEL: Python \s matches, not unicode Z
         "fssep",        # FILE SEPARATOR: Python \s matches
         "Mon, 3 Jan",
+        "²½① 12",       # category-No numerics: Python \w matches them,
+        "①①①, 45",     # Java (?U)\w does NOT — \p{N} in the rendering must
         "q" * 5,
         ";;;",
         "x" + "z" * 50 + "y",

@@ -143,7 +143,7 @@ def test_expire_snapshots_reclaims_only_dead_files(spark, tmp_path):
     t.replace_partitions(df_a2)  # v2: v1's file now only referenced by v1
     dead = {f.path for f in t.snapshot(1).files}
     live = {f.path for f in t.snapshot(2).files}
-    dropped = t.expire_snapshots(keep_last=1)
+    dropped = t.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
     assert dropped == [1]
     root = t.root
     assert all(not os.path.exists(os.path.join(root, p)) for p in dead - live)
@@ -203,8 +203,12 @@ def test_sigkill_mid_commit_is_commit_or_nothing(spark, tmp_path, fault, committ
         assert t2.current_version() == 1
         assert _rows(t2.read().select("sink", "id")) == before
         # the died commit's staged files (and any stale temp metadata the
-        # kill stranded) are orphans; reclaim leaves v1 intact
-        t2.cleanup_orphans()
+        # kill stranded) are orphans. Under the default in-flight-writer
+        # grace period the fresh debris is deliberately RETAINED (it could
+        # belong to a live commit); with the grace waived it is reclaimed,
+        # and v1 stays intact either way.
+        assert t2.cleanup_orphans() == []  # fresh debris inside grace
+        t2.cleanup_orphans(older_than_sec=0)
         assert _rows(t2.read().select("sink", "id")) == before
         metas = os.listdir(os.path.join(t2.root, "metadata"))
         assert all(m.startswith("v") or m == "version-hint.text" for m in metas)
@@ -284,6 +288,49 @@ def test_pipeline_routed_through_snapshot_table(spark, tmp_path):
     t.replace_partitions(routed_b0)
     assert {tuple(r) for r in t.read().select(*cols).collect()} == exp
     assert t.current_version() == 4
+
+
+def test_read_types_follow_stored_schema_not_dir_inference(spark, tmp_path):
+    """Partition values parse under the WRITTEN schema on every read path:
+    a string partition value "00" must come back as the string "00" (dir
+    inference would coerce it to int 0 — silent corruption) and the
+    empty-prune path must agree with the data path on types."""
+    loc = str(tmp_path / "t7")
+    t = HadoopTable(spark, loc)
+    df = spark.createDataFrame(
+        [("00", 1), ("7", 2)], "shard string, id long"
+    )
+    t.append(df, partition_cols=["shard"])
+    got = t.read()
+    assert got.schema == df.schema
+    assert _rows(got.select("shard", "id")) == [("00", 1), ("7", 2)]
+    pruned_empty = t.read(partition_filter={"shard": "nope"})
+    assert pruned_empty.schema == got.schema
+    assert _rows(t.read(partition_filter={"shard": "00"}).select("shard", "id")) == [
+        ("00", 1)
+    ]
+
+
+def test_write_table_modes(spark, tmp_path):
+    """writer.write_table routes table: targets; modes other than append/
+    overwrite are refused (errorifexists semantics are not silently
+    downgraded to a partition replace)."""
+    from logparserhelper_spark.sinks.writer import write_table
+
+    loc = str(tmp_path / "t8")
+    df = spark.createDataFrame([("a", 1)], "sink string, id long")
+    write_table(df, f"table:{loc}", partition_by=["sink"])
+    write_table(
+        spark.createDataFrame([("b", 2)], "sink string, id long"),
+        f"table:{loc}",
+        partition_by=["sink"],
+        mode="append",
+    )
+    t = HadoopTable(spark, loc)
+    assert t.read().count() == 2
+    assert [h["operation"] for h in t.history()] == ["replace", "append"]
+    with pytest.raises(ValueError, match="append.*overwrite"):
+        write_table(df, f"table:{loc}", partition_by=["sink"], mode="error")
 
 
 def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
