@@ -63,10 +63,17 @@ from typing import Any
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
     """Another writer promoted this version first (optimistic concurrency)."""
+
+
+class CompactionConflict(Exception):
+    """A concurrent commit replaced files a compaction was rewriting.
+    Re-run the compaction against the new snapshot — retrying the SAME
+    staged rewrite would resurrect the overwritten data (lost update)."""
 
 
 class NoSuchTable(Exception):
@@ -371,17 +378,21 @@ class HadoopTable:
                 for f in files
                 if all(f.partition.get(k) == v for k, v in want.items())
             ]
+        return self._read_files(snap, files)
+
+    def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Scan a manifest subset under the snapshot's STORED schema.
+        Grouped by staging root so hive partition-dir reconstruction stays
+        exact: basePath = data/<uuid> makes Spark rebuild the partition
+        columns from the col=val components below it, per group. The
+        stored schema is supplied on every group: partition values parse
+        under their written type instead of being re-inferred from the
+        dir strings (inference would turn a string partition "00" into
+        int 0 — silent corruption — and make the empty-prune path and
+        the data path disagree on types). Groups then union."""
         schema = self._empty_schema(snap)
         if not files:
             return self.spark.createDataFrame([], schema)
-        # group by staging root so hive partition-dir reconstruction stays
-        # exact: basePath = data/<uuid> makes Spark rebuild the partition
-        # columns from the col=val components below it, per group. The
-        # STORED schema is supplied on every group: partition values parse
-        # under their written type instead of being re-inferred from the
-        # dir strings (inference would turn a string partition "00" into
-        # int 0 — silent corruption — and make the empty-prune path and
-        # the data path disagree on types). Groups then union.
         by_root: dict[str, list[str]] = {}
         for f in files:
             parts = f.path.split("/")
@@ -401,6 +412,130 @@ class HadoopTable:
 
         # schema json round-trips exactly (nullability, ntz timestamps)
         return StructType.fromJson(json.loads(snap.schema_json))
+
+    # -------------------------------------------------------------- compact
+    def compact(self, target_file_bytes: int = 128 << 20) -> Snapshot | None:
+        """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):
+        every partition holding MORE files than ``ceil(total_bytes /
+        target)`` is rewritten into ~that many files; already-compact
+        partitions are left byte-identical. Returns the new snapshot, or
+        None when nothing needed rewriting.
+
+        The small-files problem is the 100-TB motivation: per-bucket
+        commits land one file per (task, partition) per run, and a
+        long-lived table accretes thousands of KB-scale files per
+        partition that crush the scan planner. Compaction is a pure
+        rewrite — row content provably unchanged (pinned by test) — and
+        commits with its OWN conflict rule: the commit verifies every
+        file being replaced is still live in the parent snapshot, and
+        raises :class:`CompactionConflict` (rather than retrying) when a
+        concurrent writer replaced one — blindly re-landing the staged
+        rewrite would resurrect overwritten data."""
+        import math
+
+        snap = self.snapshot()
+        by_part: dict[tuple, list[DataFile]] = {}
+        for f in snap.files:
+            by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+        rewrite: list[DataFile] = []
+        wants: dict[tuple, int] = {}
+        for part, fs in by_part.items():
+            want = max(1, math.ceil(sum(f.bytes for f in fs) / target_file_bytes))
+            if len(fs) > want:
+                rewrite.extend(fs)
+                wants[part] = want
+        if not rewrite:
+            return None
+        df = self._read_files(snap, rewrite)
+        pcols = snap.partition_cols
+        n_tasks = sum(wants.values())
+        if pcols:
+            # salt the repartition so one oversized partition still splits
+            # into its ``want`` files; everything for one (partition, salt)
+            # lands in one task -> per-partition file count <= want. The
+            # wants table joins back on the TYPED partition columns
+            # (manifest strings cast under the stored schema — the same
+            # parse the read path applies to dir names) with a null-safe
+            # condition so a __HIVE_DEFAULT_PARTITION__ (null) partition
+            # keeps its rows.
+            want_rows = [
+                tuple(
+                    None if dict(part)[c] == "__HIVE_DEFAULT_PARTITION__"
+                    else dict(part)[c]
+                    for c in pcols
+                )
+                + (w,)
+                for part, w in wants.items()
+            ]
+            raw_schema = ", ".join(f"{c} string" for c in pcols) + ", _want int"
+            wants_df = self.spark.createDataFrame(want_rows, raw_schema)
+            full = self._empty_schema(snap)
+            types = {f.name: f.dataType for f in full.fields}
+            for c in pcols:
+                wants_df = wants_df.withColumn(c, F.col(c).cast(types[c]))
+            data_cols = [c for c in df.columns if c not in pcols]
+            cond = None
+            for c in pcols:
+                eq = df[c].eqNullSafe(wants_df[c])
+                cond = eq if cond is None else (cond & eq)
+            df = (
+                df.join(F.broadcast(wants_df), cond)
+                .drop(*[wants_df[c] for c in pcols])
+                .withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.abs(F.xxhash64(*[F.col(c) for c in data_cols])),
+                        F.col("_want"),
+                    ),
+                )
+                .repartition(n_tasks, *pcols, "_salt")
+                .drop("_want", "_salt")
+            )
+        else:
+            df = df.repartition(n_tasks)
+        staged = self._stage(df, pcols)
+        replaced = {f.path for f in rewrite}
+        while True:
+            parent = self.snapshot()
+            live = {f.path for f in parent.files}
+            if not replaced <= live:
+                raise CompactionConflict(
+                    f"{len(replaced - live)} source file(s) were replaced "
+                    "by a concurrent commit; re-run compact()"
+                )
+            keep = [f for f in parent.files if f.path not in replaced]
+            version = parent.version + 1
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="compact",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=pcols,
+                files=keep + staged,
+            )
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "compact",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": {
+                    "rewritten_files": len(replaced),
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                    "added_records": sum(e.records for e in staged),
+                    "total_records": new.total_records,
+                },
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue  # re-read the new parent; the liveness check re-runs
 
     # ------------------------------------------------------------ housekeep
     def cleanup_orphans(self, older_than_sec: float = 3600.0) -> list[str]:

@@ -23,7 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
 
 
 def test_append_read_roundtrip_and_history(spark, tmp_path):
@@ -331,6 +334,90 @@ def test_write_table_modes(spark, tmp_path):
     assert [h["operation"] for h in t.history()] == ["replace", "append"]
     with pytest.raises(ValueError, match="append.*overwrite"):
         write_table(df, f"table:{loc}", partition_by=["sink"], mode="error")
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    """compact(): a partition accreting one small file per append is
+    rewritten to its target file count; row content is UNCHANGED; compact
+    partitions are left byte-identical; a no-op compaction returns None."""
+    loc = str(tmp_path / "t9")
+    t = HadoopTable(spark, loc)
+    for i in range(5):  # 5 appends -> 5 small files in partition "a"
+        t.append(
+            spark.createDataFrame([("a", i), (None, 100 + i)], "sink string, id long"),
+            partition_cols=["sink"],
+        )
+    before_rows = _rows(t.read().select("sink", "id"))
+    snap_before = t.snapshot()
+    a_files = [f for f in snap_before.files if f.partition == {"sink": "a"}]
+    assert len(a_files) == 5
+
+    new = t.compact()  # default 128MB target -> want=1 per partition
+    assert new is not None and new.operation == "compact"
+    assert _rows(t.read().select("sink", "id")) == before_rows
+    by_part: dict = {}
+    for f in new.files:
+        by_part.setdefault(f.partition.get("sink"), []).append(f)
+    assert len(by_part["a"]) == 1
+    # the null partition (manifest key = the literal hive default dir
+    # name) also compacted and kept its rows via the null-safe wants join
+    assert len(by_part["__HIVE_DEFAULT_PARTITION__"]) == 1
+    # nothing left to do -> no new snapshot
+    assert t.compact() is None
+    assert t.current_version() == new.version
+
+    # multi-file want: a tiny target forces want>1 and the salt bounds the
+    # per-partition file count at want
+    t2 = HadoopTable(spark, str(tmp_path / "t10"))
+    rows = [("x", i, "v" * 200) for i in range(400)]
+    for chunk in range(4):
+        t2.append(
+            spark.createDataFrame(rows[chunk * 100:(chunk + 1) * 100],
+                                  "sink string, id long, v string"),
+            partition_cols=["sink"],
+        )
+    total = sum(f.bytes for f in t2.snapshot().files)
+    target = total // 2  # want == 2 (ceil(total/target) with 4 files > 2)
+    n2 = t2.compact(target_file_bytes=target)
+    assert n2 is not None
+    assert len(n2.files) <= 3  # want 2-3 files, down from 4
+    assert t2.read().count() == 400
+    assert {r.id for r in t2.read().select("id").collect()} == set(range(400))
+
+
+def test_compact_conflict_detection(spark, tmp_path):
+    """A commit that replaces a partition between compaction's read and
+    its commit must raise CompactionConflict — blindly landing the staged
+    rewrite would resurrect the overwritten rows."""
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    loc = str(tmp_path / "t11")
+    t = HadoopTable(spark, loc)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([("a", i)], "sink string, id long"),
+            partition_cols=["sink"],
+        )
+    # simulate the race: replace partition "a" AFTER compact() has chosen
+    # its source files, by interposing on _stage
+    orig_stage = t._stage
+
+    def racing_stage(df, pcols):
+        staged = orig_stage(df, pcols)
+        HadoopTable(spark, loc).replace_partitions(
+            spark.createDataFrame([("a", 999)], "sink string, id long")
+        )
+        return staged
+
+    t._stage = racing_stage
+    with pytest.raises(CompactionConflict, match="re-run"):
+        t.compact()
+    # the table holds the concurrent writer's data, not the stale rewrite
+    t_clean = HadoopTable(spark, loc)
+    assert _rows(t_clean.read().select("sink", "id")) == [("a", 999)]
+    # and a fresh compaction over the new snapshot succeeds (single file
+    # already -> no-op)
+    assert t_clean.compact() is None
 
 
 def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
