@@ -129,6 +129,7 @@ class Snapshot:
     schema_json: str
     partition_cols: list[str]
     files: list[DataFile] = field(default_factory=list)
+    summary: dict[str, Any] = field(default_factory=dict)
 
     @property
     def total_records(self) -> int:
@@ -190,6 +191,7 @@ class HadoopTable:
             schema_json=d["schema_json"],
             partition_cols=list(d["partition_cols"]),
             files=[DataFile.from_json(x) for x in d["files"]],
+            summary=dict(d.get("summary") or {}),
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -272,8 +274,56 @@ class HadoopTable:
             f.write(str(version))
         os.replace(hint_tmp, os.path.join(self._meta_dir, "version-hint.text"))
 
+    def _evolve_schema(self, parent: "Snapshot | None", df: DataFrame) -> str:
+        """Schema for the child snapshot. Identical schemas pass through
+        exactly (nullability and all). Otherwise ADDITIVE evolution only,
+        the Iceberg rule shape: every column keeps its type (changing one
+        raises), new columns append, and columns the write omitted stay —
+        both directions read back as null for files that lack the column,
+        which the parquet reader gives us for free under the merged
+        schema. Evolved/omitted columns are marked nullable because old
+        (or new) files genuinely hold no value for them."""
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = df.schema
+        if parent is None:
+            return new_schema.json()
+        old = StructType.fromJson(json.loads(parent.schema_json))
+        if old == new_schema:
+            return parent.schema_json
+        old_by = {f.name: f for f in old.fields}
+        new_by = {f.name: f for f in new_schema.fields}
+        for name, f in new_by.items():
+            if name in old_by and old_by[name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {name!r}: "
+                    f"{old_by[name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}"
+                )
+        merged = [
+            StructField(
+                f.name,
+                f.dataType,
+                nullable=f.nullable
+                or f.name not in new_by
+                or new_by[f.name].nullable,
+            )
+            for f in old.fields
+        ]
+        merged += [
+            StructField(f.name, f.dataType, nullable=True)
+            for f in new_schema.fields
+            if f.name not in old_by
+        ]
+        return StructType(merged).json()
+
     def _commit(
-        self, staged: list[DataFile], df: DataFrame, op: str, partition_cols: list[str]
+        self,
+        staged: list[DataFile],
+        df: DataFrame,
+        op: str,
+        partition_cols: list[str],
+        summary_extra: dict[str, Any] | None = None,
     ) -> Snapshot:
         while True:
             versions = self.versions()
@@ -297,15 +347,24 @@ class HadoopTable:
             else:
                 raise ValueError(op)
             version = (parent.version + 1) if parent else 1
+            summary = {
+                "added_files": len(staged),
+                "kept_files": len(keep),
+                "added_records": sum(e.records for e in staged),
+            }
+            if summary_extra:
+                summary.update(summary_extra)
             snap = Snapshot(
                 version=version,
                 parent=parent.version if parent else None,
                 operation=op,
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=df.schema.json(),
+                schema_json=self._evolve_schema(parent, df),
                 partition_cols=partition_cols,
                 files=list(keep) + list(staged),
+                summary=summary,
             )
+            summary["total_records"] = snap.total_records
             payload = {
                 "format_version": 1,
                 "version": snap.version,
@@ -314,12 +373,7 @@ class HadoopTable:
                 "timestamp_ms": snap.timestamp_ms,
                 "schema_json": snap.schema_json,
                 "partition_cols": snap.partition_cols,
-                "summary": {
-                    "added_files": len(staged),
-                    "kept_files": len(keep),
-                    "added_records": sum(e.records for e in staged),
-                    "total_records": snap.total_records,
-                },
+                "summary": summary,
                 "files": [e.to_json() for e in snap.files],
             }
             try:
@@ -330,9 +384,16 @@ class HadoopTable:
                 # parent and recompose (staged data files remain valid)
                 continue
 
-    def append(self, df: DataFrame, partition_cols: list[str] | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        summary_extra: dict[str, Any] | None = None,
+    ) -> Snapshot:
         pcols = self._resolve_pcols(partition_cols)
-        return self._commit(self._stage(df, pcols), df, "append", pcols)
+        return self._commit(
+            self._stage(df, pcols), df, "append", pcols, summary_extra=summary_extra
+        )
 
     def replace_partitions(
         self, df: DataFrame, partition_cols: list[str] | None = None
@@ -603,3 +664,38 @@ class HadoopTable:
             os.unlink(self._meta_path(v))
         self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
         return drop
+
+
+def last_streaming_batch(table: HadoopTable) -> int | None:
+    """Newest ``streaming_batch_id`` recorded in any snapshot summary,
+    scanning newest-first (replayed batches land nothing, so the newest
+    stamped snapshot carries the high-water mark)."""
+    for v in reversed(table.versions()):
+        b = table.snapshot(v).summary.get("streaming_batch_id")
+        if b is not None:
+            return int(b)
+    return None
+
+
+def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
+    """Exactly-once Structured Streaming sink into a snapshot table — the
+    Iceberg streaming-write protocol the directory sink's docstring
+    points at (streaming/sink.py): ``foreachBatch`` is at-least-once, so
+    each micro-batch commit stamps its ``batch_id`` into the snapshot
+    summary, and a replayed (batch_id <= high-water-mark) batch is a
+    no-op. Batch ids are monotonically increasing per checkpoint, which
+    makes the newest stamped snapshot the complete replay guard — and the
+    guard and the data live in the SAME atomic metadata swap, so there is
+    no marker-vs-data ordering window at all (stronger than the
+    directory sink's marker-after-data protocol)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        t = HadoopTable(df.sparkSession, table_loc)
+        last = last_streaming_batch(t) if t.exists() else None
+        if last is not None and batch_id <= last:
+            return  # replay after failure: this batch is already committed
+        t.append(
+            df, partition_cols, summary_extra={"streaming_batch_id": int(batch_id)}
+        )
+
+    return write

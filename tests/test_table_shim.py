@@ -420,6 +420,83 @@ def test_compact_conflict_detection(spark, tmp_path):
     assert t_clean.compact() is None
 
 
+def test_additive_schema_evolution(spark, tmp_path):
+    """Iceberg-shaped evolution: a write may ADD columns (old files read
+    back null there) or OMIT columns (its files read back null there);
+    changing a column's type raises; time travel reads each snapshot
+    under its own schema."""
+    loc = str(tmp_path / "t12")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # widen: new column lands, old file reads null for it
+    t.append(
+        spark.createDataFrame([(2, "b", 3.5)], "id long, v string, score double")
+    )
+    got = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 3.5)}
+    # narrow write: omitted column nulls for the new file only
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    got = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 3.5), 3: (None, None)}
+    # time travel: v1 still reads under its own (pre-evolution) schema
+    assert t.read(version=1).columns == ["id", "v"]
+    # type change refused
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.append(spark.createDataFrame([("x", "y")], "id string, v string"))
+
+
+def test_streaming_table_batch_sink_exactly_once(spark, tmp_path):
+    """table_batch_sink: each micro-batch commit stamps its batch_id in
+    the snapshot summary; a replayed batch is a no-op because the guard
+    and the data share ONE atomic metadata swap. Driven by a real
+    file-source stream, then replay simulated by re-invoking the sink
+    with already-committed batch ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.sinks.hadoop_table import (
+        last_streaming_batch,
+        table_batch_sink,
+    )
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"id": [i * 10, i * 10 + 1], "sink": ["a", "b"]}),
+            os.path.join(sdir, f"f{i}.parquet"),
+        )
+    loc = str(tmp_path / "t13")
+    stream = (
+        spark.readStream.schema("id long, sink string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(table_batch_sink(loc, ["sink"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t = HadoopTable(spark, loc)
+    assert t.read().count() == 6
+    assert last_streaming_batch(t) == 2
+    v_done = t.current_version()
+
+    # replay every batch (at-least-once redelivery): all no-ops
+    sink = table_batch_sink(loc, ["sink"])
+    df0 = spark.createDataFrame([(0, "a"), (1, "b")], "id long, sink string")
+    for b in range(3):
+        sink(df0, b)
+    assert t.current_version() == v_done
+    assert t.read().count() == 6
+    # a genuinely new batch commits and advances the high-water mark
+    sink(spark.createDataFrame([(99, "a")], "id long, sink string"), 3)
+    assert last_streaming_batch(HadoopTable(spark, loc)) == 3
+    assert t.read().count() == 7
+
+
 def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
     """The committed metadata is one self-contained JSON snapshot: full
     file list with partition values and record counts — what the manifest
