@@ -441,6 +441,32 @@ class HadoopTable:
             ]
         return self._read_files(snap, files)
 
+    def read_incremental(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive from, inclusive to)
+        — the Iceberg incremental append scan: scan only the files present
+        in ``to`` but not in ``from``. Like Iceberg, the range must be
+        append-only: a replace/overwrite/compact snapshot inside it makes
+        "what was added" ill-defined (rows were also removed / rewritten),
+        so that raises instead of silently double- or under-counting. The
+        downstream-sync pattern: consumers remember the last version they
+        processed and pull just the delta — no full-table rescan."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        for v in range(from_version + 1, to_v + 1):
+            op = self.snapshot(v).operation
+            if op != "append":
+                raise ValueError(
+                    f"incremental scan range contains a non-append snapshot "
+                    f"v{v} ({op}); read the full snapshot instead"
+                )
+        to_snap = self.snapshot(to_v)
+        base = {f.path for f in self.snapshot(from_version).files}
+        added = [f for f in to_snap.files if f.path not in base]
+        return self._read_files(to_snap, added)
+
     def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
         """Scan a manifest subset under the snapshot's STORED schema.
         Grouped by staging root so hive partition-dir reconstruction stays

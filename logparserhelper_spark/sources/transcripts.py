@@ -37,6 +37,19 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
       catalog; not available in the sandbox image)."""
     if path_or_table.startswith("iceberg:"):
         return spark.read.table(path_or_table.split(":", 1)[1])
+    if path_or_table.startswith("table:"):
+        # the snapshot-table shim (sinks/hadoop_table.py): the executable
+        # stand-in for the Iceberg input table — manifest-planned scan,
+        # snapshot-consistent reads. Suffix ``@v<N>`` time-travels.
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        loc = path_or_table.split(":", 1)[1]
+        version = None
+        if "@v" in loc:
+            loc, _, v = loc.rpartition("@v")
+            version = int(v)
+        df = HadoopTable(spark, loc).read(version=version)
+        return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
     p = path_or_table
     if os.path.isdir(p) and os.path.exists(os.path.join(p, "transcripts.parquet")):
         p = os.path.join(p, "transcripts.parquet")

@@ -497,6 +497,67 @@ def test_streaming_table_batch_sink_exactly_once(spark, tmp_path):
     assert t.read().count() == 7
 
 
+def test_incremental_append_scan(spark, tmp_path):
+    """read_incremental(a, b): exactly the rows appended in (a, b];
+    ranges crossing a non-append snapshot raise (Iceberg's rule — a
+    replace makes 'what was added' ill-defined)."""
+    loc = str(tmp_path / "t14")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,), (3,)], "id long"))
+    t.append(spark.createDataFrame([(4,)], "id long"))
+    assert {r.id for r in t.read_incremental(1).collect()} == {2, 3, 4}
+    assert {r.id for r in t.read_incremental(1, 2).collect()} == {2, 3}
+    assert {r.id for r in t.read_incremental(2, 3).collect()} == {4}
+    assert t.read_incremental(3, 3).count() == 0  # empty delta
+
+    t.overwrite_all(spark.createDataFrame([(9,)], "id long"))
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(1)
+    # a fresh append AFTER the overwrite is incrementally scannable again
+    t.append(spark.createDataFrame([(10,)], "id long"))
+    assert {r.id for r in t.read_incremental(4).collect()} == {10}
+
+
+def test_pipeline_reads_from_snapshot_table_source(spark, tmp_path):
+    """End-to-end input-side story: transcripts living IN a snapshot table
+    (the north rule's input shape) drive the pipeline via the
+    'table:<loc>' source — same routed rows as the parquet path, and a
+    '@v<N>' suffix time-travels the input."""
+    from logparserhelper_spark.datagen import generate_transcripts
+    from logparserhelper_spark.defaults import default_transform_bank
+    from logparserhelper_spark.pipeline import PipelineConfig, run_pipeline
+    from logparserhelper_spark.sources.transcripts import read_transcripts
+
+    tiny = generate_transcripts(str(tmp_path / "data"), "tiny")
+    src = spark.read.parquet(os.path.join(tiny, "transcripts.parquet"))
+    loc = str(tmp_path / "tsrc")
+    t = HadoopTable(spark, loc)
+    half = src.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    t.append(half)      # v1: half the corpus
+    t.append(src.subtract(half))  # v2: the rest
+
+    common = dict(
+        transform_bank=default_transform_bank(),
+        role_dim_path=os.path.join(tiny, "role_dim.parquet"),
+        tool_dim_path=os.path.join(tiny, "tool_dim.parquet"),
+        n_buckets=2,
+    )
+    out_t = str(tmp_path / "out_table_src")
+    run_pipeline(spark, PipelineConfig(input_path=f"table:{loc}", out_dir=out_t, **common))
+    out_p = str(tmp_path / "out_parquet_src")
+    run_pipeline(spark, PipelineConfig(input_path=tiny, out_dir=out_p, **common))
+
+    cols = ["sink", "conv_id", "turn_idx", "pattern_id", "start", "end", "match"]
+    rows_t = {tuple(r) for r in spark.read.parquet(os.path.join(out_t, "routed")).select(*cols).collect()}
+    rows_p = {tuple(r) for r in spark.read.parquet(os.path.join(out_p, "routed")).select(*cols).collect()}
+    assert rows_t == rows_p and rows_t
+
+    # time-travel input: @v1 sees only the first half's turns
+    v1 = read_transcripts(spark, f"table:{loc}@v1")
+    assert v1.count() == half.count()
+
+
 def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
     """The committed metadata is one self-contained JSON snapshot: full
     file list with partition values and record counts — what the manifest
