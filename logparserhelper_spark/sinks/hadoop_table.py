@@ -500,6 +500,96 @@ class HadoopTable:
         # schema json round-trips exactly (nullability, ntz timestamps)
         return StructType.fromJson(json.loads(snap.schema_json))
 
+    # ---------------------------------------------------------------- merge
+    def upsert(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Copy-on-write MERGE keyed on ``key_cols`` (the Iceberg
+        ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT *`` shape): rows whose key exists are replaced by the
+        update row, new keys are inserted — the doc-refresh operation a
+        training corpus needs (re-crawled documents land by doc_id
+        without rewriting the table).
+
+        File-granular copy-on-write: ONE scan of the current snapshot
+        joined against the (broadcast) update keys finds the files that
+        contain a matched key; only THOSE files are rewritten (their
+        unmatched rows survive verbatim), everything else is carried by
+        reference. Commits under the compaction conflict rule — every
+        rewritten source file must still be live at promote time, else
+        :class:`CompactionConflict` (a blind retry would resurrect a
+        concurrent writer's rows)."""
+        snap = self.snapshot()
+        if not key_cols:
+            raise ValueError("upsert needs key columns")
+        full = self._read_files(snap, snap.files)
+        keys = updates.select(*key_cols).dropDuplicates(key_cols)
+        # pass 1 (metadata-cheap): which files hold a matched key — one
+        # scan with input_file_name, semi-joined against broadcast keys
+        hit_files = {
+            os.path.relpath(_local_path(r.f), self.root)
+            for r in full.withColumn("f", F.input_file_name())
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in snap.files if f.path in hit_files]
+        # pass 2: rewrite ONLY the touched files' unmatched survivors,
+        # plus every update row
+        survivors = (
+            self._read_files(snap, touched).join(
+                F.broadcast(keys), key_cols, "left_anti"
+            )
+            if touched
+            else None
+        )
+        incoming = updates.select(*full.columns)  # column order alignment
+        rewrite_df = (
+            incoming if survivors is None else survivors.unionByName(incoming)
+        )
+        staged = self._stage(rewrite_df, snap.partition_cols)
+        replaced = {f.path for f in touched}
+        while True:
+            parent = self.snapshot()
+            live = {f.path for f in parent.files}
+            if not replaced <= live:
+                raise CompactionConflict(
+                    f"{len(replaced - live)} merged source file(s) were "
+                    "replaced by a concurrent commit; re-run upsert()"
+                )
+            keep = [f for f in parent.files if f.path not in replaced]
+            version = parent.version + 1
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="upsert",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=self._evolve_schema(parent, rewrite_df),
+                partition_cols=snap.partition_cols,
+                files=keep + staged,
+                summary={
+                    "rewritten_files": len(replaced),
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                },
+            )
+            new.summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "upsert",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": new.summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue  # liveness re-checks against the new parent
+
     # -------------------------------------------------------------- compact
     def compact(self, target_file_bytes: int = 128 << 20) -> Snapshot | None:
         """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):

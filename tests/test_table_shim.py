@@ -497,6 +497,60 @@ def test_streaming_table_batch_sink_exactly_once(spark, tmp_path):
     assert t.read().count() == 7
 
 
+def test_upsert_copy_on_write(spark, tmp_path):
+    """upsert(): matched keys replaced, new keys inserted, and ONLY files
+    containing a matched key are rewritten — untouched files carry by
+    path reference (file-granular copy-on-write, not a table rewrite)."""
+    loc = str(tmp_path / "t15")
+    t = HadoopTable(spark, loc)
+    # three appends -> three files; keys 1-6 spread across them
+    t.append(spark.createDataFrame([(1, "a1"), (2, "a2")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "b1"), (4, "b2")], "id long, v string"))
+    t.append(spark.createDataFrame([(5, "c1"), (6, "c2")], "id long, v string"))
+    files_before = {f.path for f in t.snapshot().files}
+
+    updates = spark.createDataFrame(
+        [(2, "A2*"), (3, "B1*"), (99, "NEW")], "id long, v string"
+    )
+    new = t.upsert(updates, ["id"])
+    assert new.operation == "upsert"
+    rows = [(r.id, r.v) for r in t.read().collect()]
+    assert len(rows) == 7  # no duplicate keys survive the merge
+    assert dict(rows) == {
+        1: "a1", 2: "A2*", 3: "B1*", 4: "b2", 5: "c1", 6: "c2", 99: "NEW"
+    }
+    # exactly the files holding key 2 and key 3 were rewritten (one each;
+    # every append scattered its 2 rows across several part files, and
+    # all the others — including key 1's and key 4's siblings — carry by
+    # path reference, file-granular copy-on-write)
+    files_after = {f.path for f in new.files}
+    carried = files_before & files_after
+    assert new.summary["rewritten_files"] == 2
+    assert len(carried) == len(files_before) - 2
+    assert carried <= files_before
+    # upsert with only-new keys rewrites nothing
+    n2 = t.upsert(spark.createDataFrame([(100, "X")], "id long, v string"), ["id"])
+    assert n2.summary["rewritten_files"] == 0
+    assert t.read().count() == 8
+
+    # conflict rule: a concurrent overwrite of a touched file aborts
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    orig_stage = t._stage
+
+    def racing_stage(df, pcols):
+        staged = orig_stage(df, pcols)
+        HadoopTable(spark, loc).overwrite_all(
+            spark.createDataFrame([(0, "wiped")], "id long, v string")
+        )
+        return staged
+
+    t._stage = racing_stage
+    with pytest.raises(CompactionConflict, match="re-run"):
+        t.upsert(spark.createDataFrame([(1, "z")], "id long, v string"), ["id"])
+    assert {r.v for r in HadoopTable(spark, loc).read().collect()} == {"wiped"}
+
+
 def test_incremental_append_scan(spark, tmp_path):
     """read_incremental(a, b): exactly the rows appended in (a, b];
     ranges crossing a non-append snapshot raise (Iceberg's rule — a
