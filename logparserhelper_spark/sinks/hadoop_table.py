@@ -76,6 +76,11 @@ class CompactionConflict(Exception):
     staged rewrite would resurrect the overwritten data (lost update)."""
 
 
+class PreconditionFailed(Exception):
+    """A commit precondition evaluated False against the current parent
+    snapshot (checked atomically with the optimistic retry loop)."""
+
+
 class NoSuchTable(Exception):
     pass
 
@@ -274,7 +279,9 @@ class HadoopTable:
             f.write(str(version))
         os.replace(hint_tmp, os.path.join(self._meta_dir, "version-hint.text"))
 
-    def _evolve_schema(self, parent: "Snapshot | None", df: DataFrame) -> str:
+    def _evolve_schema(
+        self, parent: "Snapshot | None", df: DataFrame, op: str = "append"
+    ) -> str:
         """Schema for the child snapshot. Identical schemas pass through
         exactly (nullability and all). Otherwise ADDITIVE evolution only,
         the Iceberg rule shape: every column keeps its type (changing one
@@ -286,7 +293,10 @@ class HadoopTable:
         from pyspark.sql.types import StructField, StructType
 
         new_schema = df.schema
-        if parent is None:
+        if parent is None or op == "overwrite_all":
+            # a full overwrite keeps NO old files, so there is nothing the
+            # old schema must stay readable for — the write's own schema
+            # wins outright (the one supported way to retype a column)
             return new_schema.json()
         old = StructType.fromJson(json.loads(parent.schema_json))
         if old == new_schema:
@@ -317,6 +327,20 @@ class HadoopTable:
         ]
         return StructType(merged).json()
 
+    def _inherited_summary(
+        self, parent: "Snapshot | None", summary_extra: dict[str, Any] | None
+    ) -> dict[str, Any]:
+        """Base summary for a child commit: the streaming high-water mark
+        CARRIES FORWARD from the parent so snapshot expiry can never lose
+        it (an expired chain leaves the newest snapshot still stamped);
+        a caller-provided newer batch id overrides."""
+        summary: dict[str, Any] = {}
+        if parent is not None and "streaming_batch_id" in parent.summary:
+            summary["streaming_batch_id"] = parent.summary["streaming_batch_id"]
+        if summary_extra:
+            summary.update(summary_extra)
+        return summary
+
     def _commit(
         self,
         staged: list[DataFile],
@@ -324,10 +348,18 @@ class HadoopTable:
         op: str,
         partition_cols: list[str],
         summary_extra: dict[str, Any] | None = None,
+        precondition=None,
     ) -> Snapshot:
+        """``precondition(parent)`` (optional) is re-evaluated against the
+        CURRENT parent on every optimistic retry; returning False raises
+        :class:`PreconditionFailed`. Because the metadata swap is atomic,
+        a guard expressed this way has no check-then-act window: a racer
+        that lands first is visible as the loser's new parent."""
         while True:
             versions = self.versions()
             parent: Snapshot | None = self.snapshot(versions[-1]) if versions else None
+            if precondition is not None and not precondition(parent):
+                raise PreconditionFailed(op)
             if parent is not None and parent.partition_cols != partition_cols:
                 raise ValueError(
                     f"partitioning is fixed at table creation: table has "
@@ -347,11 +379,14 @@ class HadoopTable:
             else:
                 raise ValueError(op)
             version = (parent.version + 1) if parent else 1
-            summary = {
-                "added_files": len(staged),
-                "kept_files": len(keep),
-                "added_records": sum(e.records for e in staged),
-            }
+            summary = self._inherited_summary(parent, summary_extra)
+            summary.update(
+                {
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                    "added_records": sum(e.records for e in staged),
+                }
+            )
             if summary_extra:
                 summary.update(summary_extra)
             snap = Snapshot(
@@ -359,7 +394,7 @@ class HadoopTable:
                 parent=parent.version if parent else None,
                 operation=op,
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=self._evolve_schema(parent, df),
+                schema_json=self._evolve_schema(parent, df, op),
                 partition_cols=partition_cols,
                 files=list(keep) + list(staged),
                 summary=summary,
@@ -513,15 +548,37 @@ class HadoopTable:
         joined against the (broadcast) update keys finds the files that
         contain a matched key; only THOSE files are rewritten (their
         unmatched rows survive verbatim), everything else is carried by
-        reference. Commits under the compaction conflict rule — every
-        rewritten source file must still be live at promote time, else
-        :class:`CompactionConflict` (a blind retry would resurrect a
-        concurrent writer's rows)."""
+        reference. New columns in ``updates`` evolve the schema
+        additively (same rule as append). A duplicate key WITHIN the
+        updates batch raises (Iceberg MERGE's multiple-matches rule) —
+        silently landing both would leave duplicate keys in the table.
+
+        Isolation: commits under the compaction conflict rule — every
+        rewritten source file must still be live at promote time — PLUS
+        an added-rows check: files a concurrent commit added since the
+        merge scan are scanned for matched keys (they are few), and a
+        hit raises :class:`CompactionConflict` too; keeping them while
+        also landing the update row would commit duplicate keys (the
+        serializable-isolation validation Iceberg MERGE performs)."""
         snap = self.snapshot()
         if not key_cols:
             raise ValueError("upsert needs key columns")
-        full = self._read_files(snap, snap.files)
         keys = updates.select(*key_cols).dropDuplicates(key_cols)
+        # MERGE's multiple-matches rule (one aggregation job): a duplicate
+        # key inside the updates batch would land BOTH rows — the table
+        # would hold duplicate keys after a merge that promises uniqueness
+        if (
+            updates.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "updates contain duplicate keys — MERGE requires one "
+                "update row per key (dedupe upstream)"
+            )
+        full = self._read_files(snap, snap.files)
         # pass 1 (metadata-cheap): which files hold a matched key — one
         # scan with input_file_name, semi-joined against broadcast keys
         hit_files = {
@@ -534,7 +591,9 @@ class HadoopTable:
         }
         touched = [f for f in snap.files if f.path in hit_files]
         # pass 2: rewrite ONLY the touched files' unmatched survivors,
-        # plus every update row
+        # plus every update row. allowMissingColumns both directions:
+        # new columns in updates null-fill the survivors (additive
+        # evolution), columns updates omitted null-fill the update rows.
         survivors = (
             self._read_files(snap, touched).join(
                 F.broadcast(keys), key_cols, "left_anti"
@@ -542,12 +601,14 @@ class HadoopTable:
             if touched
             else None
         )
-        incoming = updates.select(*full.columns)  # column order alignment
         rewrite_df = (
-            incoming if survivors is None else survivors.unionByName(incoming)
+            updates
+            if survivors is None
+            else survivors.unionByName(updates, allowMissingColumns=True)
         )
         staged = self._stage(rewrite_df, snap.partition_cols)
         replaced = {f.path for f in touched}
+        base_paths = {f.path for f in snap.files}
         while True:
             parent = self.snapshot()
             live = {f.path for f in parent.files}
@@ -556,21 +617,42 @@ class HadoopTable:
                     f"{len(replaced - live)} merged source file(s) were "
                     "replaced by a concurrent commit; re-run upsert()"
                 )
+            # serializable-isolation check: concurrently ADDED files that
+            # contain a matched key would survive alongside the staged
+            # update row -> duplicate keys. Scan just the delta.
+            added_since = [
+                f for f in parent.files if f.path not in base_paths
+            ]
+            if added_since:
+                n_hits = (
+                    self._read_files(parent, added_since)
+                    .join(F.broadcast(keys), key_cols, "left_semi")
+                    .count()
+                )
+                if n_hits:
+                    raise CompactionConflict(
+                        f"a concurrent commit added {n_hits} row(s) with "
+                        "merged key(s); re-run upsert()"
+                    )
             keep = [f for f in parent.files if f.path not in replaced]
             version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_files": len(replaced),
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                }
+            )
             new = Snapshot(
                 version=version,
                 parent=parent.version,
                 operation="upsert",
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=self._evolve_schema(parent, rewrite_df),
+                schema_json=self._evolve_schema(parent, rewrite_df, "upsert"),
                 partition_cols=snap.partition_cols,
                 files=keep + staged,
-                summary={
-                    "rewritten_files": len(replaced),
-                    "added_files": len(staged),
-                    "kept_files": len(keep),
-                },
+                summary=summary,
             )
             new.summary["total_records"] = new.total_records
             payload = {
@@ -660,8 +742,11 @@ class HadoopTable:
                 .drop(*[wants_df[c] for c in pcols])
                 .withColumn(
                     "_salt",
+                    # pmod is already non-negative for any long input; an
+                    # abs() here would be the one term able to overflow
+                    # (abs(Long.MIN_VALUE)) under ANSI mode
                     F.pmod(
-                        F.abs(F.xxhash64(*[F.col(c) for c in data_cols])),
+                        F.xxhash64(*[F.col(c) for c in data_cols]),
                         F.col("_want"),
                     ),
                 )
@@ -682,6 +767,15 @@ class HadoopTable:
                 )
             keep = [f for f in parent.files if f.path not in replaced]
             version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_files": len(replaced),
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                    "added_records": sum(e.records for e in staged),
+                }
+            )
             new = Snapshot(
                 version=version,
                 parent=parent.version,
@@ -690,7 +784,9 @@ class HadoopTable:
                 schema_json=parent.schema_json,
                 partition_cols=pcols,
                 files=keep + staged,
+                summary=summary,
             )
+            summary["total_records"] = new.total_records
             payload = {
                 "format_version": 1,
                 "version": new.version,
@@ -699,13 +795,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
-                "summary": {
-                    "rewritten_files": len(replaced),
-                    "added_files": len(staged),
-                    "kept_files": len(keep),
-                    "added_records": sum(e.records for e in staged),
-                    "total_records": new.total_records,
-                },
+                "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
             try:
@@ -799,19 +889,45 @@ def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
     points at (streaming/sink.py): ``foreachBatch`` is at-least-once, so
     each micro-batch commit stamps its ``batch_id`` into the snapshot
     summary, and a replayed (batch_id <= high-water-mark) batch is a
-    no-op. Batch ids are monotonically increasing per checkpoint, which
-    makes the newest stamped snapshot the complete replay guard — and the
-    guard and the data live in the SAME atomic metadata swap, so there is
-    no marker-vs-data ordering window at all (stronger than the
-    directory sink's marker-after-data protocol)."""
+    no-op. The guard is a commit PRECONDITION evaluated inside the
+    optimistic retry loop, atomic with the metadata swap — two
+    concurrent deliveries of the same batch (zombie driver + restarted
+    driver, the canonical at-least-once race) cannot both land: the
+    loser's retry sees the winner's stamped snapshot as its new parent
+    and bails. The high-water mark carries forward through every
+    subsequent commit (compact/upsert/expiry included), so snapshot
+    maintenance can never reopen the replay window."""
 
     def write(df: DataFrame, batch_id: int) -> None:
         t = HadoopTable(df.sparkSession, table_loc)
-        last = last_streaming_batch(t) if t.exists() else None
-        if last is not None and batch_id <= last:
+
+        def not_yet_committed(parent: Snapshot | None) -> bool:
+            if parent is None:
+                return True
+            last = parent.summary.get("streaming_batch_id")
+            if last is None:
+                # legacy chain without carry-forward: fall back to a scan
+                last = last_streaming_batch(t)
+            return last is None or int(batch_id) > int(last)
+
+        # cheap pre-check: the common replay (sequential redelivery after
+        # restart) returns before staging any data. Correctness does NOT
+        # rest on it — the precondition below re-checks atomically with
+        # the metadata swap; a racer that slips past here only strands
+        # staged orphans for cleanup_orphans.
+        if t.exists() and not not_yet_committed(t.snapshot()):
+            return
+        pcols = t._resolve_pcols(partition_cols)
+        try:
+            t._commit(
+                t._stage(df, pcols),
+                df,
+                "append",
+                pcols,
+                summary_extra={"streaming_batch_id": int(batch_id)},
+                precondition=not_yet_committed,
+            )
+        except PreconditionFailed:
             return  # replay after failure: this batch is already committed
-        t.append(
-            df, partition_cols, summary_extra={"streaming_batch_id": int(batch_id)}
-        )
 
     return write

@@ -43,11 +43,17 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
         # snapshot-consistent reads. Suffix ``@v<N>`` time-travels.
         from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
+        import re
+
         loc = path_or_table.split(":", 1)[1]
         version = None
-        if "@v" in loc:
-            loc, _, v = loc.rpartition("@v")
-            version = int(v)
+        # the time-travel suffix must be ANCHORED (@v<digits> at end): a
+        # path merely containing '@v' (user@vm01/...) is a path, not a
+        # version reference
+        m = re.search(r"@v(\d+)$", loc)
+        if m:
+            loc = loc[: m.start()]
+            version = int(m.group(1))
         df = HadoopTable(spark, loc).read(version=version)
         return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
     p = path_or_table

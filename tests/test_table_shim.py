@@ -533,6 +533,22 @@ def test_upsert_copy_on_write(spark, tmp_path):
     assert n2.summary["rewritten_files"] == 0
     assert t.read().count() == 8
 
+    # duplicate keys WITHIN the updates batch: refused (MERGE's
+    # multiple-matches rule) — landing both would break key uniqueness
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.upsert(
+            spark.createDataFrame([(7, "x"), (7, "y")], "id long, v string"), ["id"]
+        )
+
+    # a NEW column in updates evolves the schema additively instead of
+    # being silently projected away
+    t.upsert(
+        spark.createDataFrame([(1, "a1+", 0.9)], "id long, v string, score double"),
+        ["id"],
+    )
+    got2 = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert got2[1] == ("a1+", 0.9) and got2[2] == ("A2*", None)
+
     # conflict rule: a concurrent overwrite of a touched file aborts
     from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
 
@@ -549,6 +565,108 @@ def test_upsert_copy_on_write(spark, tmp_path):
     with pytest.raises(CompactionConflict, match="re-run"):
         t.upsert(spark.createDataFrame([(1, "z")], "id long, v string"), ["id"])
     assert {r.v for r in HadoopTable(spark, loc).read().collect()} == {"wiped"}
+
+
+def test_upsert_detects_concurrent_append_of_merged_key(spark, tmp_path):
+    """Serializable-isolation check: an append that lands a MERGED key
+    between the upsert's scan and its commit must abort the upsert —
+    keeping the new file while landing the update row would commit
+    duplicate keys."""
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    loc = str(tmp_path / "t16")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    orig_stage = t._stage
+
+    def racing_append(df, pcols):
+        staged = orig_stage(df, pcols)
+        HadoopTable(spark, loc).append(
+            spark.createDataFrame([(1, "racer")], "id long, v string")
+        )
+        return staged
+
+    t._stage = racing_append
+    with pytest.raises(CompactionConflict, match="merged key"):
+        t.upsert(spark.createDataFrame([(1, "mine")], "id long, v string"), ["id"])
+    # an UNRELATED concurrent append does not abort
+    t2 = HadoopTable(spark, loc)
+    orig2 = t2._stage
+
+    def racing_unrelated(df, pcols):
+        staged = orig2(df, pcols)
+        HadoopTable(spark, loc).append(
+            spark.createDataFrame([(50, "other")], "id long, v string")
+        )
+        return staged
+
+    t2._stage = racing_unrelated
+    t2.upsert(spark.createDataFrame([(1, "mine2")], "id long, v string"), ["id"])
+    rows = sorted((r.id, r.v) for r in HadoopTable(spark, loc).read().collect())
+    assert (1, "mine2") in rows and (50, "other") in rows
+    assert len([r for r in rows if r[0] == 1]) == 1
+
+
+def test_streaming_mark_survives_maintenance_and_expiry(spark, tmp_path):
+    """The streaming high-water mark carries forward through compact and
+    snapshot expiry, so maintenance can never reopen the replay window;
+    and the commit precondition (atomic with the swap) refuses a stale
+    batch even when invoked directly."""
+    from logparserhelper_spark.sinks.hadoop_table import (
+        PreconditionFailed,
+        last_streaming_batch,
+        table_batch_sink,
+    )
+
+    loc = str(tmp_path / "t17")
+    sink = table_batch_sink(loc)
+    for b in range(3):
+        sink(spark.createDataFrame([(b,)], "id long"), b)
+        sink(spark.createDataFrame([(b,)], "id long"), b)  # immediate replay
+    t = HadoopTable(spark, loc)
+    assert t.read().count() == 3 and last_streaming_batch(t) == 2
+
+    t.compact()  # maintenance commit without a batch id of its own
+    t.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
+    t2 = HadoopTable(spark, loc)
+    assert last_streaming_batch(t2) == 2  # carried forward, not lost
+    sink(spark.createDataFrame([(99,)], "id long"), 1)  # stale replay
+    assert t2.read().count() == 3  # still a no-op after expiry
+    sink(spark.createDataFrame([(99,)], "id long"), 3)
+    assert t2.read().count() == 4
+
+    # direct precondition surface: a guard that fails raises atomically
+    with pytest.raises(PreconditionFailed):
+        t2._commit(
+            [], spark.createDataFrame([(0,)], "id long"), "append", [],
+            precondition=lambda parent: False,
+        )
+
+
+def test_overwrite_all_can_retype_and_anchored_time_travel(spark, tmp_path):
+    """overwrite_all keeps no old files, so it may retype columns (the
+    supported full-rewrite escape hatch); and the table: source's @v
+    suffix only fires when ANCHORED as @v<digits> at the end."""
+    from logparserhelper_spark.sources.transcripts import read_transcripts
+
+    loc = str(tmp_path / "t18")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.overwrite_all(spark.createDataFrame([("one", "a")], "id string, v string"))
+    assert t.read().schema["id"].dataType.simpleString() == "string"
+
+    # a location whose PATH contains '@v' mid-way is just a path
+    weird = str(tmp_path / "u@vm01" / "tbl")
+    tw = HadoopTable(spark, weird)
+    src = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    tw.append(src)
+    tw.append(src.withColumn("text", F.lit("more")))
+    assert read_transcripts(spark, f"table:{weird}").count() == 2
+    assert read_transcripts(spark, f"table:{weird}@v1").count() == 1
 
 
 def test_incremental_append_scan(spark, tmp_path):
