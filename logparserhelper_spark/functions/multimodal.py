@@ -1418,6 +1418,7 @@ def phash_dup_clusters(
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
+    broadcast_threshold_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Perceptual duplicate CLUSTERS — the end-to-end image-dedup shape:
     (id, phash, component) with component = min id reachable through
@@ -1472,11 +1473,16 @@ def phash_dup_clusters(
     # call here: the checkpoint boundary hides runtime stats, so the join
     # would stay a phash-keyed sort-merge (verified on executed plans). The
     # count is one cheap pass over the already-materialized sig blocks.
-    # Above the threshold (~hundreds of MB broadcast) per-key fan-in is
-    # tiny by construction (rows/distinct-hash ~ 1), so the plain shuffle
-    # join with AQE skew-split is the right plan.
+    # The cutoff is sized in estimated BYTES, not rows: ~32B per hashed-
+    # relation row (two longs + entry overhead) against a dedicated knob
+    # (default 64 MB ≈ 2M distinct hashes — deliberately above Spark's
+    # 10MB autoBroadcast default because we KNOW the alternative is a
+    # skew-prone SMJ, but bounded so a large distinct-hash corpus cannot
+    # OOM the driver). Above it per-key fan-in is tiny by construction
+    # (rows/distinct-hash ~ 1), so the plain shuffle join with AQE
+    # skew-split is the right plan.
     n_reps = reps.count()
-    if n_reps <= 8_000_000:
+    if n_reps * 32 <= broadcast_threshold_bytes:
         rep_comp = F.broadcast(rep_comp)
     return sig.join(rep_comp, "phash").select("id", "phash", "component")
 

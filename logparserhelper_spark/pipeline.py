@@ -417,8 +417,15 @@ def _run_bucket(
         routed_table_loc = os.path.join(cfg.out_dir, "routed_table")
 
         def _routed_write() -> None:
+            # scope=bucket: a REPLAY first clears every (bucket=k, sink=*)
+            # partition, so an attempt that lands fewer sinks than the
+            # previous one cannot leave the previous attempt's stale
+            # partitions live (bucket output is deterministic under the
+            # run fingerprint, but the commit no longer relies on that)
             HadoopTable(spark, routed_table_loc).replace_partitions(
-                routed.withColumn("bucket", F.lit(k)), ["bucket", "sink"]
+                routed.withColumn("bucket", F.lit(k)),
+                ["bucket", "sink"],
+                scope={"bucket": k},
             )
 
     else:

@@ -105,24 +105,203 @@ def _local_path(location: str) -> str:
     return location
 
 
+_STATS_MAX_STR = 64  # longer string bounds are dropped, not truncated
+_PRED_OPS = {"=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+
+
+def _stat_value(v: Any) -> tuple[bool, Any]:
+    """Canonical JSON-storable, order-preserving encoding for a footer
+    stat value or a predicate constant — both sides of every pruning
+    comparison go through here so they compare in the same domain.
+    Timestamps normalize to UTC-naive ISO with FIXED microsecond
+    precision (plain ISO is only lexicographically ordered at equal
+    precision: '..T00:00:00' < '..T00:00:00.000000' despite being the
+    same instant, which would make a >=-prune drop a matching file).
+    Returns (ok, encoded); ok=False means "unusable — do not prune"."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return True, v
+    if isinstance(v, str):
+        # a truncated bound would need direction-aware rounding (Iceberg
+        # truncates min down / max up); dropping the bound is always safe
+        return (True, v) if len(v) <= _STATS_MAX_STR else (False, None)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return True, v.isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return True, v.isoformat()
+    return False, None
+
+
+def _collect_stats(pf, stats_columns: list[str] | None):
+    """Aggregate per-column min/max/null_count across a parquet file's row
+    groups (the footer is already open — metrics are free, the same place
+    Iceberg harvests them). Only top-level leaf columns; a row group with
+    non-null values but no usable bounds invalidates that bound for the
+    whole file (an all-null group merely contributes nulls)."""
+    md = pf.metadata
+    per: dict[str, dict[str, Any]] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        n_rows = rg.num_rows
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf (list/struct element): skip
+                continue
+            if stats_columns is not None and name not in stats_columns:
+                continue
+            e = per.setdefault(
+                name, {"mins": [], "maxs": [], "nulls": 0,
+                       "lo": True, "hi": True, "ok": True}
+            )
+            if not e["ok"]:
+                continue
+            st = c.statistics
+            if st is None or st.null_count is None:
+                e["ok"] = False  # no reliable null count -> no stats at all
+                continue
+            e["nulls"] += st.null_count
+            if st.null_count == n_rows:
+                continue  # all-null group: no bound contribution
+            if not st.has_min_max:
+                e["lo"] = e["hi"] = False
+                continue
+            ok_lo, lo = _stat_value(st.min)
+            ok_hi, hi = _stat_value(st.max)
+            if ok_lo:
+                e["mins"].append(lo)
+            else:
+                e["lo"] = False
+            if ok_hi:
+                e["maxs"].append(hi)
+            else:
+                e["hi"] = False
+    out = {}
+    for name, e in per.items():
+        if not e["ok"]:
+            continue
+        out[name] = {
+            "min": min(e["mins"]) if e["lo"] and e["mins"] else None,
+            "max": max(e["maxs"]) if e["hi"] and e["maxs"] else None,
+            "nulls": e["nulls"],
+        }
+    return out or None
+
+
+def _check_predicate(pred) -> list[tuple]:
+    terms = [tuple(t) for t in pred]
+    for t in terms:
+        if len(t) < 2 or t[1] not in _PRED_OPS:
+            raise ValueError(f"bad predicate term {t!r}; ops: {sorted(_PRED_OPS)}")
+        if t[1] not in ("is_null", "is_not_null") and len(t) != 3:
+            raise ValueError(f"predicate term {t!r} needs a value")
+    return terms
+
+
+def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
+    """Metrics-based file skipping (Iceberg planner's evaluator): False
+    only when some conjunct is PROVABLY false for every row in the file —
+    unknown bounds, missing stats, or incomparable types keep the file."""
+    for term in pred:
+        col, op = term[0], term[1]
+        st = (f.stats or {}).get(col)
+        if st is None:
+            continue
+        lo, hi, nulls = st.get("min"), st.get("max"), st.get("nulls")
+        all_null = f.records > 0 and nulls == f.records
+        if op == "is_null":
+            if f.records > 0 and nulls == 0:
+                return False
+            continue
+        if op == "is_not_null":
+            if all_null:
+                return False
+            continue
+        if all_null:
+            return False  # any comparison against only-null values is never true
+        ok_v, v = _stat_value(term[2])
+        if not ok_v:
+            continue
+        try:
+            if op in ("=", "=="):
+                if (lo is not None and v < lo) or (hi is not None and v > hi):
+                    return False
+            elif op == "<":
+                if lo is not None and lo >= v:
+                    return False
+            elif op == "<=":
+                if lo is not None and lo > v:
+                    return False
+            elif op == ">":
+                if hi is not None and hi <= v:
+                    return False
+            elif op == ">=":
+                if hi is not None and hi < v:
+                    return False
+        except TypeError:
+            continue  # stat/constant types don't compare: keep the file
+    return True
+
+
+def _pred_expr(pred: list[tuple]):
+    """The predicate as a Spark Column — the residual filter applied to
+    the pruned scan, so `read(predicate=...)` returns exactly-matching
+    rows (pruning is a scan optimization, never the filter itself)."""
+    expr = None
+    for term in pred:
+        c = F.col(term[0])
+        op = term[1]
+        if op == "is_null":
+            e = c.isNull()
+        elif op == "is_not_null":
+            e = c.isNotNull()
+        else:
+            v = term[2]
+            if op in ("=", "=="):
+                e = c == v
+            elif op == "<":
+                e = c < v
+            elif op == "<=":
+                e = c <= v
+            elif op == ">":
+                e = c > v
+            else:
+                e = c >= v
+        expr = e if expr is None else expr & e
+    return expr
+
+
 @dataclass(frozen=True)
 class DataFile:
     path: str  # relative to the table location
     partition: dict[str, str]  # raw hive dir values (url-decoded strings)
     records: int
     bytes: int
+    # per-column {"min": v|None, "max": v|None, "nulls": int} harvested from
+    # the parquet footer at stage time (Iceberg's data-file metrics). None
+    # bounds mean "unknown" — pruning on them is impossible, never wrong.
+    stats: dict[str, dict[str, Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d: dict[str, Any] = {
             "path": self.path,
             "partition": self.partition,
             "records": self.records,
             "bytes": self.bytes,
         }
+        if self.stats is not None:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
-        return DataFile(d["path"], dict(d["partition"]), d["records"], d["bytes"])
+        return DataFile(
+            d["path"], dict(d["partition"]), d["records"], d["bytes"],
+            d.get("stats"),
+        )
 
 
 @dataclass
@@ -146,10 +325,23 @@ class HadoopTable:
     file:// URI — the one filesystem this sandbox can execute; the commit
     step's atomic primitive is pluggable per scheme, see _promote)."""
 
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        stats_columns: list[str] | None = None,
+        max_union_roots: int = 256,
+    ):
         self.spark = spark
         self.location = location
         self.root = _local_path(location)
+        # columns to harvest footer metrics for at write time; None = every
+        # eligible top-level leaf column (narrow it on very wide tables —
+        # stats are O(stat_cols) JSON per file in the inline manifest)
+        self.stats_columns = list(stats_columns) if stats_columns else None
+        # maintenance-cadence guard: reads spanning more staging roots than
+        # this warn to compact() (each root is one union branch in the plan)
+        self.max_union_roots = max_union_roots
 
     # ---------------------------------------------------------------- paths
     @property
@@ -243,12 +435,14 @@ class HadoopTable:
                     if "=" in comp:
                         k, _, val = comp.partition("=")
                         part[k] = unquote(val)
+                pf = pq.ParquetFile(abs_p)
                 entries.append(
                     DataFile(
                         path=rel_p,
                         partition=part,
-                        records=pq.ParquetFile(abs_p).metadata.num_rows,
+                        records=pf.metadata.num_rows,
                         bytes=os.path.getsize(abs_p),
+                        stats=_collect_stats(pf, self.stats_columns),
                     )
                 )
         _fault("after-stage")
@@ -349,12 +543,33 @@ class HadoopTable:
         partition_cols: list[str],
         summary_extra: dict[str, Any] | None = None,
         precondition=None,
+        replace_scope: dict[str, str] | None = None,
     ) -> Snapshot:
         """``precondition(parent)`` (optional) is re-evaluated against the
         CURRENT parent on every optimistic retry; returning False raises
         :class:`PreconditionFailed`. Because the metadata swap is atomic,
         a guard expressed this way has no check-then-act window: a racer
-        that lands first is visible as the loser's new parent."""
+        that lands first is visible as the loser's new parent.
+
+        ``replace_scope`` (op="replace" only) widens the drop set from
+        "partitions present in the staged data" to "every parent
+        partition matching these values" — the ``INSERT OVERWRITE ...
+        WHERE`` shape a deterministic replay needs: a replay that
+        produces FEWER partitions than the prior attempt still clears
+        the prior attempt's whole scope instead of leaving stale
+        partitions live. Staged files must all fall inside the scope
+        (checked — this also catches a value/dir-string mismatch)."""
+        if replace_scope:
+            if op != "replace":
+                raise ValueError("replace_scope only applies to op='replace'")
+            for e in staged:
+                for k, v in replace_scope.items():
+                    if e.partition.get(k) != v:
+                        raise ValueError(
+                            f"staged file {e.path} has {k}="
+                            f"{e.partition.get(k)!r}, outside replace scope "
+                            f"{replace_scope!r}"
+                        )
         while True:
             versions = self.versions()
             parent: Snapshot | None = self.snapshot(versions[-1]) if versions else None
@@ -368,17 +583,33 @@ class HadoopTable:
             if op == "append":
                 keep = parent.files if parent else []
             elif op == "replace":
-                incoming = {tuple(sorted(e.partition.items())) for e in staged}
-                keep = [
-                    f
-                    for f in (parent.files if parent else [])
-                    if tuple(sorted(f.partition.items())) not in incoming
-                ]
+                if replace_scope:
+                    keep = [
+                        f
+                        for f in (parent.files if parent else [])
+                        if not all(
+                            f.partition.get(k) == v
+                            for k, v in replace_scope.items()
+                        )
+                    ]
+                else:
+                    incoming = {
+                        tuple(sorted(e.partition.items())) for e in staged
+                    }
+                    keep = [
+                        f
+                        for f in (parent.files if parent else [])
+                        if tuple(sorted(f.partition.items())) not in incoming
+                    ]
             elif op == "overwrite_all":
                 keep = []
             else:
                 raise ValueError(op)
             version = (parent.version + 1) if parent else 1
+            # summary_extra is applied exactly once (inside
+            # _inherited_summary); the computed counters land LAST so a
+            # caller key can never clobber added_files/kept_files/
+            # added_records/total_records — those are always the truth
             summary = self._inherited_summary(parent, summary_extra)
             summary.update(
                 {
@@ -387,8 +618,6 @@ class HadoopTable:
                     "added_records": sum(e.records for e in staged),
                 }
             )
-            if summary_extra:
-                summary.update(summary_extra)
             snap = Snapshot(
                 version=version,
                 parent=parent.version if parent else None,
@@ -431,17 +660,31 @@ class HadoopTable:
         )
 
     def replace_partitions(
-        self, df: DataFrame, partition_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        scope: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Dynamic partition overwrite — Iceberg ``overwritePartitions``:
         partitions PRESENT in df are replaced wholesale, absent partitions
         are untouched. The pipeline's bucket resume keys on this: replaying
         a bucket re-lands identical partitions, so the table converges to
-        the same state no matter how many times a bucket is retried."""
+        the same state no matter how many times a bucket is retried.
+
+        ``scope`` (partition column -> value) switches to a scoped
+        overwrite: ALL parent partitions matching the scope are dropped,
+        whether or not the staged data re-lands them — use it when a
+        replay may legitimately produce fewer partitions than the prior
+        attempt (otherwise the prior attempt's extras would stay live)."""
         pcols = self._resolve_pcols(partition_cols)
         if not pcols:
             raise ValueError("replace_partitions needs partition columns")
-        return self._commit(self._stage(df, pcols), df, "replace", pcols)
+        rscope = (
+            {k: str(v) for k, v in scope.items()} if scope else None
+        )
+        return self._commit(
+            self._stage(df, pcols), df, "replace", pcols, replace_scope=rscope
+        )
 
     def overwrite_all(
         self, df: DataFrame, partition_cols: list[str] | None = None
@@ -457,14 +700,17 @@ class HadoopTable:
         return []
 
     # ----------------------------------------------------------------- read
-    def read(
+    def plan_files(
         self,
         version: int | None = None,
         partition_filter: dict[str, Any] | None = None,
-    ) -> DataFrame:
-        """Snapshot read (time travel via ``version``). ``partition_filter``
-        prunes at the MANIFEST level — non-matching files never reach the
-        scan, the shim-scale analogue of Iceberg's planner pruning."""
+        predicate: list[tuple] | None = None,
+    ) -> list[DataFile]:
+        """The manifest subset a read would scan (Iceberg ``planFiles``):
+        partition pruning first, then metrics-based skipping — a file is
+        dropped when some predicate conjunct is provably false for every
+        row given its footer min/max/null-count. Exposed so callers (and
+        tests) can pin exactly how many files a predicate touches."""
         snap = self.snapshot(version)
         files = snap.files
         if partition_filter:
@@ -474,7 +720,33 @@ class HadoopTable:
                 for f in files
                 if all(f.partition.get(k) == v for k, v in want.items())
             ]
-        return self._read_files(snap, files)
+        if predicate:
+            pred = _check_predicate(predicate)
+            files = [f for f in files if _file_may_match(f, pred)]
+        return files
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+        predicate: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``). ``partition_filter``
+        prunes at the MANIFEST level — non-matching files never reach the
+        scan, the shim-scale analogue of Iceberg's planner pruning.
+        ``predicate`` — conjunctive ``(col, op, value)`` terms, ops ``=
+        < <= > >= is_null is_not_null`` — additionally skips files by
+        their footer metrics (Iceberg's min/max file skipping) AND is
+        applied to the returned rows, so the result is exactly the
+        filtered table no matter how much pruning achieved."""
+        snap = self.snapshot(version)
+        files = self.plan_files(version, partition_filter, predicate)
+        df = self._read_files(snap, files)
+        if predicate:
+            expr = _pred_expr(_check_predicate(predicate))
+            if expr is not None:
+                df = df.filter(expr)
+        return df
 
     def read_incremental(
         self, from_version: int, to_version: int | None = None
@@ -502,7 +774,9 @@ class HadoopTable:
         added = [f for f in to_snap.files if f.path not in base]
         return self._read_files(to_snap, added)
 
-    def _read_files(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+    def _read_files(
+        self, snap: Snapshot, files: list[DataFile], guard: bool = True
+    ) -> DataFrame:
         """Scan a manifest subset under the snapshot's STORED schema.
         Grouped by staging root so hive partition-dir reconstruction stays
         exact: basePath = data/<uuid> makes Spark rebuild the partition
@@ -520,6 +794,18 @@ class HadoopTable:
             parts = f.path.split("/")
             root = os.path.join(self.root, *parts[:2])  # data/<uuid>
             by_root.setdefault(root, []).append(os.path.join(self.root, f.path))
+        if guard and len(by_root) > self.max_union_roots:
+            import warnings
+
+            warnings.warn(
+                f"table {self.location} read spans {len(by_root)} staging "
+                f"roots (> max_union_roots={self.max_union_roots}); each is "
+                "a union branch in the scan plan — run compact() to collapse "
+                "accreted commits (maintenance cadence: roughly every "
+                f"{self.max_union_roots} commits)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         out: DataFrame | None = None
         for root, paths in sorted(by_root.items()):
             reader = self.spark.read.schema(schema)
@@ -536,7 +822,12 @@ class HadoopTable:
         return StructType.fromJson(json.loads(snap.schema_json))
 
     # ---------------------------------------------------------------- merge
-    def upsert(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        broadcast_key_limit: int = 2_000_000,
+    ) -> Snapshot:
         """Copy-on-write MERGE keyed on ``key_cols`` (the Iceberg
         ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
         INSERT *`` shape): rows whose key exists are replaced by the
@@ -564,27 +855,37 @@ class HadoopTable:
         if not key_cols:
             raise ValueError("upsert needs key columns")
         keys = updates.select(*key_cols).dropDuplicates(key_cols)
-        # MERGE's multiple-matches rule (one aggregation job): a duplicate
-        # key inside the updates batch would land BOTH rows — the table
-        # would hold duplicate keys after a merge that promises uniqueness
-        if (
+        # ONE aggregation job answers both planner questions: MERGE's
+        # multiple-matches rule (a duplicate key inside the updates batch
+        # would land BOTH rows) and the key-set size that decides whether
+        # the key joins below may be broadcast. Above broadcast_key_limit
+        # the hint is dropped and AQE picks the strategy (shuffle join) —
+        # a 10^8-key MERGE must not collect its key set onto the driver.
+        kstats = (
             updates.groupBy(*key_cols)
             .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        ):
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("count").alias("max_dup"),
+            )
+            .first()
+        )
+        if (kstats["max_dup"] or 0) > 1:
             raise ValueError(
                 "updates contain duplicate keys — MERGE requires one "
                 "update row per key (dedupe upstream)"
             )
+        n_keys = kstats["n_keys"] or 0
+        _maybe_bcast = (
+            F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
+        )
         full = self._read_files(snap, snap.files)
         # pass 1 (metadata-cheap): which files hold a matched key — one
         # scan with input_file_name, semi-joined against broadcast keys
         hit_files = {
             os.path.relpath(_local_path(r.f), self.root)
             for r in full.withColumn("f", F.input_file_name())
-            .join(F.broadcast(keys), key_cols, "left_semi")
+            .join(_maybe_bcast(keys), key_cols, "left_semi")
             .select("f")
             .distinct()
             .collect()
@@ -596,7 +897,7 @@ class HadoopTable:
         # evolution), columns updates omitted null-fill the update rows.
         survivors = (
             self._read_files(snap, touched).join(
-                F.broadcast(keys), key_cols, "left_anti"
+                _maybe_bcast(keys), key_cols, "left_anti"
             )
             if touched
             else None
@@ -626,7 +927,7 @@ class HadoopTable:
             if added_since:
                 n_hits = (
                     self._read_files(parent, added_since)
-                    .join(F.broadcast(keys), key_cols, "left_semi")
+                    .join(_maybe_bcast(keys), key_cols, "left_semi")
                     .count()
                 )
                 if n_hits:
@@ -672,6 +973,127 @@ class HadoopTable:
             except CommitConflict:
                 continue  # liveness re-checks against the new parent
 
+    # --------------------------------------------------------------- delete
+    def delete(self, predicate: list[tuple]) -> Snapshot | None:
+        """Row-level ``DELETE FROM ... WHERE`` as copy-on-write — the
+        remaining member of the Iceberg mutation family next to
+        replace/overwrite/compact/upsert. ``predicate`` is the same
+        conjunctive ``(col, op, value)`` form :meth:`read` accepts.
+
+        Three-stage narrowing, so only files that genuinely hold a
+        matching row are rewritten: (1) manifest metrics skip files whose
+        footer bounds prove no row can match (no scan at all); (2) one
+        scan of the survivors with ``input_file_name`` finds the files
+        with an actual match; (3) only THOSE files rewrite, keeping rows
+        where the predicate is false or NULL (SQL DELETE removes only
+        rows where the predicate is TRUE). A file whose every row matches
+        is simply dropped from the manifest — no rewrite cost.
+
+        Isolation: serializable, same rules as :meth:`upsert` — every
+        rewritten source file must still be live at promote time, and
+        files a concurrent commit added since the delete scan are checked
+        for matching rows (a match raises :class:`CompactionConflict`:
+        keeping them would mean the delete "missed" rows that satisfied
+        its predicate at commit time). Returns the new snapshot, or None
+        when nothing matched."""
+        snap = self.snapshot()
+        pred = _check_predicate(predicate)
+        if not pred:
+            raise ValueError("delete needs a predicate (use overwrite_all "
+                             "to clear the table)")
+        expr = _pred_expr(pred)
+        # stage 1: metrics-based skipping — provably-unmatchable files
+        # never reach the scan
+        candidates = [f for f in snap.files if _file_may_match(f, pred)]
+        if not candidates:
+            return None
+        # stage 2: which candidate files hold a row where the predicate is
+        # actually TRUE (footer bounds are necessary, not sufficient)
+        hit_files = {
+            os.path.relpath(_local_path(r.f), self.root)
+            for r in self._read_files(snap, candidates)
+            .withColumn("f", F.input_file_name())
+            .filter(expr)
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in candidates if f.path in hit_files]
+        if not touched:
+            return None
+        # stage 3: rewrite only the touched files' survivors. NULL
+        # predicate rows SURVIVE (DELETE removes TRUE rows only), hence
+        # the coalesce — plain ~expr would also drop the NULLs.
+        survivors = self._read_files(snap, touched).filter(
+            ~F.coalesce(expr, F.lit(False))
+        )
+        staged = self._stage(survivors, snap.partition_cols)
+        replaced = {f.path for f in touched}
+        base_paths = {f.path for f in snap.files}
+        deleted = sum(f.records for f in touched) - sum(
+            e.records for e in staged
+        )
+        while True:
+            parent = self.snapshot()
+            live = {f.path for f in parent.files}
+            if not replaced <= live:
+                raise CompactionConflict(
+                    f"{len(replaced - live)} delete source file(s) were "
+                    "replaced by a concurrent commit; re-run delete()"
+                )
+            added_since = [f for f in parent.files if f.path not in base_paths]
+            check = [f for f in added_since if _file_may_match(f, pred)]
+            if check:
+                n_hits = (
+                    self._read_files(parent, check)
+                    .filter(expr)
+                    .limit(1)
+                    .count()
+                )
+                if n_hits:
+                    raise CompactionConflict(
+                        "a concurrent commit added row(s) matching the "
+                        "delete predicate; re-run delete()"
+                    )
+            keep = [f for f in parent.files if f.path not in replaced]
+            version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_files": len(replaced),
+                    "added_files": len(staged),
+                    "kept_files": len(keep),
+                    "deleted_records": deleted,
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="delete",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=snap.partition_cols,
+                files=keep + staged,
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "delete",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue  # liveness + added-rows checks re-run vs new parent
+
     # -------------------------------------------------------------- compact
     def compact(self, target_file_bytes: int = 128 << 20) -> Snapshot | None:
         """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):
@@ -705,7 +1127,9 @@ class HadoopTable:
                 wants[part] = want
         if not rewrite:
             return None
-        df = self._read_files(snap, rewrite)
+        # guard=False: compaction IS the remedy the union-depth warning
+        # points at — warning here would tell the fixer to run the fix
+        df = self._read_files(snap, rewrite, guard=False)
         pcols = snap.partition_cols
         n_tasks = sum(wants.values())
         if pcols:
@@ -805,7 +1229,7 @@ class HadoopTable:
                 continue  # re-read the new parent; the liveness check re-runs
 
     # ------------------------------------------------------------ housekeep
-    def cleanup_orphans(self, older_than_sec: float = 3600.0) -> list[str]:
+    def cleanup_orphans(self, older_than_sec: float = 86400.0) -> list[str]:
         """Remove data files not referenced by ANY retained snapshot — the
         debris of commits that died before their metadata swap.
 
@@ -814,16 +1238,31 @@ class HadoopTable:
         metadata swap, so reclaiming by liveness alone would race a
         concurrent writer (delete its staged data, then its commit
         publishes a manifest of missing files — the same reason Iceberg's
-        remove_orphan_files defaults to a 3-day retention). Only files
-        whose mtime is older than the grace period are deleted; pass 0
-        when the caller KNOWS no writer is in flight (tests, maintenance
-        windows)."""
+        remove_orphan_files defaults to a 3-day retention). The default
+        is 24h: it must comfortably exceed any plausible staging
+        duration — a large bucket's staging write on a busy cluster can
+        easily outlive one hour, and reclaiming under a still-running
+        writer is exactly the race the grace period exists to prevent.
+        Only files whose mtime is older than the grace period are
+        deleted; pass 0 when the caller KNOWS no writer is in flight
+        (tests, maintenance windows).
+
+        Sidecars: Spark staging also leaves ``_SUCCESS`` markers and
+        ``.<name>.crc`` checksums. Ones belonging to LIVE files are kept
+        (a ``_SUCCESS`` whose staging root still hosts live files; a
+        ``.crc`` whose owner parquet is live); every other non-referenced
+        file is reclaimed like real Iceberg's remove_orphan_files — so a
+        crashed commit's whole ``data/<uuid>/`` tree actually empties and
+        the rmdir sweep can remove it."""
         import time as _time
 
         cutoff = _time.time() - older_than_sec
         live = {
             f.path for v in self.versions() for f in self.snapshot(v).files
         }
+        # staging roots (data/<uuid>) that still host live files: their
+        # _SUCCESS markers stay
+        live_roots = {"/".join(p.split("/")[:2]) for p in live}
         removed = []
 
         def _old(path: str) -> bool:
@@ -847,7 +1286,16 @@ class HadoopTable:
             for name in names:
                 abs_p = os.path.join(dirpath, name)
                 rel_p = os.path.relpath(abs_p, self.root)
-                if rel_p not in live and name.endswith(".parquet") and _old(abs_p):
+                if rel_p in live:
+                    continue
+                rel_dir = os.path.dirname(rel_p)
+                if name == "_SUCCESS" and rel_dir in live_roots:
+                    continue  # marker of a commit whose data is still live
+                if name.startswith(".") and name.endswith(".crc"):
+                    owner = os.path.join(rel_dir, name[1:-len(".crc")])
+                    if owner in live:
+                        continue  # checksum sidecar of a live file
+                if _old(abs_p):
                     os.unlink(abs_p)
                     removed.append(rel_p)
             if not os.listdir(dirpath):
@@ -855,7 +1303,7 @@ class HadoopTable:
         return removed
 
     def expire_snapshots(
-        self, keep_last: int = 1, cleanup_older_than_sec: float = 3600.0
+        self, keep_last: int = 1, cleanup_older_than_sec: float = 86400.0
     ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots, then reclaim
         files only they referenced. Expiry is metadata-first (unlink the

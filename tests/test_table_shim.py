@@ -745,3 +745,312 @@ def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
     assert d["summary"]["total_records"] == 2
     assert {f["partition"]["sink"] for f in d["files"]} == {"a", "b"}
     assert all(f["records"] >= 1 and f["bytes"] > 0 for f in d["files"])
+
+
+# --------------------------------------------------------------- round 7
+
+
+def test_file_stats_harvested_at_stage(spark, tmp_path):
+    """Every commit records per-file min/max/null-count metrics from the
+    parquet footers (Iceberg data-file metrics) — the substrate for
+    predicate file skipping."""
+    loc = str(tmp_path / "t19")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(1, "aa", None), (5, "zz", 2.5)], "id long, s string, x double"
+        ).coalesce(1)
+    )
+    (f,) = t.snapshot().files
+    assert f.stats is not None
+    assert f.stats["id"] == {"min": 1, "max": 5, "nulls": 0}
+    assert f.stats["s"] == {"min": "aa", "max": "zz", "nulls": 0}
+    assert f.stats["x"]["nulls"] == 1 and f.stats["x"]["max"] == 2.5
+    # stats survive the metadata JSON round-trip
+    t2 = HadoopTable(spark, loc)
+    assert t2.snapshot().files[0].stats == f.stats
+    # configurable stat-column set: only requested columns harvested
+    t3 = HadoopTable(spark, str(tmp_path / "t19b"), stats_columns=["id"])
+    t3.append(
+        spark.createDataFrame([(7, "q")], "id long, s string").coalesce(1)
+    )
+    (g,) = t3.snapshot().files
+    assert set(g.stats) == {"id"}
+
+
+def test_predicate_file_skipping(spark, tmp_path):
+    """plan_files() drops files whose footer bounds prove no row can
+    match; read(predicate=...) returns exactly the filtered rows."""
+    loc = str(tmp_path / "t20")
+    t = HadoopTable(spark, loc)
+    # three appends with disjoint id ranges -> three single-file commits
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    assert len(t.snapshot().files) == 3
+    assert len(t.plan_files(predicate=[("id", ">=", 200)])) == 1
+    assert len(t.plan_files(predicate=[("id", "<", 100)])) == 1
+    assert len(t.plan_files(predicate=[("id", "=", 105)])) == 1
+    assert len(t.plan_files(predicate=[("id", ">", 50)])) == 2
+    # conjunction: both terms must be satisfiable in the same file
+    assert (
+        len(t.plan_files(predicate=[("id", ">=", 100), ("id", "<", 110)])) == 1
+    )
+    # provably-empty predicate scans zero files but still answers
+    assert len(t.plan_files(predicate=[("id", ">", 1000)])) == 0
+    assert t.read(predicate=[("id", ">", 1000)]).count() == 0
+    # pruning is an optimization, not the filter: rows are exact
+    got = sorted(r.id for r in t.read(predicate=[("id", ">=", 195)]).collect())
+    assert got == list(range(200, 210))
+    # string bounds prune too
+    assert len(t.plan_files(predicate=[("v", ">=", "v200")])) < 3
+    # unknown column / no stats: keeps everything (never wrong)
+    assert len(t.plan_files(predicate=[("nope", "=", 1)])) == 3
+    with pytest.raises(ValueError, match="bad predicate"):
+        t.plan_files(predicate=[("id", "!=", 1)])
+
+
+def test_predicate_null_skipping_and_delete_null_semantics(spark, tmp_path):
+    """Null-count metrics: is_not_null skips all-null files, is_null skips
+    null-free files, comparisons skip all-null files; and DELETE keeps
+    NULL-predicate rows (SQL deletes only TRUE rows)."""
+    loc = str(tmp_path / "t21")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame([(1, None), (2, None)], "id long, x double")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, 1.0), (4, 2.0)], "id long, x double")
+        .coalesce(1)
+    )
+    assert len(t.plan_files(predicate=[("x", "is_not_null")])) == 1
+    assert len(t.plan_files(predicate=[("x", "is_null")])) == 1
+    assert len(t.plan_files(predicate=[("x", ">", 0.0)])) == 1
+    # DELETE x > 1.5: the all-null file is never scanned or rewritten;
+    # null rows survive in place
+    snap = t.delete([("x", ">", 1.5)])
+    assert snap is not None and snap.summary["deleted_records"] == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_delete_copy_on_write(spark, tmp_path):
+    """Row-level CoW DELETE: only files holding a matching row rewrite,
+    a fully-matching file is dropped without rewrite, no-match returns
+    None, schema and untouched files carry byte-identically."""
+    loc = str(tmp_path / "t22")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1))
+    t.append(spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string").coalesce(1))
+    t.append(spark.createDataFrame([(5, "e"), (6, "f")], "id long, v string").coalesce(1))
+    before = {f.path for f in t.snapshot().files}
+
+    # partial-file delete: one file rewrites, two carry by reference
+    s = t.delete([("id", "=", 3)])
+    assert s.operation == "delete" and s.summary["rewritten_files"] == 1
+    assert s.summary["deleted_records"] == 1
+    after = {f.path for f in s.files}
+    assert len(before & after) == 2
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 4, 5, 6]
+    assert t.read().schema == t.read(version=1).schema
+
+    # whole-file delete: both rows of the (1,2) file match -> the file is
+    # dropped from the manifest; survivors stage writes nothing
+    s2 = t.delete([("id", "<=", 2)])
+    assert s2.summary["deleted_records"] == 2
+    assert sorted(r.id for r in t.read().collect()) == [4, 5, 6]
+
+    # no-match: no new snapshot at all
+    v = t.current_version()
+    assert t.delete([("id", "=", 999)]) is None
+    assert t.current_version() == v
+    # time travel still reads the pre-delete state
+    assert sorted(r.id for r in t.read(version=3).collect()) == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError, match="predicate"):
+        t.delete([])
+
+
+def test_delete_conflict_detection(spark, tmp_path):
+    """DELETE aborts (never blind-retries) when a concurrent commit
+    replaced a source file OR added rows matching the predicate — the
+    same serializable-isolation rules as upsert."""
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    loc = str(tmp_path / "t23")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    orig_stage = t._stage
+
+    def racing_overwrite(df, pcols):
+        staged = orig_stage(df, pcols)
+        HadoopTable(spark, loc).overwrite_all(
+            spark.createDataFrame([(9, "wiped")], "id long, v string")
+        )
+        return staged
+
+    t._stage = racing_overwrite
+    with pytest.raises(CompactionConflict, match="re-run delete"):
+        t.delete([("id", "=", 1)])
+    assert {r.v for r in HadoopTable(spark, loc).read().collect()} == {"wiped"}
+
+    # racing append of a MATCHING row aborts; unrelated append does not
+    t2 = HadoopTable(spark, loc)
+    orig2 = t2._stage
+
+    def racing_matching(df, pcols):
+        staged = orig2(df, pcols)
+        HadoopTable(spark, loc).append(
+            spark.createDataFrame([(9, "late-match")], "id long, v string")
+        )
+        return staged
+
+    t2._stage = racing_matching
+    with pytest.raises(CompactionConflict, match="matching the .*delete"):
+        t2.delete([("id", "=", 9)])
+
+    t3 = HadoopTable(spark, loc)
+    orig3 = t3._stage
+
+    def racing_unrelated(df, pcols):
+        staged = orig3(df, pcols)
+        HadoopTable(spark, loc).append(
+            spark.createDataFrame([(1000, "other")], "id long, v string")
+        )
+        return staged
+
+    t3._stage = racing_unrelated
+    s = t3.delete([("id", "=", 9)])
+    assert s is not None
+    rows = sorted(r.id for r in HadoopTable(spark, loc).read().collect())
+    assert 9 not in rows and 1000 in rows
+
+
+def test_upsert_large_key_path_matches_broadcast_path(spark, tmp_path):
+    """Above broadcast_key_limit the key joins drop the broadcast hint
+    (AQE picks the strategy) — content must be identical either way."""
+    locA, locB = str(tmp_path / "t24a"), str(tmp_path / "t24b")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    )
+    ups = spark.createDataFrame(
+        [(5, "NEW5"), (15, "NEW15"), (100, "NEW100")], "id long, v string"
+    )
+    ta, tb = HadoopTable(spark, locA), HadoopTable(spark, locB)
+    ta.append(base)
+    tb.append(base)
+    ta.upsert(ups, ["id"])                       # broadcast path (default)
+    tb.upsert(ups, ["id"], broadcast_key_limit=0)  # forced shuffle path
+    assert _rows(ta.read()) == _rows(tb.read())
+
+
+def test_read_union_depth_guard_warns(spark, tmp_path):
+    """A read spanning more staging roots than max_union_roots warns to
+    compact() — the maintenance-cadence guard for the O(commits) union."""
+    import warnings as _w
+
+    loc = str(tmp_path / "t25")
+    t = HadoopTable(spark, loc, max_union_roots=2)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert t.read().count() == 3
+    msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+    assert any("compact()" in m and "3 staging roots" in m for m in msgs)
+    # compacting collapses the roots below the guard: no warning
+    t.compact()
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        assert t.read().count() == 3
+    assert not [r for r in rec2 if r.category is RuntimeWarning]
+
+
+def test_cleanup_orphans_reclaims_sidecars(spark, tmp_path):
+    """A crashed commit's staging tree (parquet + _SUCCESS + .crc) is
+    reclaimed WHOLE — including sidecars — so the dead data/<uuid>/ dir
+    actually disappears; live commits keep their markers and checksums."""
+    loc = str(tmp_path / "t26")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+
+    # simulate a commit that died after staging: files exist, no metadata
+    env = dict(os.environ, LPH_TABLE_FAULT="after-stage")
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "from pyspark.sql import SparkSession;"
+        "from logparserhelper_spark.sinks.hadoop_table import HadoopTable;"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate();"
+        "HadoopTable(spark, %r).append("
+        "spark.createDataFrame([(2,)], 'id long'))" % (REPO, loc)
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True
+    )
+    assert p.returncode != 0  # SIGKILLed mid-protocol
+    data_dir = os.path.join(loc, "data")
+    roots = sorted(os.listdir(data_dir))
+    assert len(roots) == 2  # live root + dead staging root
+
+    removed = t.cleanup_orphans(older_than_sec=0)
+    assert removed  # the dead tree went
+    live_files = {f.path for f in t.snapshot().files}
+    # exactly the live staging root remains, with its sidecars intact
+    roots_after = sorted(os.listdir(data_dir))
+    assert len(roots_after) == 1
+    live_root = os.path.join(data_dir, roots_after[0])
+    names = set(os.listdir(live_root))
+    assert "_SUCCESS" in names
+    assert any(n.endswith(".parquet") for n in names)
+    assert all(
+        os.path.exists(os.path.join(loc, p_)) for p_ in live_files
+    )
+    assert _rows(t.read()) == [(1,)]
+
+
+def test_summary_extra_cannot_clobber_computed_counters(spark, tmp_path):
+    """summary_extra is merged exactly once and computed counters land
+    last — a caller key can never falsify added_files/added_records."""
+    loc = str(tmp_path / "t27")
+    t = HadoopTable(spark, loc)
+    df = spark.createDataFrame([(1,), (2,)], "id long").coalesce(1)
+    s = t.append(df, summary_extra={"added_records": 999, "job": "etl-7"})
+    assert s.summary["added_records"] == 2  # the truth, not the caller's
+    assert s.summary["job"] == "etl-7"      # benign keys pass through
+
+
+def test_replace_scope_clears_stale_partitions(spark, tmp_path):
+    """Scoped replace: a replay that lands FEWER partitions than the
+    prior attempt still clears the prior attempt's whole scope — no
+    stale (bucket, sink) partitions survive (the pipeline replay shape)."""
+    loc = str(tmp_path / "t28")
+    t = HadoopTable(spark, loc)
+    first = spark.createDataFrame(
+        [(0, "err", 1), (0, "ok", 2), (1, "ok", 3)],
+        "bucket int, sink string, id long",
+    )
+    t.append(first, partition_cols=["bucket", "sink"])
+
+    # replay of bucket 0 produces only sink=ok this time
+    replay = spark.createDataFrame(
+        [(0, "ok", 20)], "bucket int, sink string, id long"
+    )
+    # WITHOUT scope the stale (0, err) partition would survive; with
+    # scope it is cleared, bucket 1 untouched
+    t.replace_partitions(replay, scope={"bucket": 0})
+    rows = sorted(
+        (r.bucket, r.sink, r.id) for r in t.read().collect()
+    )
+    assert rows == [(0, "ok", 20), (1, "ok", 3)]
+
+    # staged data outside the scope is refused (also catches a
+    # value/dir-string mismatch)
+    bad = spark.createDataFrame(
+        [(1, "ok", 99)], "bucket int, sink string, id long"
+    )
+    with pytest.raises(ValueError, match="outside replace scope"):
+        t.replace_partitions(bad, scope={"bucket": 0})
