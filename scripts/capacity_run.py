@@ -36,8 +36,13 @@ from logparserhelper_spark.pipeline import (  # noqa: E402
 from logparserhelper_spark.session import build_session  # noqa: E402
 
 
-def summarize_event_log(path: str) -> dict:
-    """Fold SparkListenerTaskEnd metrics from one event-log file."""
+def summarize_event_log(path: str, boundary_ms: float | None = None) -> dict:
+    """Fold SparkListenerTaskEnd metrics from one event-log file.
+
+    ``boundary_ms``: epoch-millis wall boundary; when set, only tasks that
+    FINISHED before it are folded (used to attribute pipeline vs
+    maintenance phases — compaction's rewrite shuffle must not be read as
+    pipeline spill)."""
     tot_shuffle_write = 0
     tot_shuffle_read = 0
     tot_mem_spill = 0
@@ -54,6 +59,10 @@ def summarize_event_log(path: str) -> dict:
                 ev = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if boundary_ms is not None:
+                finish = (ev.get("Task Info") or {}).get("Finish Time", 0)
+                if finish and finish > boundary_ms:
+                    continue
             n_tasks += 1
             if ev.get("Task End Reason", {}).get("Reason") != "Success":
                 n_failed += 1
@@ -89,6 +98,14 @@ def main() -> None:
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--buckets", type=int, default=4)
     p.add_argument("--gen-procs", type=int, default=24)
+    p.add_argument(
+        "--routed-format",
+        default="parquet",
+        choices=["parquet", "table"],
+        help="routed sink: parquet directory (default) or the snapshot "
+        "table; table mode also runs compact()+expire_snapshots() on the "
+        "accreted table afterwards and reports manifest growth",
+    )
     a = p.parse_args()
 
     data_dir = f"/tmp/lph_data_{a.scale}"
@@ -120,11 +137,44 @@ def main() -> None:
         role_dim_path=os.path.join(data_dir, "role_dim.parquet"),
         tool_dim_path=os.path.join(data_dir, "tool_dim.parquet"),
         n_buckets=a.buckets,
+        routed_format=a.routed_format,
     )
     reset_output(cfg)
     t0 = time.monotonic()
     run_pipeline(spark, cfg)
     wall = time.monotonic() - t0
+    pipeline_end_ms = time.time() * 1000  # phase boundary for metric split
+
+    table_report: dict = {}
+    if a.routed_format == "table":
+        # maintenance on the accreted table at capacity scale: where the
+        # O(files) inline manifest bends, and that compact+expire+re-read
+        # preserve the row count exactly
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        t = HadoopTable(spark, os.path.join(out_dir, "routed_table"))
+        meta_sizes = {v: os.path.getsize(t._meta_path(v)) for v in t.versions()}
+        rows_before = t.snapshot().total_records
+        files_before = len(t.snapshot().files)
+        tc = time.monotonic()
+        t.compact(target_file_bytes=128 << 20)
+        compact_sec = time.monotonic() - tc
+        tc = time.monotonic()
+        expired = t.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
+        expire_sec = time.monotonic() - tc
+        rows_after = t.read().count()
+        table_report = {
+            "routed_rows": rows_before,
+            "routed_files_before_compact": files_before,
+            "routed_files_after_compact": len(t.snapshot().files),
+            "meta_bytes_final": max(meta_sizes.values()),
+            "meta_versions": len(meta_sizes),
+            "compact_sec": round(compact_sec, 1),
+            "expired_versions": len(expired),
+            "expire_sec": round(expire_sec, 1),
+            "maintenance_preserves_rows": rows_after == rows_before,
+        }
+
     spark.stop()
     time.sleep(2)  # let the event-log writer flush/close
 
@@ -135,14 +185,30 @@ def main() -> None:
         + glob.glob(os.path.join(ev_dir, "*"))
         if os.path.isfile(f) and not f.endswith(".crc")
     ]
-    ev: dict = {}
-    for f in sorted(set(logs)):
-        part = summarize_event_log(f)
-        for k, v in part.items():
-            if k.startswith("peak"):
-                ev[k] = max(ev.get(k, 0), v)
-            else:
-                ev[k] = ev.get(k, 0) + v
+    def fold(boundary_ms: float | None) -> dict:
+        acc: dict = {}
+        for f in sorted(set(logs)):
+            part = summarize_event_log(f, boundary_ms)
+            for k, v in part.items():
+                if k.startswith("peak"):
+                    acc[k] = max(acc.get(k, 0), v)
+                else:
+                    acc[k] = acc.get(k, 0) + v
+        return acc
+
+    # pipeline-phase metrics only: tasks finished before maintenance began
+    ev = fold(pipeline_end_ms)
+    if a.routed_format == "table":
+        whole = fold(None)
+        table_report["maintenance_shuffle_write_bytes"] = (
+            whole["shuffle_write_bytes_total"] - ev["shuffle_write_bytes_total"]
+        )
+        table_report["maintenance_memory_bytes_spilled"] = (
+            whole["memory_bytes_spilled"] - ev["memory_bytes_spilled"]
+        )
+        table_report["maintenance_disk_bytes_spilled"] = (
+            whole["disk_bytes_spilled"] - ev["disk_bytes_spilled"]
+        )
     print(
         json.dumps(
             {
@@ -151,9 +217,11 @@ def main() -> None:
                 "turns": n_turns,
                 "cpus": a.cpus,
                 "buckets": a.buckets,
+                "routed_format": a.routed_format,
                 "wall_sec": round(wall, 1),
                 "turns_per_sec": round(n_turns / wall, 1),
                 **ev,
+                **table_report,
             }
         )
     )

@@ -75,10 +75,18 @@ def _run_subprocess(cpus: int, scale: str) -> dict:
     raise RuntimeError(f"no RESULT line from cpus={cpus}")
 
 
-def run_interleaved(n: int, n4: int, scale: str, repeats: int):
+def run_interleaved(
+    n: int, n4: int, scale: str, repeats: int, abort_floor: float | None = None
+):
     """Alternate Spark-at-N, Spark-at-4N, hw-at-N, hw-at-4N inside every rep
     (fresh JVM per Spark leg) so thermal/throttle drift hits all four series
-    equally; the per-level statistic is the MEDIAN across reps."""
+    equally; the per-level statistic is the MEDIAN across reps.
+
+    ``abort_floor``: when set, a rep whose own hw ceiling efficiency falls
+    below it aborts the whole run (returns {"aborted": True, ...}) — the r6
+    lesson: medians over a collapsing window pair a throttled leg at one
+    parallelism with an unthrottled leg at the other and measure the
+    co-tenant, not the pipeline."""
     import statistics
 
     walls: dict[int, list[float]] = {n: [], n4: []}
@@ -99,6 +107,18 @@ def run_interleaved(n: int, n4: int, scale: str, repeats: int):
             rate = _hw_rate(texts, cpus)
             hw_rates[cpus].append(rate)
             print(f"rep {rep} hw[{cpus}]: {rate:.0f} rows/s", flush=True)
+        rep_eff = hw_rates[n4][-1] / hw_rates[n][-1] / (n4 / n)
+        print(f"rep {rep} hw ceiling eff: {rep_eff:.3f}", flush=True)
+        if abort_floor is not None and rep_eff < abort_floor:
+            return {
+                "aborted": True,
+                "abort_rep": rep,
+                "abort_eff": round(rep_eff, 3),
+                "walls_n": [round(x, 1) for x in walls[n]],
+                "walls_n4": [round(x, 1) for x in walls[n4]],
+                "hw_rates_n": [round(x) for x in hw_rates[n]],
+                "hw_rates_n4": [round(x) for x in hw_rates[n4]],
+            }
     med = {c: statistics.median(w) for c, w in walls.items()}
     hw_med = {c: statistics.median(r) for c, r in hw_rates.items()}
     return {
@@ -154,15 +174,128 @@ def _hw_work(args):
     return n
 
 
+def hw_probe(texts: list, n: int, n4: int) -> dict:
+    """~90s hardware-window probe: the multiprocessing ceiling at n and n4
+    procs over a text subset. Cheap enough to run between work items; the
+    gate fires only inside a pattern of good probes (r6 lesson: ONE good
+    probe does not certify a 30-minute window on this box)."""
+    sub = texts[: max(1, len(texts) // 4)]
+    r_n = _hw_rate(sub, n)
+    r_n4 = _hw_rate(sub, n4)
+    eff = r_n4 / r_n / (n4 / n)
+    return {"rate_n": round(r_n), "rate_n4": round(r_n4), "eff": round(eff, 3)}
+
+
+def probe_pattern(
+    texts: list, n: int, n4: int, count: int, threshold: float, spacing_sec: float
+) -> tuple[bool, list[dict]]:
+    """The r6-lesson entry condition: ``count`` CONSECUTIVE probes all at
+    >= threshold, spaced ``spacing_sec`` apart (so the pattern spans the
+    same order of wall-clock the gate itself will need). First failing
+    probe aborts the pattern immediately — the caller retries later
+    rather than burning 30 min of gate wall on a collapsing window."""
+    import time as _t
+
+    series = []
+    for i in range(count):
+        p = hw_probe(texts, n, n4)
+        series.append(p)
+        print(f"probe {i}: eff={p['eff']} ({p['rate_n']}/{p['rate_n4']} rows/s)",
+              flush=True)
+        if p["eff"] < threshold:
+            return False, series
+        if i < count - 1:
+            _t.sleep(spacing_sec)
+    return True, series
+
+
+def _update_gate_region(path: str, content: str) -> None:
+    """Replace ONLY the marker-delimited gate region of BENCH/BASELINE.md,
+    preserving every manually-maintained section (round-over-round table,
+    capacity, experiments). r6 lost its first gate record to a wholesale
+    overwrite; the markers make that structurally impossible."""
+    begin = "<!-- GATE:BEGIN — scripts/scaling_run.py rewrites ONLY this region -->"
+    end = "<!-- GATE:END -->"
+    block = f"{begin}\n{content.rstrip()}\n{end}"
+    if os.path.exists(path):
+        old = open(path).read()
+        if begin in old and end in old:
+            head, rest = old.split(begin, 1)
+            _, tail = rest.split(end, 1)
+            new = head + block + tail
+        else:
+            new = old.rstrip() + "\n\n" + block + "\n"
+    else:
+        new = "# BENCH/BASELINE.md — two-parallelism scaling evidence\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(new)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="large")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--n4", type=int, default=8)
+    ap.add_argument(
+        "--probe-only", action="store_true",
+        help="run one ~90s hardware probe and exit (0 if eff >= threshold)",
+    )
+    ap.add_argument(
+        "--pre-probes", type=int, default=0,
+        help="require this many CONSECUTIVE >= threshold probes, spaced "
+        "--probe-spacing apart, before the gate runs (abort otherwise)",
+    )
+    ap.add_argument("--probe-threshold", type=float, default=0.83)
+    ap.add_argument("--probe-spacing", type=float, default=300.0)
+    ap.add_argument(
+        "--abort-floor", type=float, default=None,
+        help="mid-run guard: abort (exit 3, write nothing) when any rep's "
+        "own hw ceiling efficiency drops below this — a collapsing window "
+        "is a co-tenant measurement, not a pipeline one (default: "
+        "probe-threshold - 0.10 when --pre-probes is used)",
+    )
     args = ap.parse_args()
 
-    m = run_interleaved(args.n, args.n4, args.scale, args.repeats)
+    texts = _hw_texts(args.scale)
+    if args.probe_only:
+        p = hw_probe(texts, args.n, args.n4)
+        print(json.dumps({"probe": p, "threshold": args.probe_threshold}))
+        sys.exit(0 if p["eff"] >= args.probe_threshold else 1)
+
+    abort_floor = args.abort_floor
+    if args.pre_probes:
+        ok, series = probe_pattern(
+            texts, args.n, args.n4,
+            args.pre_probes, args.probe_threshold, args.probe_spacing,
+        )
+        if not ok:
+            print(json.dumps({
+                "gate": "not fired",
+                "reason": f"probe pattern failed (< {args.probe_threshold})",
+                "probes": series,
+            }))
+            sys.exit(2)
+        if abort_floor is None:
+            abort_floor = args.probe_threshold - 0.10
+        print(f"probe pattern satisfied ({len(series)} consecutive >= "
+              f"{args.probe_threshold}); firing gate", flush=True)
+
+    m = run_interleaved(
+        args.n, args.n4, args.scale, args.repeats, abort_floor=abort_floor
+    )
+    if m.get("aborted"):
+        print(json.dumps({
+            "gate": "aborted mid-run",
+            "reason": f"rep {m['abort_rep']} hw ceiling efficiency "
+            f"{m['abort_eff']} < floor {abort_floor} — window collapsed; "
+            "nothing written",
+            "partial_walls_n": m["walls_n"],
+            "partial_walls_n4": m["walls_n4"],
+            "hw_rates_n": m["hw_rates_n"],
+            "hw_rates_n4": m["hw_rates_n4"],
+        }))
+        sys.exit(3)
     factor = args.n4 / args.n
     speedup = m["wall_n"] / m["wall_n4"]
     efficiency = speedup / factor
@@ -204,47 +337,50 @@ def main() -> None:
         "gate_rule": "pass_raw OR (hw_ceiling_efficiency < 0.8 AND pass_hw_normalized)",
     }
     print(json.dumps(report, indent=2))
+    content = (
+        "The north rule's two-cluster-size criterion (>=0.8 throughput\n"
+        "scaling efficiency from N to 4N executors) cannot use a real\n"
+        "cluster in this sandbox; per the task brief it is evidenced by\n"
+        "running the SAME pipeline job on the SAME input at two\n"
+        "parallelism levels (local[{n}] vs local[{n4}]) in separate\n"
+        "processes.\n\n".format(n=args.n, n4=args.n4)
+    )
+    content += (
+        "## Gate protocol (committed, round 3; probe-gated since round 7)\n\n"
+        f"Median of {args.repeats} interleaved reps; every rep runs\n"
+        "Spark@N, Spark@4N (fresh JVM each), then the hardware ceiling\n"
+        "at N and 4N procs (plain multiprocessing doing the same\n"
+        "compiled-bank regex work over the same texts — the\n"
+        "embarrassingly-parallel bound no framework can beat on this\n"
+        "silicon), so thermal drift hits all four series equally.\n"
+        "Entry condition (r6 lesson): the gate only fires after a PATTERN\n"
+        "of consecutive good hardware probes (--pre-probes), and aborts\n"
+        "mid-run — writing nothing — if a rep's own hw ceiling efficiency\n"
+        "collapses below the floor (--abort-floor).\n\n"
+        "- PASS if raw scaling efficiency >= 0.8 (the north rule).\n"
+        "- Else, if the hardware's OWN same-run ceiling is < 0.8 (the\n"
+        "  box throttles under sustained load — the >=0.8 rule is\n"
+        "  unattainable by ANY framework on that silicon), PASS if the\n"
+        "  pipeline delivers >= 0.9 of the hardware's own scaling\n"
+        "  (efficiency_vs_hw_ceiling >= 0.9).\n\n"
+        "On a real cluster, N->4N executors keeps per-executor\n"
+        "resources constant, the hardware ceiling is ~1.0, and only the\n"
+        "raw 0.8 rule can bind — the fallback exists purely because\n"
+        "this sandbox's vCPUs downclock (measured every round: raw\n"
+        "multiprocessing alone scales 0.78-0.85 at 2->8 procs).\n\n"
+    )
+    content += "| metric | value |\n|---|---|\n"
+    for k, v in report.items():
+        content += f"| {k} | {v} |\n"
+    content += (
+        "\nJob: full parse->enrich->route->aggregate pipeline "
+        f"(deterministic synthetic transcripts, scale '{args.scale}', "
+        f"{m['turns']} turns, seed=42), median of {args.repeats} "
+        "interleaved reps per level.\n"
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            "# BENCH/BASELINE.md — two-parallelism scaling evidence\n\n"
-            "The north rule's two-cluster-size criterion (>=0.8 throughput\n"
-            "scaling efficiency from N to 4N executors) cannot use a real\n"
-            "cluster in this sandbox; per the task brief it is evidenced by\n"
-            "running the SAME pipeline job on the SAME input at two\n"
-            "parallelism levels (local[{n}] vs local[{n4}]) in separate\n"
-            "processes.\n\n".format(n=args.n, n4=args.n4)
-        )
-        f.write(
-            "## Gate protocol (committed, round 3)\n\n"
-            f"Median of {args.repeats} interleaved reps; every rep runs\n"
-            "Spark@N, Spark@4N (fresh JVM each), then the hardware ceiling\n"
-            "at N and 4N procs (plain multiprocessing doing the same\n"
-            "compiled-bank regex work over the same texts — the\n"
-            "embarrassingly-parallel bound no framework can beat on this\n"
-            "silicon), so thermal drift hits all four series equally.\n\n"
-            "- PASS if raw scaling efficiency >= 0.8 (the north rule).\n"
-            "- Else, if the hardware's OWN same-run ceiling is < 0.8 (the\n"
-            "  box throttles under sustained load — the >=0.8 rule is\n"
-            "  unattainable by ANY framework on that silicon), PASS if the\n"
-            "  pipeline delivers >= 0.9 of the hardware's own scaling\n"
-            "  (efficiency_vs_hw_ceiling >= 0.9).\n\n"
-            "On a real cluster, N->4N executors keeps per-executor\n"
-            "resources constant, the hardware ceiling is ~1.0, and only the\n"
-            "raw 0.8 rule can bind — the fallback exists purely because\n"
-            "this sandbox's vCPUs downclock (measured every round: raw\n"
-            "multiprocessing alone scales 0.78-0.85 at 2->8 procs).\n\n"
-        )
-        f.write("| metric | value |\n|---|---|\n")
-        for k, v in report.items():
-            f.write(f"| {k} | {v} |\n")
-        f.write(
-            "\nJob: full parse->enrich->route->aggregate pipeline "
-            f"(deterministic synthetic transcripts, scale '{args.scale}', "
-            f"{m['turns']} turns, seed=42), median of {args.repeats} "
-            "interleaved reps per level.\n"
-        )
-    print("wrote BENCH/BASELINE.md")
+    _update_gate_region(os.path.join(REPO, "BENCH", "BASELINE.md"), content)
+    print("updated gate region of BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
