@@ -58,7 +58,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from typing import Any
 from urllib.parse import unquote
 
@@ -284,6 +284,17 @@ class DataFile:
     # the parquet footer at stage time (Iceberg's data-file metrics). None
     # bounds mean "unknown" — pruning on them is impossible, never wrong.
     stats: dict[str, dict[str, Any]] | None = None
+    # Iceberg v2 row-level-delete fields. ``content``: "data",
+    # "position-deletes" (rows of (file_path, pos) naming exact dead rows)
+    # or "equality-deletes" (rows of the equality columns; a data row
+    # matching any of them on ``equality_cols`` is dead). ``seq`` is the
+    # data sequence number of the commit that added the file; an equality
+    # delete applies only to data files with STRICTLY SMALLER seq (so an
+    # upsert's own inserts survive its own delete), a position delete
+    # names its targets by path so seq never decides applicability here.
+    content: str = "data"
+    seq: int = 0
+    equality_cols: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -291,9 +302,14 @@ class DataFile:
             "partition": self.partition,
             "records": self.records,
             "bytes": self.bytes,
+            "seq": self.seq,
         }
         if self.stats is not None:
             d["stats"] = self.stats
+        if self.content != "data":
+            d["content"] = self.content
+        if self.equality_cols is not None:
+            d["equality_cols"] = list(self.equality_cols)
         return d
 
     @staticmethod
@@ -301,6 +317,9 @@ class DataFile:
         return DataFile(
             d["path"], dict(d["partition"]), d["records"], d["bytes"],
             d.get("stats"),
+            content=d.get("content", "data"),
+            seq=d.get("seq", 0),
+            equality_cols=d.get("equality_cols"),
         )
 
 
@@ -316,8 +335,26 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
 
     @property
+    def data_files(self) -> list[DataFile]:
+        return [f for f in self.files if f.content == "data"]
+
+    @property
+    def delete_files(self) -> list[DataFile]:
+        return [f for f in self.files if f.content != "data"]
+
+    @property
     def total_records(self) -> int:
-        return sum(f.records for f in self.files)
+        """Live-row count: data records minus position-delete records.
+        EXACT under this module's own invariants — a position delete only
+        ever records rows that were live when it committed (the delete
+        scan applies existing deletes first), and every rewrite path
+        (compact/upsert/delete) prunes position-delete entries whose
+        target file left the manifest in the same commit. Equality-delete
+        files are NOT subtractable without a scan (Iceberg has the same
+        caveat); their row counts are in the commit summaries."""
+        return sum(f.records for f in self.data_files) - sum(
+            f.records for f in self.files if f.content == "position-deletes"
+        )
 
 
 class HadoopTable:
@@ -535,6 +572,69 @@ class HadoopTable:
             summary.update(summary_extra)
         return summary
 
+    def _prune_pos_deletes(
+        self, parent: Snapshot, dead: set[str]
+    ) -> tuple[set[str], list[DataFile]]:
+        """Position-delete hygiene for commits that drop data files:
+        entries whose target file leaves the manifest are dead weight —
+        harmless at read time (the path never matches a scanned row) but
+        they would break ``total_records``' exactness. Returns
+        (delete-file paths to drop, replacement entries to stage). A
+        position-delete file referencing ONLY dead paths is dropped; one
+        referencing a mix is rewritten filtered to the live refs (real
+        Iceberg's ``rewrite_position_delete_files``). Driver-side pyarrow:
+        a pos-delete file is manifest-scale metadata, not data."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        drop: set[str] = set()
+        staged: list[DataFile] = []
+        dead_arr = pa.array(sorted(dead))
+        for f in parent.files:
+            if f.content != "position-deletes":
+                continue
+            t = pq.read_table(os.path.join(self.root, f.path))
+            mask = pc.is_in(t.column("file_path"), value_set=dead_arr)
+            n_dead = pc.sum(mask).as_py() or 0
+            if n_dead == 0:
+                continue
+            drop.add(f.path)
+            if n_dead < t.num_rows:
+                kept = t.filter(pc.invert(mask))
+                rel_dir = os.path.join("data", uuid.uuid4().hex[:16])
+                os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+                rel_p = os.path.join(rel_dir, "pos-deletes-0.parquet")
+                out_abs = os.path.join(self.root, rel_p)
+                pq.write_table(kept, out_abs)
+                staged.append(
+                    DataFile(
+                        path=rel_p,
+                        partition={},
+                        records=kept.num_rows,
+                        bytes=os.path.getsize(out_abs),
+                        stats=None,
+                        content="position-deletes",
+                        seq=f.seq,
+                    )
+                )
+        return drop, staged
+
+    @staticmethod
+    def _drop_dead_eq_deletes(keep: list[DataFile]) -> list[DataFile]:
+        """Metadata-only hygiene: an equality-delete file applies only to
+        data files with a strictly smaller seq, so once every such file
+        has left the manifest (rewritten or dropped) it is dead weight —
+        equivalently, it is live iff min(live data seq) < its seq."""
+        data_seqs = [f.seq for f in keep if f.content == "data"]
+        min_seq = min(data_seqs) if data_seqs else None
+        return [
+            f
+            for f in keep
+            if f.content != "equality-deletes"
+            or (min_seq is not None and min_seq < f.seq)
+        ]
+
     def _commit(
         self,
         staged: list[DataFile],
@@ -583,11 +683,16 @@ class HadoopTable:
             if op == "append":
                 keep = parent.files if parent else []
             elif op == "replace":
+                # delete files have partition={} so neither drop rule can
+                # ever match them: a partition replace keeps every delete
+                # file (equality deletes still apply to kept older data;
+                # position entries for dropped files are pruned below)
                 if replace_scope:
                     keep = [
                         f
                         for f in (parent.files if parent else [])
-                        if not all(
+                        if f.content != "data"
+                        or not all(
                             f.partition.get(k) == v
                             for k, v in replace_scope.items()
                         )
@@ -599,13 +704,27 @@ class HadoopTable:
                     keep = [
                         f
                         for f in (parent.files if parent else [])
-                        if tuple(sorted(f.partition.items())) not in incoming
+                        if f.content != "data"
+                        or tuple(sorted(f.partition.items())) not in incoming
                     ]
             elif op == "overwrite_all":
                 keep = []
             else:
                 raise ValueError(op)
+            if op == "replace" and parent is not None:
+                dead = {f.path for f in parent.files} - {f.path for f in keep}
+                if dead and any(
+                    f.content == "position-deletes" for f in keep
+                ):
+                    drop_del, repl_del = self._prune_pos_deletes(parent, dead)
+                    keep = [f for f in keep if f.path not in drop_del]
+                    keep.extend(repl_del)
+                if dead:
+                    keep = self._drop_dead_eq_deletes(keep)
             version = (parent.version + 1) if parent else 1
+            # staged files inherit the child commit's data sequence number
+            # (recomputed per optimistic retry — the version moves)
+            staged = [_dc_replace(e, seq=version) for e in staged]
             # summary_extra is applied exactly once (inside
             # _inherited_summary); the computed counters land LAST so a
             # caller key can never clobber added_files/kept_files/
@@ -710,9 +829,11 @@ class HadoopTable:
         partition pruning first, then metrics-based skipping — a file is
         dropped when some predicate conjunct is provably false for every
         row given its footer min/max/null-count. Exposed so callers (and
-        tests) can pin exactly how many files a predicate touches."""
+        tests) can pin exactly how many files a predicate touches.
+        Returns DATA files only — delete files are applied by
+        :meth:`read`, never scanned as rows."""
         snap = self.snapshot(version)
-        files = snap.files
+        files = snap.data_files
         if partition_filter:
             want = {k: str(v) for k, v in partition_filter.items()}
             files = [
@@ -738,10 +859,11 @@ class HadoopTable:
         < <= > >= is_null is_not_null`` — additionally skips files by
         their footer metrics (Iceberg's min/max file skipping) AND is
         applied to the returned rows, so the result is exactly the
-        filtered table no matter how much pruning achieved."""
+        filtered table no matter how much pruning achieved. Row-level
+        delete files (merge-on-read) are applied automatically."""
         snap = self.snapshot(version)
         files = self.plan_files(version, partition_filter, predicate)
-        df = self._read_files(snap, files)
+        df = self._scan(snap, files)
         if predicate:
             expr = _pred_expr(_check_predicate(predicate))
             if expr is not None:
@@ -771,11 +893,23 @@ class HadoopTable:
                 )
         to_snap = self.snapshot(to_v)
         base = {f.path for f in self.snapshot(from_version).files}
-        added = [f for f in to_snap.files if f.path not in base]
+        # an append-only range can add no delete files, and pre-existing
+        # delete files cannot apply to the added data (equality deletes
+        # only reach STRICTLY OLDER seqs; position deletes name rows that
+        # were live at their own commit) — so a plain scan is exact
+        added = [
+            f
+            for f in to_snap.files
+            if f.path not in base and f.content == "data"
+        ]
         return self._read_files(to_snap, added)
 
     def _read_files(
-        self, snap: Snapshot, files: list[DataFile], guard: bool = True
+        self,
+        snap: Snapshot,
+        files: list[DataFile],
+        guard: bool = True,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Scan a manifest subset under the snapshot's STORED schema.
         Grouped by staging root so hive partition-dir reconstruction stays
@@ -785,10 +919,28 @@ class HadoopTable:
         under their written type instead of being re-inferred from the
         dir strings (inference would turn a string partition "00" into
         int 0 — silent corruption — and make the empty-prune path and
-        the data path disagree on types). Groups then union."""
+        the data path disagree on types). Groups then union.
+
+        ``with_meta`` appends two helper columns from Spark's parquet
+        ``_metadata``: ``_lph_file`` (the file's path RELATIVE to the
+        table root — the manifest's path form) and ``_lph_pos`` (the
+        row's ordinal within its file) — the coordinates position-delete
+        files are keyed by."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
         schema = self._empty_schema(snap)
+        if with_meta:
+            out_schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_lph_file", StringType(), False),
+                    StructField("_lph_pos", LongType(), False),
+                ]
+            )
+        else:
+            out_schema = schema
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], out_schema)
         by_root: dict[str, list[str]] = {}
         for f in files:
             parts = f.path.split("/")
@@ -807,13 +959,111 @@ class HadoopTable:
                 stacklevel=2,
             )
         out: DataFrame | None = None
+        prefix = self.root.rstrip("/") + "/"
         for root, paths in sorted(by_root.items()):
             reader = self.spark.read.schema(schema)
             if snap.partition_cols:
                 reader = reader.option("basePath", root)
             part = reader.parquet(*sorted(paths))
+            if with_meta:
+                # _metadata.file_path is a URI (file:///...); normalize to
+                # the on-disk path and strip the table root so it compares
+                # against the manifest's RELATIVE paths (portable if the
+                # table directory moves — why delete files store rel paths)
+                norm = F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+                )
+                part = part.select(
+                    *[F.col(f.name) for f in schema.fields],
+                    F.replace(norm, F.lit(prefix), F.lit("")).alias("_lph_file"),
+                    F.col("_metadata.row_index").alias("_lph_pos"),
+                )
             out = part if out is None else out.unionByName(part)
-        return out.select(*[f.name for f in schema.fields])
+        return out.select(*[f.name for f in out_schema.fields])
+
+    def _scan(
+        self,
+        snap: Snapshot,
+        data_files: list[DataFile],
+        with_meta: bool = False,
+        guard: bool = True,
+    ) -> DataFrame:
+        """Scan data files with the snapshot's row-level DELETE FILES
+        applied — the Iceberg v2 merge-on-read path. Zero-cost when the
+        snapshot holds no delete files: the plan is identical to a plain
+        ``_read_files`` scan (no helper columns, no joins), so tables
+        that never saw a MoR mutation keep their exact pre-v2 plans."""
+        dels = snap.delete_files
+        need_meta = with_meta or bool(dels)
+        df = self._read_files(snap, data_files, guard=guard, with_meta=need_meta)
+        if dels:
+            df = self._apply_deletes(snap, df, data_files)
+        if need_meta and not with_meta:
+            df = df.drop("_lph_file", "_lph_pos")
+        return df
+
+    def _apply_deletes(
+        self, snap: Snapshot, df: DataFrame, data_files: list[DataFile]
+    ) -> DataFrame:
+        """Anti-join the snapshot's delete files against a data scan that
+        carries ``_lph_file``/``_lph_pos`` helper columns.
+
+        Position deletes name exact (file, row-ordinal) coordinates —
+        applicability IS the path match (paths are uuid-unique and never
+        reused, so no sequence check is needed). Equality deletes apply
+        to rows whose data file's sequence number is STRICTLY smaller
+        than the delete file's (the Iceberg v2 rule — an upsert's own
+        inserts land at the same seq and survive its own delete); the
+        per-row seq comes from a broadcast manifest map, and null key
+        values match null delete values (eqNullSafe — Iceberg equality
+        deletes match nulls). Delete sides are broadcast when their
+        manifest record counts say they are small; above the threshold
+        the hint is dropped and AQE picks the strategy."""
+        BCAST_ROWS = 4_000_000
+        pos = [f for f in snap.delete_files if f.content == "position-deletes"]
+        eqs = [f for f in snap.delete_files if f.content == "equality-deletes"]
+        if pos:
+            rd = self.spark.read.schema("file_path string, pos bigint").parquet(
+                *[os.path.join(self.root, f.path) for f in pos]
+            )
+            if sum(f.records for f in pos) <= BCAST_ROWS:
+                rd = F.broadcast(rd)
+            df = df.join(
+                rd,
+                (df["_lph_file"] == rd["file_path"])
+                & (df["_lph_pos"] == rd["pos"]),
+                "left_anti",
+            )
+        if eqs:
+            seq_map = self.spark.createDataFrame(
+                [(f.path, f.seq) for f in data_files],
+                "_sm_file string, _lph_seq bigint",
+            )
+            df = df.join(
+                F.broadcast(seq_map),
+                df["_lph_file"] == seq_map["_sm_file"],
+                "left",
+            ).drop("_sm_file")
+            by_cols: dict[tuple, list[DataFile]] = {}
+            for f in eqs:
+                by_cols.setdefault(tuple(f.equality_cols or ()), []).append(f)
+            for cols, group in sorted(by_cols.items()):
+                dd: DataFrame | None = None
+                for f in group:
+                    part = (
+                        self.spark.read.parquet(os.path.join(self.root, f.path))
+                        .select(*cols)
+                        .withColumn("_del_seq", F.lit(f.seq).cast("bigint"))
+                    )
+                    dd = part if dd is None else dd.unionByName(part)
+                if sum(f.records for f in group) <= BCAST_ROWS:
+                    dd = F.broadcast(dd)
+                cond = df["_lph_seq"] < dd["_del_seq"]
+                for c in cols:
+                    cond = cond & df[c].eqNullSafe(dd[c])
+                df = df.join(dd, cond, "left_anti")
+            df = df.drop("_lph_seq")
+        return df
 
     def _empty_schema(self, snap: Snapshot):
         from pyspark.sql.types import StructType
@@ -827,6 +1077,7 @@ class HadoopTable:
         updates: DataFrame,
         key_cols: list[str],
         broadcast_key_limit: int = 2_000_000,
+        mode: str = "copy-on-write",
     ) -> Snapshot:
         """Copy-on-write MERGE keyed on ``key_cols`` (the Iceberg
         ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -850,10 +1101,27 @@ class HadoopTable:
         merge scan are scanned for matched keys (they are few), and a
         hit raises :class:`CompactionConflict` too; keeping them while
         also landing the update row would commit duplicate keys (the
-        serializable-isolation validation Iceberg MERGE performs)."""
+        serializable-isolation validation Iceberg MERGE performs).
+
+        ``mode="merge-on-read"`` instead writes NO rewrite at all — the
+        Iceberg v2 / Flink-CDC upsert shape: the update rows append as
+        new data files and one EQUALITY DELETE file on ``key_cols``
+        commits alongside them; old rows die at read time because the
+        delete applies to every data file with a strictly smaller
+        sequence number, while the same-commit inserts (equal seq)
+        survive. No scan of existing data happens at any point — the
+        write cost is O(batch), independent of table size, which is why
+        streaming CDC sinks use it. Concurrency composes by sequence
+        number alone: a racing append that loses the version race lands
+        at a HIGHER seq, outside this delete's reach, exactly as a later
+        writer should — so no conflict validation is needed. The read
+        cost moves to the anti-joins in :meth:`read` until
+        :meth:`compact` materializes the deletes."""
         snap = self.snapshot()
         if not key_cols:
             raise ValueError("upsert needs key columns")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown upsert mode {mode!r}")
         keys = updates.select(*key_cols).dropDuplicates(key_cols)
         # ONE aggregation job answers both planner questions: MERGE's
         # multiple-matches rule (a duplicate key inside the updates batch
@@ -876,27 +1144,30 @@ class HadoopTable:
                 "update row per key (dedupe upstream)"
             )
         n_keys = kstats["n_keys"] or 0
+        if mode == "merge-on-read":
+            return self._upsert_mor(snap, updates, keys, key_cols)
         _maybe_bcast = (
             F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
         )
-        full = self._read_files(snap, snap.files)
         # pass 1 (metadata-cheap): which files hold a matched key — one
-        # scan with input_file_name, semi-joined against broadcast keys
+        # delete-applied scan carrying _lph_file, semi-joined against the
+        # broadcast keys (a row that is already dead must not trigger a
+        # rewrite, and must NOT resurrect in the survivors below)
+        full = self._scan(snap, snap.data_files, with_meta=True)
         hit_files = {
-            os.path.relpath(_local_path(r.f), self.root)
-            for r in full.withColumn("f", F.input_file_name())
-            .join(_maybe_bcast(keys), key_cols, "left_semi")
-            .select("f")
+            r.f
+            for r in full.join(_maybe_bcast(keys), key_cols, "left_semi")
+            .select(F.col("_lph_file").alias("f"))
             .distinct()
             .collect()
         }
-        touched = [f for f in snap.files if f.path in hit_files]
+        touched = [f for f in snap.data_files if f.path in hit_files]
         # pass 2: rewrite ONLY the touched files' unmatched survivors,
         # plus every update row. allowMissingColumns both directions:
         # new columns in updates null-fill the survivors (additive
         # evolution), columns updates omitted null-fill the update rows.
         survivors = (
-            self._read_files(snap, touched).join(
+            self._scan(snap, touched).join(
                 _maybe_bcast(keys), key_cols, "left_anti"
             )
             if touched
@@ -920,10 +1191,23 @@ class HadoopTable:
                 )
             # serializable-isolation check: concurrently ADDED files that
             # contain a matched key would survive alongside the staged
-            # update row -> duplicate keys. Scan just the delta.
+            # update row -> duplicate keys. Scan just the delta. A
+            # concurrently added DELETE file is a conflict outright: the
+            # merge scan above never saw it, so the survivors it rewrote
+            # may resurrect rows that delete killed.
             added_since = [
-                f for f in parent.files if f.path not in base_paths
+                f
+                for f in parent.files
+                if f.path not in base_paths and f.content == "data"
             ]
+            if any(
+                f.content != "data" and f.path not in base_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s); "
+                    "re-run upsert()"
+                )
             if added_since:
                 n_hits = (
                     self._read_files(parent, added_since)
@@ -936,7 +1220,16 @@ class HadoopTable:
                         "merged key(s); re-run upsert()"
                     )
             keep = [f for f in parent.files if f.path not in replaced]
+            if replaced and any(
+                f.content == "position-deletes" for f in keep
+            ):
+                drop_del, repl_del = self._prune_pos_deletes(parent, replaced)
+                keep = [f for f in keep if f.path not in drop_del]
+                keep.extend(repl_del)
+            if replaced:
+                keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
+            staged = [_dc_replace(e, seq=version) for e in staged]
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {
@@ -973,66 +1266,163 @@ class HadoopTable:
             except CommitConflict:
                 continue  # liveness re-checks against the new parent
 
+    def _stage_delete_rows(
+        self, df: DataFrame, content: str, equality_cols: list[str] | None = None
+    ) -> list[DataFile]:
+        """Stage delete-file rows (same protocol as data staging: files
+        land at final paths, published only by the metadata swap) and tag
+        the manifest entries with their delete content type."""
+        entries = self._stage(df, [])
+        return [
+            _dc_replace(
+                e,
+                content=content,
+                equality_cols=list(equality_cols) if equality_cols else None,
+                stats=None,  # delete files carry no prunable table stats
+            )
+            for e in entries
+        ]
+
+    def _upsert_mor(
+        self,
+        snap: Snapshot,
+        updates: DataFrame,
+        keys: DataFrame,
+        key_cols: list[str],
+    ) -> Snapshot:
+        """Merge-on-read upsert body (see :meth:`upsert`): append the
+        update rows + one equality-delete file on ``key_cols``, one
+        commit, no scan of existing data, no conflict validation (seq
+        composition makes racing appends correct by construction)."""
+        staged_data = self._stage(updates, snap.partition_cols)
+        staged_del = self._stage_delete_rows(
+            keys, "equality-deletes", equality_cols=key_cols
+        )
+        while True:
+            parent = self.snapshot()
+            if parent.partition_cols != snap.partition_cols:
+                raise ValueError(
+                    "table partitioning changed under a concurrent commit"
+                )
+            version = parent.version + 1
+            staged = [
+                _dc_replace(e, seq=version) for e in staged_data + staged_del
+            ]
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "mode": "merge-on-read",
+                    "added_files": len(staged_data),
+                    "added_records": sum(e.records for e in staged_data),
+                    "equality_delete_files": len(staged_del),
+                    "equality_delete_records": sum(
+                        e.records for e in staged_del
+                    ),
+                    "kept_files": len(parent.files),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="upsert",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=self._evolve_schema(parent, updates, "upsert"),
+                partition_cols=snap.partition_cols,
+                files=list(parent.files) + staged,
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "upsert",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue  # higher version = higher seq; still correct
+
     # --------------------------------------------------------------- delete
-    def delete(self, predicate: list[tuple]) -> Snapshot | None:
-        """Row-level ``DELETE FROM ... WHERE`` as copy-on-write — the
-        remaining member of the Iceberg mutation family next to
-        replace/overwrite/compact/upsert. ``predicate`` is the same
+    def delete(
+        self, predicate: list[tuple], mode: str = "copy-on-write"
+    ) -> Snapshot | None:
+        """Row-level ``DELETE FROM ... WHERE``. ``predicate`` is the same
         conjunctive ``(col, op, value)`` form :meth:`read` accepts.
 
+        ``mode="copy-on-write"`` (default) rewrites the touched files.
         Three-stage narrowing, so only files that genuinely hold a
         matching row are rewritten: (1) manifest metrics skip files whose
         footer bounds prove no row can match (no scan at all); (2) one
-        scan of the survivors with ``input_file_name`` finds the files
-        with an actual match; (3) only THOSE files rewrite, keeping rows
+        delete-applied scan of the survivors finds the files with an
+        actual LIVE match; (3) only THOSE files rewrite, keeping rows
         where the predicate is false or NULL (SQL DELETE removes only
         rows where the predicate is TRUE). A file whose every row matches
         is simply dropped from the manifest — no rewrite cost.
 
-        Isolation: serializable, same rules as :meth:`upsert` — every
-        rewritten source file must still be live at promote time, and
-        files a concurrent commit added since the delete scan are checked
-        for matching rows (a match raises :class:`CompactionConflict`:
-        keeping them would mean the delete "missed" rows that satisfied
-        its predicate at commit time). Returns the new snapshot, or None
-        when nothing matched."""
+        ``mode="merge-on-read"`` rewrites NOTHING: the matching rows'
+        (file, row-ordinal) coordinates commit as a POSITION DELETE file
+        (Iceberg v2), and readers anti-join it until :meth:`compact`
+        materializes. Write cost is O(matches), not O(touched-file
+        bytes) — the 100-TB shape for small deletes over huge files
+        (GDPR erasure, spot redaction). Only rows live at scan time are
+        recorded (existing deletes apply first), so no coordinate is
+        ever double-recorded and ``total_records`` stays exact.
+
+        Isolation (both modes): serializable, same rules as
+        :meth:`upsert` — every rewritten/referenced source file must
+        still be live at promote time, files a concurrent commit added
+        since the delete scan are checked for matching rows, and a
+        concurrently-added delete file conflicts outright (a match
+        raises :class:`CompactionConflict`). Returns the new snapshot,
+        or None when nothing matched."""
         snap = self.snapshot()
         pred = _check_predicate(predicate)
         if not pred:
             raise ValueError("delete needs a predicate (use overwrite_all "
                              "to clear the table)")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         expr = _pred_expr(pred)
         # stage 1: metrics-based skipping — provably-unmatchable files
         # never reach the scan
-        candidates = [f for f in snap.files if _file_may_match(f, pred)]
+        candidates = [f for f in snap.data_files if _file_may_match(f, pred)]
         if not candidates:
             return None
-        # stage 2: which candidate files hold a row where the predicate is
-        # actually TRUE (footer bounds are necessary, not sufficient)
-        hit_files = {
-            os.path.relpath(_local_path(r.f), self.root)
-            for r in self._read_files(snap, candidates)
-            .withColumn("f", F.input_file_name())
+        if mode == "merge-on-read":
+            return self._delete_mor(snap, candidates, pred, expr)
+        # stage 2: which candidate files hold a LIVE row where the
+        # predicate is actually TRUE (footer bounds are necessary, not
+        # sufficient; already-deleted rows must not trigger a rewrite)
+        hits = (
+            self._scan(snap, candidates, with_meta=True)
             .filter(expr)
-            .select("f")
-            .distinct()
+            .groupBy(F.col("_lph_file").alias("f"))
+            .count()
             .collect()
-        }
+        )
+        hit_files = {r.f for r in hits}
+        deleted = sum(r["count"] for r in hits)  # LIVE matching rows only
         touched = [f for f in candidates if f.path in hit_files]
         if not touched:
             return None
         # stage 3: rewrite only the touched files' survivors. NULL
         # predicate rows SURVIVE (DELETE removes TRUE rows only), hence
-        # the coalesce — plain ~expr would also drop the NULLs.
-        survivors = self._read_files(snap, touched).filter(
+        # the coalesce — plain ~expr would also drop the NULLs. The scan
+        # applies existing delete files, so already-dead rows do not
+        # resurrect in the rewrite.
+        survivors = self._scan(snap, touched).filter(
             ~F.coalesce(expr, F.lit(False))
         )
         staged = self._stage(survivors, snap.partition_cols)
         replaced = {f.path for f in touched}
         base_paths = {f.path for f in snap.files}
-        deleted = sum(f.records for f in touched) - sum(
-            e.records for e in staged
-        )
         while True:
             parent = self.snapshot()
             live = {f.path for f in parent.files}
@@ -1041,7 +1431,19 @@ class HadoopTable:
                     f"{len(replaced - live)} delete source file(s) were "
                     "replaced by a concurrent commit; re-run delete()"
                 )
-            added_since = [f for f in parent.files if f.path not in base_paths]
+            if any(
+                f.content != "data" and f.path not in base_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s); "
+                    "re-run delete()"
+                )
+            added_since = [
+                f
+                for f in parent.files
+                if f.path not in base_paths and f.content == "data"
+            ]
             check = [f for f in added_since if _file_may_match(f, pred)]
             if check:
                 n_hits = (
@@ -1056,7 +1458,13 @@ class HadoopTable:
                         "delete predicate; re-run delete()"
                     )
             keep = [f for f in parent.files if f.path not in replaced]
+            if any(f.content == "position-deletes" for f in keep):
+                drop_del, repl_del = self._prune_pos_deletes(parent, replaced)
+                keep = [f for f in keep if f.path not in drop_del]
+                keep.extend(repl_del)
+            keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
+            staged = [_dc_replace(e, seq=version) for e in staged]
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {
@@ -1094,6 +1502,111 @@ class HadoopTable:
             except CommitConflict:
                 continue  # liveness + added-rows checks re-run vs new parent
 
+    def _delete_mor(
+        self, snap: Snapshot, candidates: list[DataFile], pred: list[tuple], expr
+    ) -> Snapshot | None:
+        """Merge-on-read delete body (see :meth:`delete`): record the
+        matching LIVE rows' (file, pos) coordinates as a position-delete
+        file, sorted by (file_path, pos) within each written file (the
+        Iceberg pos-delete ordering contract)."""
+        matches = (
+            self._scan(snap, candidates, with_meta=True)
+            .filter(expr)
+            .select(
+                F.col("_lph_file").alias("file_path"),
+                F.col("_lph_pos").alias("pos"),
+            )
+            .sort("file_path", "pos")
+        )
+        staged = self._stage_delete_rows(matches, "position-deletes")
+        n_deleted = sum(e.records for e in staged)
+        if n_deleted == 0:
+            return None
+        # which data files the recorded coordinates reference — read back
+        # from the staged delete files driver-side (they are manifest-scale
+        # metadata); those files must still be live at promote time, or the
+        # ordinals are meaningless
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        for e in staged:
+            t = pq.read_table(
+                os.path.join(self.root, e.path), columns=["file_path"]
+            )
+            referenced.update(t.column("file_path").to_pylist())
+        base_paths = {f.path for f in snap.files}
+        while True:
+            parent = self.snapshot()
+            live_data = {f.path for f in parent.data_files}
+            if not referenced <= live_data:
+                raise CompactionConflict(
+                    f"{len(referenced - live_data)} file(s) this delete "
+                    "references were rewritten by a concurrent commit; "
+                    "re-run delete()"
+                )
+            if any(
+                f.content != "data" and f.path not in base_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s); "
+                    "re-run delete()"
+                )
+            added_since = [
+                f
+                for f in parent.files
+                if f.path not in base_paths and f.content == "data"
+            ]
+            check = [f for f in added_since if _file_may_match(f, pred)]
+            if check:
+                n_hits = (
+                    self._read_files(parent, check).filter(expr).limit(1).count()
+                )
+                if n_hits:
+                    raise CompactionConflict(
+                        "a concurrent commit added row(s) matching the "
+                        "delete predicate; re-run delete()"
+                    )
+            version = parent.version + 1
+            staged_v = [_dc_replace(e, seq=version) for e in staged]
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "mode": "merge-on-read",
+                    "added_files": 0,
+                    "position_delete_files": len(staged_v),
+                    "deleted_records": n_deleted,
+                    "kept_files": len(parent.files),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="delete",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                files=list(parent.files) + staged_v,
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "delete",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue  # all three checks re-run against the new parent
+
     # -------------------------------------------------------------- compact
     def compact(self, target_file_bytes: int = 128 << 20) -> Snapshot | None:
         """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):
@@ -1111,25 +1624,67 @@ class HadoopTable:
         file being replaced is still live in the parent snapshot, and
         raises :class:`CompactionConflict` (rather than retrying) when a
         concurrent writer replaced one — blindly re-landing the staged
-        rewrite would resurrect overwritten data."""
+        rewrite would resurrect overwritten data.
+
+        Row-level delete files (merge-on-read) are MATERIALIZED here:
+        every data file an existing delete file applies to joins the
+        rewrite set (position deletes: the referenced files; equality
+        deletes: every file with a strictly smaller seq), the rewrite
+        scan applies the deletes, and the commit drops delete files that
+        no longer apply to anything — compact() is the shim's
+        ``rewrite_data_files`` + ``rewrite_position_delete_files`` in
+        one maintenance op. A delete file committed CONCURRENTLY with
+        the compaction conflicts (the rewrite scan never saw it;
+        re-landing would resurrect its rows)."""
         import math
 
         snap = self.snapshot()
+        # data files an existing delete file applies to — they must
+        # rewrite (with deletes applied) so the delete files can retire
+        affected: set[str] = set()
+        if snap.delete_files:
+            import pyarrow.parquet as pq
+
+            for f in snap.delete_files:
+                if f.content == "position-deletes":
+                    t = pq.read_table(
+                        os.path.join(self.root, f.path), columns=["file_path"]
+                    )
+                    affected.update(t.column("file_path").to_pylist())
+                else:  # equality-deletes: strictly-older data files
+                    affected.update(
+                        d.path for d in snap.data_files if d.seq < f.seq
+                    )
         by_part: dict[tuple, list[DataFile]] = {}
-        for f in snap.files:
+        for f in snap.data_files:
             by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
         rewrite: list[DataFile] = []
         wants: dict[tuple, int] = {}
         for part, fs in by_part.items():
             want = max(1, math.ceil(sum(f.bytes for f in fs) / target_file_bytes))
             if len(fs) > want:
-                rewrite.extend(fs)
-                wants[part] = want
+                rw = fs  # bin-pack the whole partition
+            else:
+                rw = [f for f in fs if f.path in affected]
+                if not rw:
+                    continue
+                want = max(
+                    1, math.ceil(sum(f.bytes for f in rw) / target_file_bytes)
+                )
+            rewrite.extend(rw)
+            wants[part] = want
         if not rewrite:
+            if snap.delete_files:
+                # delete files that apply to nothing (e.g. an equality
+                # delete older than every live data file): metadata-only
+                # retirement commit
+                return self._retire_dead_deletes(snap)
             return None
         # guard=False: compaction IS the remedy the union-depth warning
-        # points at — warning here would tell the fixer to run the fix
-        df = self._read_files(snap, rewrite, guard=False)
+        # points at — warning here would tell the fixer to run the fix.
+        # _scan applies the snapshot's delete files: the rewritten files
+        # hold only live rows (delete materialization).
+        df = self._scan(snap, rewrite, guard=False)
         pcols = snap.partition_cols
         n_tasks = sum(wants.values())
         if pcols:
@@ -1181,6 +1736,7 @@ class HadoopTable:
             df = df.repartition(n_tasks)
         staged = self._stage(df, pcols)
         replaced = {f.path for f in rewrite}
+        base_del_paths = {f.path for f in snap.delete_files}
         while True:
             parent = self.snapshot()
             live = {f.path for f in parent.files}
@@ -1189,8 +1745,22 @@ class HadoopTable:
                     f"{len(replaced - live)} source file(s) were replaced "
                     "by a concurrent commit; re-run compact()"
                 )
+            if any(
+                f.content != "data" and f.path not in base_del_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s) "
+                    "the rewrite scan never saw; re-run compact()"
+                )
             keep = [f for f in parent.files if f.path not in replaced]
+            if any(f.content == "position-deletes" for f in keep):
+                drop_del, repl_del = self._prune_pos_deletes(parent, replaced)
+                keep = [f for f in keep if f.path not in drop_del]
+                keep.extend(repl_del)
+            keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
+            staged = [_dc_replace(e, seq=version) for e in staged]
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {
@@ -1198,6 +1768,9 @@ class HadoopTable:
                     "added_files": len(staged),
                     "kept_files": len(keep),
                     "added_records": sum(e.records for e in staged),
+                    "retired_delete_files": len(parent.files)
+                    - len(keep)
+                    - len(replaced),
                 }
             )
             new = Snapshot(
@@ -1227,6 +1800,58 @@ class HadoopTable:
                 return new
             except CommitConflict:
                 continue  # re-read the new parent; the liveness check re-runs
+
+    def _retire_dead_deletes(self, snap: Snapshot) -> Snapshot | None:
+        """Metadata-only commit dropping delete files that apply to no
+        live data file (equality deletes older than every data file;
+        empty position-delete files). No data moves."""
+        while True:
+            parent = self.snapshot()
+            keep = self._drop_dead_eq_deletes(list(parent.files))
+            keep = [
+                f
+                for f in keep
+                if not (f.content == "position-deletes" and f.records == 0)
+            ]
+            if len(keep) == len(parent.files):
+                return None
+            version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_files": 0,
+                    "added_files": 0,
+                    "kept_files": len(keep),
+                    "retired_delete_files": len(parent.files) - len(keep),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="compact",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                files=keep,
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "compact",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue
 
     # ------------------------------------------------------------ housekeep
     def cleanup_orphans(self, older_than_sec: float = 86400.0) -> list[str]:

@@ -1,0 +1,365 @@
+"""Merge-on-read row-level deletes (sinks/hadoop_table.py): Iceberg v2
+position-delete and equality-delete files, sequence-number applicability,
+delete-aware reads/mutations, and compaction that materializes and retires
+delete files. Mirrors the Iceberg v2 spec semantics (row-level deletes,
+data sequence numbers); reference N/A — the reference app has no sink
+beyond whole-file JSON overwrite (utils/json_utils.py:21-27)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.sinks.hadoop_table import (
+    CompactionConflict,
+    HadoopTable,
+)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def _mk(spark, tmp_path, name="t", partitioned=True, n=20):
+    loc = str(tmp_path / name)
+    t = HadoopTable(spark, loc)
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 10).alias("val"),
+    )
+    t.append(df, ["bucket"] if partitioned else [])
+    return t
+
+
+# ---------------------------------------------------------------- position
+
+
+def test_mor_delete_no_rewrite_and_content(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = {f.path for f in t.snapshot().data_files}
+    s = t.delete([("id", "<", 5)], mode="merge-on-read")
+    assert s is not None and s.operation == "delete"
+    # NO data file was rewritten or dropped — only a delete file appeared
+    assert {f.path for f in s.data_files} == before
+    dels = s.delete_files
+    assert len(dels) >= 1
+    assert all(f.content == "position-deletes" for f in dels)
+    assert sum(f.records for f in dels) == 5
+    assert s.summary["deleted_records"] == 5
+    assert s.total_records == 15
+    got = _rows(t.read().select("id"))
+    assert got == [(i,) for i in range(5, 20)]
+    # time travel: the pre-delete snapshot still shows every row
+    assert len(_rows(t.read(version=1))) == 20
+
+
+def test_mor_delete_equals_cow_delete(spark, tmp_path):
+    a = _mk(spark, tmp_path, "cow")
+    b = _mk(spark, tmp_path, "mor")
+    pred = [("val", ">=", 70), ("val", "<", 140)]
+    a.delete(pred, mode="copy-on-write")
+    b.delete(pred, mode="merge-on-read")
+    assert _rows(a.read()) == _rows(b.read())
+
+
+def test_mor_delete_is_idempotent_on_dead_rows(spark, tmp_path):
+    """A second delete whose predicate covers already-dead rows records
+    only the NEWLY dead ones — total_records stays exact."""
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "<", 5)], mode="merge-on-read")
+    s2 = t.delete([("id", "<", 8)], mode="merge-on-read")
+    assert s2.summary["deleted_records"] == 3  # 5,6,7 — not 0-4 again
+    assert s2.total_records == 12
+    assert t.read().count() == 12
+    # nothing matched at all -> no new snapshot
+    assert t.delete([("id", "<", 8)], mode="merge-on-read") is None
+
+
+def test_mor_delete_with_predicate_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "=", 6)], mode="merge-on-read")
+    got = _rows(t.read(predicate=[("id", ">=", 4), ("id", "<", 9)]).select("id"))
+    assert got == [(4,), (5,), (7,), (8,)]
+
+
+# ---------------------------------------------------------------- equality
+
+
+def test_mor_upsert_matches_cow_upsert(spark, tmp_path):
+    a = _mk(spark, tmp_path, "cow")
+    b = _mk(spark, tmp_path, "mor")
+    upd = spark.createDataFrame(
+        [(3, "3", 999), (21, "1", 210)], "id long, bucket string, val long"
+    )
+    a.upsert(upd, ["id"], mode="copy-on-write")
+    s = b.upsert(upd, ["id"], mode="merge-on-read")
+    assert _rows(a.read()) == _rows(b.read())
+    # MoR wrote no rewrite: every pre-existing data file is still there
+    assert {f.path for f in b.snapshot(1).files} <= {
+        f.path for f in s.data_files
+    }
+    eqs = [f for f in s.delete_files if f.content == "equality-deletes"]
+    assert eqs and all(f.equality_cols == ["id"] for f in eqs)
+
+
+def test_mor_upsert_own_inserts_survive_and_latest_wins(spark, tmp_path):
+    """Sequence rule: an equality delete applies only to STRICTLY older
+    files — the same commit's inserts survive, and stacked upserts keep
+    the latest value per key."""
+    t = _mk(spark, tmp_path, n=4)
+    for v in (100, 200, 300):
+        upd = spark.createDataFrame(
+            [(2, "2", v)], "id long, bucket string, val long"
+        )
+        t.upsert(upd, ["id"], mode="merge-on-read")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[2] == 300 and len(got) == 4
+
+
+def test_mor_upsert_then_append_same_key_survives(spark, tmp_path):
+    """A row appended AFTER the upsert has a HIGHER seq: the older
+    equality delete must not reach it."""
+    t = _mk(spark, tmp_path, n=4)
+    t.upsert(
+        spark.createDataFrame([(1, "1", 111)], "id long, bucket string, val long"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    t.append(
+        spark.createDataFrame([(1, "1", 222)], "id long, bucket string, val long")
+    )
+    vals = sorted(
+        r["val"] for r in t.read().filter(F.col("id") == 1).collect()
+    )
+    assert vals == [111, 222]  # both post-delete rows live
+
+
+def test_mor_upsert_duplicate_keys_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4)
+    upd = spark.createDataFrame(
+        [(1, "1", 5), (1, "1", 6)], "id long, bucket string, val long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.upsert(upd, ["id"], mode="merge-on-read")
+
+
+def test_mor_upsert_null_key_matches_null(spark, tmp_path):
+    """Iceberg equality deletes match nulls (eqNullSafe): an upsert keyed
+    on a nullable column replaces the existing null-key row."""
+    loc = str(tmp_path / "tnull")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(None, 1), ("k", 2)], "key string, val long"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame([(None, 10)], "key string, val long"),
+        ["key"],
+        mode="merge-on-read",
+    )
+    assert _rows(t.read()) == [("k", 2), (None, 10)]
+
+
+# ------------------------------------------------- interaction with  CoW ops
+
+
+def test_cow_ops_do_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    """A CoW upsert/delete rewrites files with the existing delete files
+    APPLIED — dead rows must not come back in the rewrite."""
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "=", 4)], mode="merge-on-read")  # kills id=4
+    # CoW upsert touching the same file (id=8 lives in bucket 0 too)
+    t.upsert(
+        spark.createDataFrame([(8, "0", 888)], "id long, bucket string, val long"),
+        ["id"],
+        mode="copy-on-write",
+    )
+    ids = {r["id"] for r in t.read().collect()}
+    assert 4 not in ids and 8 in ids
+    assert t.read().filter("id = 8").first()["val"] == 888
+    # the rewrite pruned the pos-delete entries for the rewritten file,
+    # so total_records stays exact
+    assert t.snapshot().total_records == t.read().count() == 19
+
+
+def test_replace_partitions_prunes_pos_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "=", 1)], mode="merge-on-read")  # bucket 1
+    t.delete([("id", "=", 2)], mode="merge-on-read")  # bucket 2
+    # overwrite bucket 1 wholesale: its pos-delete entries must retire,
+    # bucket 2's must survive
+    new1 = spark.createDataFrame(
+        [(100, "1", 0)], "id long, bucket string, val long"
+    )
+    t.replace_partitions(new1, ["bucket"])
+    snap = t.snapshot()
+    assert snap.total_records == t.read().count()
+    ids = {r["id"] for r in t.read().collect()}
+    assert 100 in ids and 2 not in ids and 1 not in ids
+    pos = [f for f in snap.delete_files if f.content == "position-deletes"]
+    assert sum(f.records for f in pos) == 1  # only the bucket-2 entry left
+
+
+# ----------------------------------------------------------------- compact
+
+
+def test_compact_materializes_and_retires_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "<", 3)], mode="merge-on-read")
+    t.upsert(
+        spark.createDataFrame([(9, "1", 90909)], "id long, bucket string, val long"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    before = _rows(t.read())
+    pre_v = t.current_version()
+    s = t.compact()
+    assert s is not None
+    assert s.delete_files == []  # every delete file materialized + retired
+    assert _rows(t.read()) == before
+    assert s.total_records == t.read().count() == 17  # 20 - 3 deleted
+    # time travel to the pre-compact snapshot still applies the deletes
+    assert _rows(t.read(version=pre_v)) == before
+
+
+def test_compact_conflicts_with_concurrent_mor_delete(spark, tmp_path):
+    """A delete file committed between compaction's scan and its promote
+    must abort the compaction — the rewrite never saw it."""
+    t = _mk(spark, tmp_path)
+    # force a bin-pack trigger: several small appends into one partition
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(100 + i, "0", i)], "id long, bucket string, val long"
+            )
+        )
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols):
+        out = orig_stage(self, df, pcols)
+        if not state["fired"]:
+            state["fired"] = True
+            racer = HadoopTable(spark, t.location)
+            assert (
+                racer.delete([("id", "=", 7)], mode="merge-on-read")
+                is not None
+            )
+        return out
+
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="delete file"):
+            t.compact(target_file_bytes=1 << 30)
+    finally:
+        HadoopTable._stage = orig_stage
+    # the racer's delete itself is intact
+    assert 7 not in {r["id"] for r in t.read().collect()}
+
+
+def test_cow_upsert_conflicts_with_concurrent_mor_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols):
+        out = orig_stage(self, df, pcols)
+        if not state["fired"]:
+            state["fired"] = True
+            HadoopTable(spark, t.location).delete(
+                [("id", "=", 19)], mode="merge-on-read"
+            )
+        return out
+
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="delete file"):
+            t.upsert(
+                spark.createDataFrame(
+                    [(0, "0", 42)], "id long, bucket string, val long"
+                ),
+                ["id"],
+                mode="copy-on-write",
+            )
+    finally:
+        HadoopTable._stage = orig_stage
+
+
+def test_mor_delete_conflicts_when_referenced_file_compacted(spark, tmp_path):
+    """Compaction racing a MoR delete invalidates the recorded ordinals;
+    the delete must abort, not land stale coordinates."""
+    t = _mk(spark, tmp_path)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(200 + i, "0", i)], "id long, bucket string, val long"
+            )
+        )
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols):
+        out = orig_stage(self, df, pcols)
+        if not state["fired"]:
+            state["fired"] = True
+            HadoopTable(spark, t.location).compact(target_file_bytes=1 << 30)
+        return out
+
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="re-run delete"):
+            t.delete([("id", "=", 200)], mode="merge-on-read")
+    finally:
+        HadoopTable._stage = orig_stage
+
+
+# ------------------------------------------------------------ other readers
+
+
+def test_incremental_scan_unaffected_by_older_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "<", 3)], mode="merge-on-read")
+    v = t.current_version()
+    t.append(
+        spark.createDataFrame([(50, "2", 500)], "id long, bucket string, val long")
+    )
+    got = _rows(t.read_incremental(v).select("id"))
+    assert got == [(50,)]
+    # a MoR delete inside the range still refuses (non-append op)
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(1)
+
+
+def test_expire_keeps_delete_files_of_retained_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete([("id", "<", 10)], mode="merge-on-read")
+    before = _rows(t.read())
+    t.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
+    assert _rows(t.read()) == before
+    # the delete file is referenced by the retained snapshot -> survived GC
+    dels = t.snapshot().delete_files
+    assert dels and all(
+        os.path.exists(os.path.join(t.root, f.path)) for f in dels
+    )
+
+
+def test_manifest_roundtrips_delete_fields(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=6)
+    t.upsert(
+        spark.createDataFrame([(0, "0", 7)], "id long, bucket string, val long"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    fresh = HadoopTable(spark, t.location)  # re-read metadata from disk
+    s = fresh.snapshot()
+    eq = [f for f in s.delete_files if f.content == "equality-deletes"]
+    assert eq[0].equality_cols == ["id"] and eq[0].seq == s.version
+    assert all(f.seq >= 1 for f in s.files)
+    assert _rows(fresh.read()) == _rows(t.read())
