@@ -1078,6 +1078,8 @@ class HadoopTable:
         key_cols: list[str],
         broadcast_key_limit: int = 2_000_000,
         mode: str = "copy-on-write",
+        summary_extra: dict[str, Any] | None = None,
+        precondition=None,
     ) -> Snapshot:
         """Copy-on-write MERGE keyed on ``key_cols`` (the Iceberg
         ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -1145,7 +1147,19 @@ class HadoopTable:
             )
         n_keys = kstats["n_keys"] or 0
         if mode == "merge-on-read":
-            return self._upsert_mor(snap, updates, keys, key_cols)
+            return self._upsert_mor(
+                snap,
+                updates,
+                keys,
+                key_cols,
+                summary_extra=summary_extra,
+                precondition=precondition,
+            )
+        if summary_extra or precondition is not None:
+            raise ValueError(
+                "summary_extra/precondition are only supported with "
+                "mode='merge-on-read' (the streaming upsert sink path)"
+            )
         _maybe_bcast = (
             F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
         )
@@ -1289,17 +1303,24 @@ class HadoopTable:
         updates: DataFrame,
         keys: DataFrame,
         key_cols: list[str],
+        summary_extra: dict[str, Any] | None = None,
+        precondition=None,
     ) -> Snapshot:
         """Merge-on-read upsert body (see :meth:`upsert`): append the
         update rows + one equality-delete file on ``key_cols``, one
         commit, no scan of existing data, no conflict validation (seq
-        composition makes racing appends correct by construction)."""
+        composition makes racing appends correct by construction).
+        ``precondition(parent)`` is re-evaluated against the CURRENT
+        parent on every optimistic retry (the streaming sink's replay
+        guard rides here, atomic with the metadata swap)."""
         staged_data = self._stage(updates, snap.partition_cols)
         staged_del = self._stage_delete_rows(
             keys, "equality-deletes", equality_cols=key_cols
         )
         while True:
             parent = self.snapshot()
+            if precondition is not None and not precondition(parent):
+                raise PreconditionFailed("upsert")
             if parent.partition_cols != snap.partition_cols:
                 raise ValueError(
                     "table partitioning changed under a concurrent commit"
@@ -1308,7 +1329,7 @@ class HadoopTable:
             staged = [
                 _dc_replace(e, seq=version) for e in staged_data + staged_del
             ]
-            summary = self._inherited_summary(parent, None)
+            summary = self._inherited_summary(parent, summary_extra)
             summary.update(
                 {
                     "mode": "merge-on-read",
@@ -1956,6 +1977,23 @@ def last_streaming_batch(table: HadoopTable) -> int | None:
     return None
 
 
+def _batch_guard(table: HadoopTable, batch_id: int):
+    """Replay-guard commit precondition for streaming table sinks: the
+    batch may land only while its id is above the table's stamped
+    high-water mark (which carries forward through every commit)."""
+
+    def not_yet_committed(parent: Snapshot | None) -> bool:
+        if parent is None:
+            return True
+        last = parent.summary.get("streaming_batch_id")
+        if last is None:
+            # legacy chain without carry-forward: fall back to a scan
+            last = last_streaming_batch(table)
+        return last is None or int(batch_id) > int(last)
+
+    return not_yet_committed
+
+
 def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
     """Exactly-once Structured Streaming sink into a snapshot table — the
     Iceberg streaming-write protocol the directory sink's docstring
@@ -1973,15 +2011,7 @@ def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
 
     def write(df: DataFrame, batch_id: int) -> None:
         t = HadoopTable(df.sparkSession, table_loc)
-
-        def not_yet_committed(parent: Snapshot | None) -> bool:
-            if parent is None:
-                return True
-            last = parent.summary.get("streaming_batch_id")
-            if last is None:
-                # legacy chain without carry-forward: fall back to a scan
-                last = last_streaming_batch(t)
-            return last is None or int(batch_id) > int(last)
+        not_yet_committed = _batch_guard(t, batch_id)
 
         # cheap pre-check: the common replay (sequential redelivery after
         # restart) returns before staging any data. Correctness does NOT
@@ -1997,6 +2027,81 @@ def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
                 df,
                 "append",
                 pcols,
+                summary_extra={"streaming_batch_id": int(batch_id)},
+                precondition=not_yet_committed,
+            )
+        except PreconditionFailed:
+            return  # replay after failure: this batch is already committed
+
+    return write
+
+
+def table_upsert_sink(
+    table_loc: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+):
+    """Exactly-once Structured Streaming UPSERT sink — the Flink/Iceberg
+    CDC write shape on top of the merge-on-read machinery: each
+    micro-batch lands as new data files plus one equality-delete file on
+    ``key_cols`` (``upsert(mode="merge-on-read")``), so the table always
+    reads as "latest row per key" with O(batch) write cost regardless of
+    table size. Use ``foreachBatch(table_upsert_sink(...))``.
+
+    Exactly-once: identical replay protocol to :func:`table_batch_sink` —
+    the batch id stamps the snapshot summary, the replay guard is a
+    commit PRECONDITION inside the optimistic retry loop (atomic with
+    the metadata swap; two concurrent deliveries of one batch cannot
+    both land), and the high-water mark carries forward through
+    compact/expiry so maintenance never reopens the replay window.
+
+    Batch contract: one row per key per micro-batch (the MERGE
+    multiple-matches rule — raise, don't guess which duplicate wins);
+    dedupe upstream with ``dropDuplicates`` against an ordering column
+    if the source can emit several changes per key per batch. The first
+    batch creates the table with ``partition_cols``. Run
+    :meth:`HadoopTable.compact` on a maintenance cadence to materialize
+    the accreted delete files back into plain data files."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        t = HadoopTable(df.sparkSession, table_loc)
+        not_yet_committed = _batch_guard(t, batch_id)
+        if not t.exists():
+            # first batch: plain append-create (nothing older to delete);
+            # the precondition still guards a concurrent first delivery.
+            # Enforce the same one-row-per-key contract the upsert path
+            # checks, so a dup in batch 0 fails loudly too.
+            dup = (
+                df.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "updates contain duplicate keys — MERGE requires one "
+                    "update row per key (dedupe upstream)"
+                )
+            try:
+                t._commit(
+                    t._stage(df, list(partition_cols or [])),
+                    df,
+                    "append",
+                    list(partition_cols or []),
+                    summary_extra={"streaming_batch_id": int(batch_id)},
+                    precondition=not_yet_committed,
+                )
+            except PreconditionFailed:
+                pass
+            return
+        if not not_yet_committed(t.snapshot()):
+            return  # cheap pre-check; the precondition is the guarantee
+        try:
+            t.upsert(
+                df,
+                key_cols,
+                mode="merge-on-read",
                 summary_extra={"streaming_batch_id": int(batch_id)},
                 precondition=not_yet_committed,
             )

@@ -350,6 +350,134 @@ def test_expire_keeps_delete_files_of_retained_snapshots(spark, tmp_path):
     )
 
 
+def test_streaming_upsert_sink_exactly_once_latest_wins(spark, tmp_path):
+    """table_upsert_sink: a real file-source CDC stream of keyed change
+    rows, one file per micro-batch — the table must read as latest row
+    per key, replays must no-op, and a genuinely new batch advances the
+    high-water mark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.sinks.hadoop_table import (
+        last_streaming_batch,
+        table_upsert_sink,
+    )
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    # batch files: keys overlap across batches (k1 updated twice)
+    batches = [
+        [("k1", 1), ("k2", 1)],
+        [("k1", 2), ("k3", 1)],
+        [("k2", 2), ("k4", 1)],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {"key": [r[0] for r in rows], "val": [r[1] for r in rows]}
+            ),
+            os.path.join(sdir, f"f{i}.parquet"),
+        )
+    loc = str(tmp_path / "tu")
+    stream = (
+        spark.readStream.schema("key string, val long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(table_upsert_sink(loc, ["key"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t = HadoopTable(spark, loc)
+    got = {r["key"]: r["val"] for r in t.read().collect()}
+    assert got == {"k1": 2, "k2": 2, "k3": 1, "k4": 1}
+    assert last_streaming_batch(t) == 2
+    v_done = t.current_version()
+
+    # at-least-once redelivery of every batch: all no-ops
+    sink = table_upsert_sink(loc, ["key"])
+    for b, rows in enumerate(batches):
+        sink(
+            spark.createDataFrame(rows, "key string, val long"), b
+        )
+    assert t.current_version() == v_done
+    assert {r["key"]: r["val"] for r in t.read().collect()} == got
+
+    # a new batch updates + inserts; then compaction materializes and
+    # the result is unchanged
+    sink(
+        spark.createDataFrame([("k4", 9), ("k5", 1)], "key string, val long"),
+        3,
+    )
+    expect = {"k1": 2, "k2": 2, "k3": 1, "k4": 9, "k5": 1}
+    assert {r["key"]: r["val"] for r in t.read().collect()} == expect
+    t.compact()
+    fresh = HadoopTable(spark, loc)
+    assert fresh.snapshot().delete_files == []
+    assert {r["key"]: r["val"] for r in fresh.read().collect()} == expect
+    # the high-water mark survived compaction: replays still no-op
+    v_after = fresh.current_version()
+    sink(
+        spark.createDataFrame([("k1", 777)], "key string, val long"), 3
+    )
+    assert fresh.current_version() == v_after
+    assert HadoopTable(spark, loc).read().filter(
+        "key = 'k1'"
+    ).first()["val"] == 2
+
+
+def test_streaming_upsert_sink_concurrent_delivery_races(spark, tmp_path):
+    """Two concurrent deliveries of the SAME batch (zombie + restarted
+    driver): exactly one lands — the loser's optimistic retry sees the
+    stamped snapshot as its new parent and bails via the precondition."""
+    import threading
+
+    from logparserhelper_spark.sinks.hadoop_table import table_upsert_sink
+
+    loc = str(tmp_path / "tr")
+    sink = table_upsert_sink(loc, ["key"])
+    sink(spark.createDataFrame([("a", 1)], "key string, val long"), 0)
+
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def deliver():
+        df = spark.createDataFrame([("a", 2), ("b", 1)], "key string, val long")
+        barrier.wait()
+        try:
+            sink(df, 1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=deliver) for _ in range(2)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    assert not errs
+    t = HadoopTable(spark, loc)
+    # exactly one batch-1 commit landed: latest-wins content, no dup keys
+    assert {r["key"]: r["val"] for r in t.read().collect()} == {
+        "a": 2,
+        "b": 1,
+    }
+    assert t.read().groupBy("key").count().filter("count > 1").count() == 0
+
+
+def test_streaming_upsert_sink_first_batch_dup_keys_raise(spark, tmp_path):
+    from logparserhelper_spark.sinks.hadoop_table import table_upsert_sink
+
+    sink = table_upsert_sink(str(tmp_path / "td"), ["key"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sink(
+            spark.createDataFrame(
+                [("a", 1), ("a", 2)], "key string, val long"
+            ),
+            0,
+        )
+
+
 def test_manifest_roundtrips_delete_fields(spark, tmp_path):
     t = _mk(spark, tmp_path, n=6)
     t.upsert(
