@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import re as _re
 import uuid
 from dataclasses import dataclass, field, replace as _dc_replace
 from typing import Any
@@ -64,6 +65,22 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .partition_spec import (
+    PartitionField,
+    derive_partition_columns,
+    identity_spec,
+    parse_partition_spec,
+    partition_may_match,
+    spec_from_json,
+    spec_to_json,
+)
+
+
+# branch names become path components under metadata/branches/: keep them
+# to a safe charset so no name can escape the directory or collide with
+# metadata file patterns
+_BRANCH_NAME_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 
 class CommitConflict(Exception):
@@ -333,6 +350,13 @@ class Snapshot:
     partition_cols: list[str]
     files: list[DataFile] = field(default_factory=list)
     summary: dict[str, Any] = field(default_factory=dict)
+    # hidden-partitioning spec (partition_spec.py). Empty = legacy
+    # manifest: every partition column is an identity field.
+    partition_spec: list[PartitionField] = field(default_factory=list)
+
+    @property
+    def spec(self) -> list[PartitionField]:
+        return self.partition_spec or identity_spec(self.partition_cols)
 
     @property
     def data_files(self) -> list[DataFile]:
@@ -368,10 +392,15 @@ class HadoopTable:
         location: str,
         stats_columns: list[str] | None = None,
         max_union_roots: int = 256,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.location = location
         self.root = _local_path(location)
+        # non-None: this instance is a BRANCH VIEW — same data directory,
+        # its own metadata chain under metadata/branches/<name>/ (see
+        # create_branch / fast_forward)
+        self.branch_name = branch
         # columns to harvest footer metrics for at write time; None = every
         # eligible top-level leaf column (narrow it on very wide tables —
         # stats are O(stat_cols) JSON per file in the inline manifest)
@@ -383,6 +412,16 @@ class HadoopTable:
     # ---------------------------------------------------------------- paths
     @property
     def _meta_dir(self) -> str:
+        if self.branch_name is not None:
+            return os.path.join(
+                self.root, "metadata", "branches", self.branch_name
+            )
+        return os.path.join(self.root, "metadata")
+
+    @property
+    def _main_meta_dir(self) -> str:
+        """The MAIN chain's metadata dir, branch views included — refs
+        (tags) and the orphan-liveness scan are table-wide concerns."""
         return os.path.join(self.root, "metadata")
 
     def _meta_path(self, version: int) -> str:
@@ -410,7 +449,13 @@ class HadoopTable:
     def exists(self) -> bool:
         return bool(self.versions())
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(
+        self, version: int | None = None, ref: str | None = None
+    ) -> Snapshot:
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version OR ref, not both")
+            version = self._resolve_ref(ref)
         v = self.current_version() if version is None else version
         try:
             with open(self._meta_path(v)) as f:
@@ -426,6 +471,7 @@ class HadoopTable:
             partition_cols=list(d["partition_cols"]),
             files=[DataFile.from_json(x) for x in d["files"]],
             summary=dict(d.get("summary") or {}),
+            partition_spec=spec_from_json(d.get("partition_spec") or []),
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -445,11 +491,288 @@ class HadoopTable:
             )
         return out
 
+    # ------------------------------------------------------------- refs/tags
+    # Named refs, the Iceberg table-metadata ``refs`` map re-expressed for
+    # the shim's file-per-version layout: tags live in their own CAS'd
+    # chain (metadata/refs-v<K>.json, promoted with the same fail-if-exists
+    # hardlink as snapshots, so two concurrent tag writers serialize), and
+    # branches are independent snapshot chains under
+    # metadata/branches/<name>/ sharing the table's data directory by
+    # reference. In real Iceberg both live inside the single table
+    # metadata file; the split here keeps every mutation on the same one
+    # atomic primitive this sandbox's filesystem offers.
+
+    def _refs_state(self) -> tuple[int, dict[str, Any]]:
+        d = self._main_meta_dir
+        latest = 0
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("refs-v") and name.endswith(".json"):
+                    try:
+                        latest = max(latest, int(name[len("refs-v"):-5]))
+                    except ValueError:
+                        continue
+        if not latest:
+            return 0, {}
+        with open(os.path.join(d, f"refs-v{latest}.json")) as f:
+            return latest, json.load(f)["refs"]
+
+    def refs(self) -> dict[str, Any]:
+        """Current named refs: ``{name: {"type": "tag", "version": N}}``."""
+        return self._refs_state()[1]
+
+    def _update_refs(self, mutate) -> dict[str, Any]:
+        """CAS loop over the refs chain: ``mutate(dict)`` returns the new
+        map (or raises); a concurrent writer landing the next seq first
+        just triggers re-read + re-mutate."""
+        while True:
+            seq, refs = self._refs_state()
+            new_refs = mutate(dict(refs))
+            d = self._main_meta_dir
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-refs-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump({"refs": new_refs, "seq": seq + 1}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, os.path.join(d, f"refs-v{seq + 1}.json"))
+                return new_refs
+            except FileExistsError:
+                continue
+            finally:
+                os.unlink(tmp)
+
+    def _resolve_ref(self, ref: str) -> int:
+        r = self.refs().get(ref)
+        if r is None:
+            raise ValueError(f"no such ref {ref!r} on table {self.location}")
+        return int(r["version"])
+
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Pin a snapshot under an immutable name (Iceberg ``CREATE TAG``):
+        ``read(ref=name)`` time-travels to it, and expire_snapshots keeps
+        a tagged snapshot alive regardless of ``keep_last`` until the tag
+        is dropped — the audit/repro pin a training-data pipeline wants
+        (\"the corpus as model X saw it\")."""
+        v = self.current_version() if version is None else version
+        if not os.path.exists(self._meta_path(v)):
+            raise NoSuchTable(f"{self.location}@v{v}")
+        if self.branch_name is not None:
+            raise ValueError("tags are created on the main table, not a branch")
+
+        def mut(refs: dict[str, Any]) -> dict[str, Any]:
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            refs[name] = {
+                "type": "tag",
+                "version": v,
+                "created_ms": int(time.time() * 1000),
+            }
+            return refs
+
+        self._update_refs(mut)
+
+    def drop_tag(self, name: str) -> None:
+        def mut(refs: dict[str, Any]) -> dict[str, Any]:
+            if refs.get(name, {}).get("type") != "tag":
+                raise ValueError(f"no such tag {name!r}")
+            del refs[name]
+            return refs
+
+        self._update_refs(mut)
+
+    def read_ref(self, name: str) -> DataFrame:
+        return self.read(version=self._resolve_ref(name))
+
+    # ------------------------------------------------------------- rollback
+    def rollback(self, version: int) -> Snapshot:
+        """Set the table back to an earlier snapshot's state as a NEW
+        commit (Iceberg ``rollback_to_snapshot``): the old manifest is
+        re-published by reference — no data moves, history is preserved,
+        and time travel still sees everything in between. The target
+        snapshot must still be retained (not expired)."""
+        old = self.snapshot(version)  # raises NoSuchTable if expired
+        while True:
+            parent = self.snapshot()
+            if parent.version == version or (
+                parent.schema_json == old.schema_json
+                and [f.to_json() for f in parent.files]
+                == [f.to_json() for f in old.files]
+            ):
+                return parent  # already in the target state: idempotent
+            new_version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rolled_back_to": version,
+                    "added_files": 0,
+                    "kept_files": len(old.files),
+                    "added_records": 0,
+                }
+            )
+            new = Snapshot(
+                version=new_version,
+                parent=parent.version,
+                operation="rollback",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=old.schema_json,
+                partition_cols=old.partition_cols,
+                partition_spec=old.spec,
+                files=list(old.files),
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "rollback",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, new_version)
+                return new
+            except CommitConflict:
+                continue
+
+    # ------------------------------------------------------------- branches
+    def branch(self, name: str) -> "HadoopTable":
+        """A view of this table whose reads and writes use the branch's
+        own snapshot chain. Data files are shared with main by reference;
+        the orphan scan treats every branch's manifests as live."""
+        return HadoopTable(
+            self.spark,
+            self.location,
+            stats_columns=self.stats_columns,
+            max_union_roots=self.max_union_roots,
+            branch=name,
+        )
+
+    def create_branch(self, name: str) -> "HadoopTable":
+        """Fork the current MAIN snapshot into a new branch (Iceberg
+        ``CREATE BRANCH``): branch v1 carries main's manifest by
+        reference and records the fork point; subsequent commits through
+        :meth:`branch` land only on the branch. This is the
+        write-audit-publish staging area: write to the branch, audit by
+        reading it, then :meth:`fast_forward` main to publish."""
+        if self.branch_name is not None:
+            raise ValueError("create branches from the main table view")
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid branch name {name!r}")
+        cur = self.snapshot()
+        b = self.branch(name)
+        if b.exists():
+            raise ValueError(f"branch {name!r} already exists")
+        summary = dict(cur.summary)
+        summary.update(
+            {"forked_from_version": cur.version, "branch": name}
+        )
+        payload = {
+            "format_version": 1,
+            "version": 1,
+            "parent": None,
+            "operation": "branch-create",
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_json": cur.schema_json,
+            "partition_cols": cur.partition_cols,
+            "partition_spec": spec_to_json(cur.spec),
+            "summary": summary,
+            "files": [e.to_json() for e in cur.files],
+        }
+        b._promote(payload, 1)  # fail-if-exists: a racing creator loses
+        return b
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's metadata chain. Its exclusive data files
+        become orphans and are reclaimed by :meth:`cleanup_orphans`
+        after the grace period."""
+        if self.branch_name is not None:
+            raise ValueError("drop branches from the main table view")
+        d = os.path.join(self._main_meta_dir, "branches", name)
+        if not os.path.isdir(d):
+            raise ValueError(f"no such branch {name!r}")
+        import shutil
+
+        shutil.rmtree(d)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch's head onto main (Iceberg ``fast_forward`` —
+        the WAP publish step). Requires main to still be at the branch's
+        fork point: if main advanced since the fork, a fast-forward
+        would silently discard those commits, so it raises
+        :class:`CommitConflict` instead (resolve by re-branching from
+        current main and replaying, exactly as in Iceberg)."""
+        b = self.branch(name)
+        if not b.exists():
+            raise ValueError(f"no such branch {name!r}")
+        fork = b.snapshot(1).summary.get("forked_from_version")
+        head = b.snapshot()
+        while True:
+            parent = self.snapshot()
+            if fork is None or parent.version != int(fork):
+                raise CommitConflict(
+                    f"main is at v{parent.version}, branch {name!r} forked "
+                    f"from v{fork}; fast-forward would drop main commits"
+                )
+            version = parent.version + 1
+            summary = dict(head.summary)
+            summary.update(
+                {
+                    "branch": name,
+                    "branch_head": head.version,
+                    "fast_forwarded_from": int(fork),
+                }
+            )
+            payload = {
+                "format_version": 1,
+                "version": version,
+                "parent": parent.version,
+                "operation": "fast-forward",
+                "timestamp_ms": int(time.time() * 1000),
+                "schema_json": head.schema_json,
+                "partition_cols": head.partition_cols,
+                "partition_spec": spec_to_json(head.spec),
+                "summary": summary,
+                "files": [e.to_json() for e in head.files],
+            }
+            self._promote(payload, version)  # CommitConflict propagates:
+            # a racing main commit means the fork check must re-run, and
+            # it can only fail then — no silent retry
+            return self.snapshot(version)
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self._main_meta_dir, "branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
     # ---------------------------------------------------------------- write
-    def _stage(self, df: DataFrame, partition_cols: list[str]) -> list[DataFile]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_cols: list[str],
+        spec: list[PartitionField] | None = None,
+    ) -> list[DataFile]:
         """Write df's parquet under data/<uuid>/ and return the manifest
         entries. Files land at their FINAL paths (never moved — Iceberg
-        writes data in place and only the metadata swap publishes them)."""
+        writes data in place and only the metadata swap publishes them).
+        ``spec`` (hidden partitioning) derives the non-identity partition
+        value columns before the write; ``partitionBy`` then excludes
+        exactly those derived columns from the data files, so the files
+        hold only source columns and the layout stays invisible to
+        readers."""
+        if spec:
+            assert partition_cols == [f.name for f in spec]
+            df = derive_partition_columns(df, spec)
         commit_id = uuid.uuid4().hex[:16]
         rel_dir = os.path.join("data", commit_id)
         stage_abs = os.path.join(self.root, rel_dir)
@@ -644,6 +967,7 @@ class HadoopTable:
         summary_extra: dict[str, Any] | None = None,
         precondition=None,
         replace_scope: dict[str, str] | None = None,
+        spec: list[PartitionField] | None = None,
     ) -> Snapshot:
         """``precondition(parent)`` (optional) is re-evaluated against the
         CURRENT parent on every optimistic retry; returning False raises
@@ -659,6 +983,8 @@ class HadoopTable:
         the prior attempt's whole scope instead of leaving stale
         partitions live. Staged files must all fall inside the scope
         (checked — this also catches a value/dir-string mismatch)."""
+        spec = spec if spec is not None else identity_spec(partition_cols)
+        spec_json = spec_to_json(spec)
         if replace_scope:
             if op != "replace":
                 raise ValueError("replace_scope only applies to op='replace'")
@@ -675,10 +1001,13 @@ class HadoopTable:
             parent: Snapshot | None = self.snapshot(versions[-1]) if versions else None
             if precondition is not None and not precondition(parent):
                 raise PreconditionFailed(op)
-            if parent is not None and parent.partition_cols != partition_cols:
+            if parent is not None and (
+                parent.partition_cols != partition_cols
+                or spec_to_json(parent.spec) != spec_json
+            ):
                 raise ValueError(
                     f"partitioning is fixed at table creation: table has "
-                    f"{parent.partition_cols}, write used {partition_cols}"
+                    f"{spec_to_json(parent.spec)}, write used {spec_json}"
                 )
             if op == "append":
                 keep = parent.files if parent else []
@@ -746,6 +1075,7 @@ class HadoopTable:
                 partition_cols=partition_cols,
                 files=list(keep) + list(staged),
                 summary=summary,
+                partition_spec=spec,
             )
             summary["total_records"] = snap.total_records
             payload = {
@@ -756,6 +1086,7 @@ class HadoopTable:
                 "timestamp_ms": snap.timestamp_ms,
                 "schema_json": snap.schema_json,
                 "partition_cols": snap.partition_cols,
+                "partition_spec": spec_json,
                 "summary": summary,
                 "files": [e.to_json() for e in snap.files],
             }
@@ -773,9 +1104,14 @@ class HadoopTable:
         partition_cols: list[str] | None = None,
         summary_extra: dict[str, Any] | None = None,
     ) -> Snapshot:
-        pcols = self._resolve_pcols(partition_cols)
+        pcols, spec = self._resolve_pcols(partition_cols)
         return self._commit(
-            self._stage(df, pcols), df, "append", pcols, summary_extra=summary_extra
+            self._stage(df, pcols, spec),
+            df,
+            "append",
+            pcols,
+            summary_extra=summary_extra,
+            spec=spec,
         )
 
     def replace_partitions(
@@ -795,28 +1131,44 @@ class HadoopTable:
         whether or not the staged data re-lands them — use it when a
         replay may legitimately produce fewer partitions than the prior
         attempt (otherwise the prior attempt's extras would stay live)."""
-        pcols = self._resolve_pcols(partition_cols)
+        pcols, spec = self._resolve_pcols(partition_cols)
         if not pcols:
             raise ValueError("replace_partitions needs partition columns")
         rscope = (
             {k: str(v) for k, v in scope.items()} if scope else None
         )
         return self._commit(
-            self._stage(df, pcols), df, "replace", pcols, replace_scope=rscope
+            self._stage(df, pcols, spec),
+            df,
+            "replace",
+            pcols,
+            replace_scope=rscope,
+            spec=spec,
         )
 
     def overwrite_all(
         self, df: DataFrame, partition_cols: list[str] | None = None
     ) -> Snapshot:
-        pcols = self._resolve_pcols(partition_cols)
-        return self._commit(self._stage(df, pcols), df, "overwrite_all", pcols)
+        pcols, spec = self._resolve_pcols(partition_cols)
+        return self._commit(
+            self._stage(df, pcols, spec), df, "overwrite_all", pcols, spec=spec
+        )
 
-    def _resolve_pcols(self, partition_cols: list[str] | None) -> list[str]:
+    def _resolve_pcols(
+        self, partition_cols: list[str] | None
+    ) -> tuple[list[str], list[PartitionField]]:
+        """User partition declarations -> (derived dir-column names, spec).
+        Declarations accept hidden-partitioning transforms —
+        ``days(ts)``, ``bucket(8, key)``, ``truncate(4, code)`` — as well
+        as plain identity column names; omitted means "whatever the
+        table already uses"."""
         if partition_cols is not None:
-            return list(partition_cols)
+            spec = parse_partition_spec(partition_cols)
+            return [f.name for f in spec], spec
         if self.exists():
-            return self.snapshot().partition_cols
-        return []
+            snap = self.snapshot()
+            return snap.partition_cols, snap.spec
+        return [], []
 
     # ----------------------------------------------------------------- read
     def plan_files(
@@ -826,12 +1178,16 @@ class HadoopTable:
         predicate: list[tuple] | None = None,
     ) -> list[DataFile]:
         """The manifest subset a read would scan (Iceberg ``planFiles``):
-        partition pruning first, then metrics-based skipping — a file is
-        dropped when some predicate conjunct is provably false for every
-        row given its footer min/max/null-count. Exposed so callers (and
-        tests) can pin exactly how many files a predicate touches.
-        Returns DATA files only — delete files are applied by
-        :meth:`read`, never scanned as rows."""
+        partition pruning first — including HIDDEN-partition pruning,
+        where a predicate on a transform's SOURCE column (``ts``,
+        ``key``) is inclusively projected onto the derived partition
+        values (``ts_day``, ``key_bucket``) exactly as Iceberg's planner
+        does — then metrics-based skipping: a file is dropped when some
+        predicate conjunct is provably false for every row given its
+        footer min/max/null-count. Exposed so callers (and tests) can
+        pin exactly how many files a predicate touches. Returns DATA
+        files only — delete files are applied by :meth:`read`, never
+        scanned as rows."""
         snap = self.snapshot(version)
         files = snap.data_files
         if partition_filter:
@@ -843,7 +1199,13 @@ class HadoopTable:
             ]
         if predicate:
             pred = _check_predicate(predicate)
-            files = [f for f in files if _file_may_match(f, pred)]
+            spec = snap.spec
+            files = [
+                f
+                for f in files
+                if partition_may_match(f.partition, spec, pred)
+                and _file_may_match(f, pred)
+            ]
         return files
 
     def read(
@@ -851,8 +1213,10 @@ class HadoopTable:
         version: int | None = None,
         partition_filter: dict[str, Any] | None = None,
         predicate: list[tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Snapshot read (time travel via ``version``). ``partition_filter``
+        """Snapshot read (time travel via ``version`` or a named ``ref``
+        — a tag pinned with :meth:`create_tag`). ``partition_filter``
         prunes at the MANIFEST level — non-matching files never reach the
         scan, the shim-scale analogue of Iceberg's planner pruning.
         ``predicate`` — conjunctive ``(col, op, value)`` terms, ops ``=
@@ -861,6 +1225,10 @@ class HadoopTable:
         applied to the returned rows, so the result is exactly the
         filtered table no matter how much pruning achieved. Row-level
         delete files (merge-on-read) are applied automatically."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version OR ref, not both")
+            version = self._resolve_ref(ref)
         snap = self.snapshot(version)
         files = self.plan_files(version, partition_filter, predicate)
         df = self._scan(snap, files)
@@ -1192,7 +1560,7 @@ class HadoopTable:
             if survivors is None
             else survivors.unionByName(updates, allowMissingColumns=True)
         )
-        staged = self._stage(rewrite_df, snap.partition_cols)
+        staged = self._stage(rewrite_df, snap.partition_cols, snap.spec)
         replaced = {f.path for f in touched}
         base_paths = {f.path for f in snap.files}
         while True:
@@ -1259,6 +1627,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=self._evolve_schema(parent, rewrite_df, "upsert"),
                 partition_cols=snap.partition_cols,
+                partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
             )
@@ -1271,6 +1640,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": new.summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1313,7 +1683,7 @@ class HadoopTable:
         ``precondition(parent)`` is re-evaluated against the CURRENT
         parent on every optimistic retry (the streaming sink's replay
         guard rides here, atomic with the metadata swap)."""
-        staged_data = self._stage(updates, snap.partition_cols)
+        staged_data = self._stage(updates, snap.partition_cols, snap.spec)
         staged_del = self._stage_delete_rows(
             keys, "equality-deletes", equality_cols=key_cols
         )
@@ -1321,7 +1691,9 @@ class HadoopTable:
             parent = self.snapshot()
             if precondition is not None and not precondition(parent):
                 raise PreconditionFailed("upsert")
-            if parent.partition_cols != snap.partition_cols:
+            if parent.partition_cols != snap.partition_cols or spec_to_json(
+                parent.spec
+            ) != spec_to_json(snap.spec):
                 raise ValueError(
                     "table partitioning changed under a concurrent commit"
                 )
@@ -1349,6 +1721,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=self._evolve_schema(parent, updates, "upsert"),
                 partition_cols=snap.partition_cols,
+                partition_spec=snap.spec,
                 files=list(parent.files) + staged,
                 summary=summary,
             )
@@ -1361,6 +1734,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1441,7 +1815,7 @@ class HadoopTable:
         survivors = self._scan(snap, touched).filter(
             ~F.coalesce(expr, F.lit(False))
         )
-        staged = self._stage(survivors, snap.partition_cols)
+        staged = self._stage(survivors, snap.partition_cols, snap.spec)
         replaced = {f.path for f in touched}
         base_paths = {f.path for f in snap.files}
         while True:
@@ -1502,6 +1876,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=parent.schema_json,
                 partition_cols=snap.partition_cols,
+                partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
             )
@@ -1514,6 +1889,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1607,6 +1983,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=parent.schema_json,
                 partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
                 files=list(parent.files) + staged_v,
                 summary=summary,
             )
@@ -1619,6 +1996,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1629,7 +2007,11 @@ class HadoopTable:
                 continue  # all three checks re-run against the new parent
 
     # -------------------------------------------------------------- compact
-    def compact(self, target_file_bytes: int = 128 << 20) -> Snapshot | None:
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot | None:
         """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):
         every partition holding MORE files than ``ceil(total_bytes /
         target)`` is rewritten into ~that many files; already-compact
@@ -1656,10 +2038,31 @@ class HadoopTable:
         ``rewrite_data_files`` + ``rewrite_position_delete_files`` in
         one maintenance op. A delete file committed CONCURRENTLY with
         the compaction conflicts (the rewrite scan never saw it;
-        re-landing would resurrect its rows)."""
+        re-landing would resurrect its rows).
+
+        ``sort_by`` — Iceberg's SORT rewrite strategy: EVERY data file is
+        rewritten, range-partitioned then sorted within tasks on the
+        given source columns, so each output file covers a narrow,
+        near-disjoint slice of the sort key. That is what makes the
+        footer min/max file skipping (:meth:`plan_files` ``predicate``)
+        actually bite on a non-partition column: after a hash-salted
+        bin-pack every file spans the whole value range and metrics
+        skipping prunes nothing; after a sorted rewrite a point or range
+        predicate on the sort key touches only the files whose slice
+        overlaps it. The file-count target is table-global in this mode
+        (``ceil(total_bytes / target)`` tasks via repartitionByRange —
+        Spark's range partitioner samples the keys, so task boundaries
+        track the data distribution and skew splits across tasks)."""
         import math
 
         snap = self.snapshot()
+        if sort_by:
+            schema_cols = {f["name"] for f in json.loads(snap.schema_json)["fields"]}
+            missing = [c for c in sort_by if c not in schema_cols]
+            if missing:
+                raise ValueError(
+                    f"sort_by column(s) {missing} not in table schema"
+                )
         # data files an existing delete file applies to — they must
         # rewrite (with deletes applied) so the delete files can retire
         affected: set[str] = set()
@@ -1681,6 +2084,9 @@ class HadoopTable:
             by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
         rewrite: list[DataFile] = []
         wants: dict[tuple, int] = {}
+        if sort_by:
+            rewrite = list(snap.data_files)
+            by_part = {}  # sort mode: table-global task allocation
         for part, fs in by_part.items():
             want = max(1, math.ceil(sum(f.bytes for f in fs) / target_file_bytes))
             if len(fs) > want:
@@ -1707,6 +2113,22 @@ class HadoopTable:
         # hold only live rows (delete materialization).
         df = self._scan(snap, rewrite, guard=False)
         pcols = snap.partition_cols
+        # hidden partitioning: the scan exposes only SOURCE columns;
+        # re-derive the partition value columns so the wants join and the
+        # salted repartition below can key on them (identity fields are
+        # already present; _stage recomputes the same values at write)
+        df = derive_partition_columns(df, snap.spec)
+        if sort_by:
+            n_tasks = max(
+                1,
+                math.ceil(sum(f.bytes for f in rewrite) / target_file_bytes),
+            )
+            keys = pcols + [c for c in sort_by if c not in pcols]
+            df = df.repartitionByRange(
+                n_tasks, *[F.col(c) for c in keys]
+            ).sortWithinPartitions(*[F.col(c) for c in keys])
+            staged = self._stage(df, pcols, snap.spec)
+            return self._commit_compaction(snap, rewrite, staged, pcols)
         n_tasks = sum(wants.values())
         if pcols:
             # salt the repartition so one oversized partition still splits
@@ -1728,8 +2150,11 @@ class HadoopTable:
             ]
             raw_schema = ", ".join(f"{c} string" for c in pcols) + ", _want int"
             wants_df = self.spark.createDataFrame(want_rows, raw_schema)
-            full = self._empty_schema(snap)
-            types = {f.name: f.dataType for f in full.fields}
+            # cast the wants keys to the partition columns' types as they
+            # exist on the (derived) scan df — for identity fields that is
+            # the stored-schema type, for transform fields the derived
+            # expression's type (string date buckets, long hash buckets)
+            types = {c: df.schema[c].dataType for c in pcols}
             for c in pcols:
                 wants_df = wants_df.withColumn(c, F.col(c).cast(types[c]))
             data_cols = [c for c in df.columns if c not in pcols]
@@ -1755,7 +2180,21 @@ class HadoopTable:
             )
         else:
             df = df.repartition(n_tasks)
-        staged = self._stage(df, pcols)
+        staged = self._stage(df, pcols, snap.spec)
+        return self._commit_compaction(snap, rewrite, staged, pcols)
+
+    def _commit_compaction(
+        self,
+        snap: Snapshot,
+        rewrite: list[DataFile],
+        staged: list[DataFile],
+        pcols: list[str],
+    ) -> Snapshot:
+        """Optimistic commit of a compaction rewrite, shared by the
+        bin-pack and sorted strategies: verifies every replaced file is
+        still live and no unseen delete file landed, retires delete
+        files the rewrite materialized, and raises
+        :class:`CompactionConflict` instead of silently re-landing."""
         replaced = {f.path for f in rewrite}
         base_del_paths = {f.path for f in snap.delete_files}
         while True:
@@ -1801,6 +2240,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=parent.schema_json,
                 partition_cols=pcols,
+                partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
             )
@@ -1813,6 +2253,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1853,6 +2294,7 @@ class HadoopTable:
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=parent.schema_json,
                 partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
                 files=keep,
                 summary=summary,
             )
@@ -1865,6 +2307,7 @@ class HadoopTable:
                 "timestamp_ms": new.timestamp_ms,
                 "schema_json": new.schema_json,
                 "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
                 "summary": summary,
                 "files": [e.to_json() for e in new.files],
             }
@@ -1875,8 +2318,36 @@ class HadoopTable:
                 continue
 
     # ------------------------------------------------------------ housekeep
+    def _main_view(self) -> "HadoopTable":
+        """This table's MAIN-chain view (self when not a branch view)."""
+        if self.branch_name is None:
+            return self
+        return HadoopTable(
+            self.spark,
+            self.location,
+            stats_columns=self.stats_columns,
+            max_union_roots=self.max_union_roots,
+        )
+
+    def _live_files(self) -> set[str]:
+        """Every file path referenced by ANY retained snapshot on ANY
+        chain — main plus every branch. Branches share the table's data
+        directory by reference, so orphan liveness is a table-wide
+        concern: a file exclusive to a branch manifest is just as live
+        as one on main (Iceberg's remove_orphan_files walks all
+        reachable snapshots for the same reason)."""
+        main = self._main_view()
+        views = [main] + [main.branch(b) for b in main.branches()]
+        return {
+            f.path
+            for t in views
+            for v in t.versions()
+            for f in t.snapshot(v).files
+        }
+
     def cleanup_orphans(self, older_than_sec: float = 86400.0) -> list[str]:
-        """Remove data files not referenced by ANY retained snapshot — the
+        """Remove data files not referenced by ANY retained snapshot on
+        any chain (branches included — see :meth:`_live_files`) — the
         debris of commits that died before their metadata swap.
 
         ``older_than_sec`` is the in-flight-writer grace period: a LIVE
@@ -1903,9 +2374,7 @@ class HadoopTable:
         import time as _time
 
         cutoff = _time.time() - older_than_sec
-        live = {
-            f.path for v in self.versions() for f in self.snapshot(v).files
-        }
+        live = self._live_files()
         # staging roots (data/<uuid>) that still host live files: their
         # _SUCCESS markers stay
         live_roots = {"/".join(p.split("/")[:2]) for p in live}
@@ -1952,14 +2421,24 @@ class HadoopTable:
         self, keep_last: int = 1, cleanup_older_than_sec: float = 86400.0
     ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots, then reclaim
-        files only they referenced. Expiry is metadata-first (unlink the
-        version files, THEN collect garbage) so a crash mid-expiry can
-        strand files but never break a retained snapshot. The cleanup
-        keeps :meth:`cleanup_orphans`' in-flight-writer grace period —
-        freshly-expired files younger than it are reclaimed by the next
-        cleanup instead."""
+        files only they referenced. Snapshots pinned by a tag
+        (:meth:`create_tag`) are ALWAYS retained regardless of
+        ``keep_last`` — the Iceberg ref-retention rule that makes tags
+        durable audit/repro pins — until the tag is dropped. Expiry is
+        metadata-first (unlink the version files, THEN collect garbage)
+        so a crash mid-expiry can strand files but never break a
+        retained snapshot. The cleanup keeps :meth:`cleanup_orphans`'
+        in-flight-writer grace period — freshly-expired files younger
+        than it are reclaimed by the next cleanup instead."""
         vs = self.versions()
         drop = vs[:-keep_last] if keep_last > 0 else vs
+        if self.branch_name is None:
+            pinned = {
+                int(r["version"])
+                for r in self.refs().values()
+                if r.get("type") == "tag"
+            }
+            drop = [v for v in drop if v not in pinned]
         for v in drop:
             os.unlink(self._meta_path(v))
         self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
@@ -2020,15 +2499,16 @@ def table_batch_sink(table_loc: str, partition_cols: list[str] | None = None):
         # staged orphans for cleanup_orphans.
         if t.exists() and not not_yet_committed(t.snapshot()):
             return
-        pcols = t._resolve_pcols(partition_cols)
+        pcols, spec = t._resolve_pcols(partition_cols)
         try:
             t._commit(
-                t._stage(df, pcols),
+                t._stage(df, pcols, spec),
                 df,
                 "append",
                 pcols,
                 summary_extra={"streaming_batch_id": int(batch_id)},
                 precondition=not_yet_committed,
+                spec=spec,
             )
         except PreconditionFailed:
             return  # replay after failure: this batch is already committed
@@ -2083,14 +2563,16 @@ def table_upsert_sink(
                     "updates contain duplicate keys — MERGE requires one "
                     "update row per key (dedupe upstream)"
                 )
+            pcols, spec = t._resolve_pcols(list(partition_cols or []))
             try:
                 t._commit(
-                    t._stage(df, list(partition_cols or [])),
+                    t._stage(df, pcols, spec),
                     df,
                     "append",
-                    list(partition_cols or []),
+                    pcols,
                     summary_extra={"streaming_batch_id": int(batch_id)},
                     precondition=not_yet_committed,
+                    spec=spec,
                 )
             except PreconditionFailed:
                 pass

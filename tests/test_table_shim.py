@@ -402,8 +402,8 @@ def test_compact_conflict_detection(spark, tmp_path):
     # its source files, by interposing on _stage
     orig_stage = t._stage
 
-    def racing_stage(df, pcols):
-        staged = orig_stage(df, pcols)
+    def racing_stage(df, pcols, spec=None):
+        staged = orig_stage(df, pcols, spec)
         HadoopTable(spark, loc).replace_partitions(
             spark.createDataFrame([("a", 999)], "sink string, id long")
         )
@@ -554,8 +554,8 @@ def test_upsert_copy_on_write(spark, tmp_path):
 
     orig_stage = t._stage
 
-    def racing_stage(df, pcols):
-        staged = orig_stage(df, pcols)
+    def racing_stage(df, pcols, spec=None):
+        staged = orig_stage(df, pcols, spec)
         HadoopTable(spark, loc).overwrite_all(
             spark.createDataFrame([(0, "wiped")], "id long, v string")
         )
@@ -580,7 +580,7 @@ def test_upsert_detects_concurrent_append_of_merged_key(spark, tmp_path):
 
     orig_stage = t._stage
 
-    def racing_append(df, pcols):
+    def racing_append(df, pcols, spec=None):
         staged = orig_stage(df, pcols)
         HadoopTable(spark, loc).append(
             spark.createDataFrame([(1, "racer")], "id long, v string")
@@ -594,7 +594,7 @@ def test_upsert_detects_concurrent_append_of_merged_key(spark, tmp_path):
     t2 = HadoopTable(spark, loc)
     orig2 = t2._stage
 
-    def racing_unrelated(df, pcols):
+    def racing_unrelated(df, pcols, spec=None):
         staged = orig2(df, pcols)
         HadoopTable(spark, loc).append(
             spark.createDataFrame([(50, "other")], "id long, v string")
@@ -886,7 +886,7 @@ def test_delete_conflict_detection(spark, tmp_path):
 
     orig_stage = t._stage
 
-    def racing_overwrite(df, pcols):
+    def racing_overwrite(df, pcols, spec=None):
         staged = orig_stage(df, pcols)
         HadoopTable(spark, loc).overwrite_all(
             spark.createDataFrame([(9, "wiped")], "id long, v string")
@@ -902,7 +902,7 @@ def test_delete_conflict_detection(spark, tmp_path):
     t2 = HadoopTable(spark, loc)
     orig2 = t2._stage
 
-    def racing_matching(df, pcols):
+    def racing_matching(df, pcols, spec=None):
         staged = orig2(df, pcols)
         HadoopTable(spark, loc).append(
             spark.createDataFrame([(9, "late-match")], "id long, v string")
@@ -916,7 +916,7 @@ def test_delete_conflict_detection(spark, tmp_path):
     t3 = HadoopTable(spark, loc)
     orig3 = t3._stage
 
-    def racing_unrelated(df, pcols):
+    def racing_unrelated(df, pcols, spec=None):
         staged = orig3(df, pcols)
         HadoopTable(spark, loc).append(
             spark.createDataFrame([(1000, "other")], "id long, v string")
@@ -1054,3 +1054,74 @@ def test_replace_scope_clears_stale_partitions(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="outside replace scope"):
         t.replace_partitions(bad, scope={"bucket": 0})
+
+
+def test_compact_sort_by_enables_file_skipping(spark, tmp_path):
+    """compact(sort_by=...): the SORT rewrite strategy. Before it, every
+    file spans the whole id range (round-robin appends), so metrics
+    skipping prunes nothing; after it, files cover near-disjoint id
+    slices and a point/range predicate touches a strict subset. Content
+    is provably unchanged."""
+    loc = str(tmp_path / "tsort")
+    t = HadoopTable(spark, loc)
+    # 4 appends, each holding ids spread across the full 0..399 range ->
+    # every file's (min, max) ~ (chunk, 396+chunk): no skipping possible
+    for chunk in range(4):
+        rows = [(i, "v" * 100) for i in range(chunk, 400, 4)]
+        t.append(spark.createDataFrame(rows, "id long, v string"))
+    before_rows = _rows(t.read())
+    assert len(t.plan_files(predicate=[("id", "=", 7)])) == 4
+
+    total = sum(f.bytes for f in t.snapshot().files)
+    new = t.compact(target_file_bytes=total // 4 + 1, sort_by=["id"])
+    assert new is not None and new.operation == "compact"
+    assert _rows(t.read()) == before_rows
+    n_files = len(new.data_files)
+    assert n_files >= 2  # the tiny target forced a multi-file layout
+    # every file now covers a narrow slice: a point predicate plans 1 file
+    assert len(t.plan_files(predicate=[("id", "=", 7)])) == 1
+    # and a range predicate plans only the overlapping slice(s)
+    hit = t.plan_files(predicate=[("id", ">=", 300)])
+    assert 0 < len(hit) < n_files
+    # files are near-disjoint in id: total min/max overlap is zero for a
+    # sorted rewrite of a unique key
+    spans = sorted(
+        (int(f.stats["id"]["min"]), int(f.stats["id"]["max"]))
+        for f in new.data_files
+    )
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+    with pytest.raises(ValueError, match="sort_by"):
+        t.compact(sort_by=["nope"])
+
+
+def test_compact_sort_by_partitioned_table(spark, tmp_path):
+    """Sorted rewrite on a hive-partitioned table: partition layout is
+    preserved (pcols lead the range keys), rows unchanged, and skipping
+    works on the sort column inside each partition."""
+    loc = str(tmp_path / "tsortp")
+    t = HadoopTable(spark, loc)
+    for chunk in range(3):
+        rows = [
+            ("a" if i % 2 == 0 else "b", i, "x" * 80)
+            for i in range(chunk, 300, 3)
+        ]
+        t.append(
+            spark.createDataFrame(rows, "sink string, id long, v string"),
+            partition_cols=["sink"],
+        )
+    before_rows = _rows(t.read())
+    total = sum(f.bytes for f in t.snapshot().files)
+    new = t.compact(target_file_bytes=total // 4 + 1, sort_by=["id"])
+    assert new is not None
+    assert _rows(t.read()) == before_rows
+    # partition dirs preserved
+    assert {f.partition["sink"] for f in new.data_files} == {"a", "b"}
+    # a predicate combining partition pruning and metrics skipping plans
+    # fewer files than the partition alone
+    part_only = t.plan_files(partition_filter={"sink": "a"})
+    both = t.plan_files(
+        partition_filter={"sink": "a"}, predicate=[("id", "=", 10)]
+    )
+    assert len(both) < len(part_only) or len(part_only) == 1
