@@ -208,6 +208,61 @@ def _collect_stats(pf, stats_columns: list[str] | None):
     return out or None
 
 
+def _zvalue_column(df: DataFrame, cols: list[str]) -> Any:
+    """Z-curve key for ``compact(zorder_by=...)``: each column's value is
+    linearly scaled to a 16-bit rank between its GLOBAL min and max (one
+    single-row agg — bounded driver transfer by construction), and the
+    ranks' bits are interleaved JVM-side (shift/and/or chain, stays in
+    whole-stage codegen — no UDF). Nulls rank lowest, matching the
+    NULLS FIRST order a sort would give. Numeric, date, and timestamp
+    columns only — hashing strings would destroy the locality z-order
+    exists to create, so they are refused rather than silently degraded
+    (real Iceberg zorders string prefixes; out of scope for the shim)."""
+
+    def numeric(c: str):
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        if dt == "date":
+            return col.cast("timestamp").cast("double")
+        if dt in ("tinyint", "smallint", "int", "bigint", "float",
+                  "double") or dt.startswith("decimal"):
+            return col.cast("double")
+        raise ValueError(
+            f"zorder_by column {c!r} has unsupported type {dt}; "
+            "numeric/date/timestamp only"
+        )
+
+    nums = {c: numeric(c) for c in cols}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [F.min(nums[c]).alias(f"lo{i}"), F.max(nums[c]).alias(f"hi{i}")]
+    b = df.agg(*aggs).collect()[0]
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for i, c in enumerate(cols):
+        lo, hi = b[f"lo{i}"], b[f"hi{i}"]
+        if lo is None or hi is None or hi == lo:
+            continue  # all-null or constant column: contributes nothing
+        rank = F.least(
+            F.lit(65535),
+            F.greatest(
+                F.lit(0),
+                F.floor((nums[c] - F.lit(lo)) / F.lit(hi - lo) * 65535),
+            ),
+        )
+        rank = F.coalesce(rank, F.lit(0)).cast("long")  # nulls lowest
+        for bit in range(16):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(rank, bit).bitwiseAND(F.lit(1)),
+                    bit * k + i,
+                )
+            )
+    return z
+
+
 def _check_predicate(pred) -> list[tuple]:
     terms = [tuple(t) for t in pred]
     for t in terms:
@@ -2011,6 +2066,7 @@ class HadoopTable:
         self,
         target_file_bytes: int = 128 << 20,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot | None:
         """Bin-pack small files (Iceberg's rewrite_data_files, shim-scale):
         every partition holding MORE files than ``ceil(total_bytes /
@@ -2052,16 +2108,32 @@ class HadoopTable:
         overlaps it. The file-count target is table-global in this mode
         (``ceil(total_bytes / target)`` tasks via repartitionByRange —
         Spark's range partitioner samples the keys, so task boundaries
-        track the data distribution and skew splits across tasks)."""
+        track the data distribution and skew splits across tasks).
+
+        ``zorder_by`` — Iceberg's ZORDER rewrite strategy for MULTIPLE
+        independent filter columns: a lexicographic sort makes skipping
+        perfect on the first key and useless on the rest, while the
+        Z-curve interleaves the bits of every key's normalized rank, so
+        each output file covers a small hyper-rectangle of the value
+        space and a predicate on ANY of the columns skips most files.
+        Ranks are 16-bit linear scalings between the column's global min
+        and max (one cheap agg over the rewrite scan, JVM-side bit
+        interleave — no UDF). Numeric, date, and timestamp columns only;
+        nulls rank lowest. Mutually exclusive with ``sort_by``."""
         import math
 
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
+        if zorder_by is not None and len(zorder_by) < 2:
+            raise ValueError("zorder_by needs >= 2 columns (use sort_by "
+                             "for a single key)")
         snap = self.snapshot()
-        if sort_by:
+        if sort_by or zorder_by:
             schema_cols = {f["name"] for f in json.loads(snap.schema_json)["fields"]}
-            missing = [c for c in sort_by if c not in schema_cols]
+            missing = [c for c in (sort_by or zorder_by) if c not in schema_cols]
             if missing:
                 raise ValueError(
-                    f"sort_by column(s) {missing} not in table schema"
+                    f"sort/zorder column(s) {missing} not in table schema"
                 )
         # data files an existing delete file applies to — they must
         # rewrite (with deletes applied) so the delete files can retire
@@ -2084,9 +2156,9 @@ class HadoopTable:
             by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
         rewrite: list[DataFile] = []
         wants: dict[tuple, int] = {}
-        if sort_by:
+        if sort_by or zorder_by:
             rewrite = list(snap.data_files)
-            by_part = {}  # sort mode: table-global task allocation
+            by_part = {}  # sort/zorder mode: table-global task allocation
         for part, fs in by_part.items():
             want = max(1, math.ceil(sum(f.bytes for f in fs) / target_file_bytes))
             if len(fs) > want:
@@ -2118,15 +2190,23 @@ class HadoopTable:
         # salted repartition below can key on them (identity fields are
         # already present; _stage recomputes the same values at write)
         df = derive_partition_columns(df, snap.spec)
-        if sort_by:
+        if sort_by or zorder_by:
             n_tasks = max(
                 1,
                 math.ceil(sum(f.bytes for f in rewrite) / target_file_bytes),
             )
-            keys = pcols + [c for c in sort_by if c not in pcols]
+            if zorder_by:
+                df = df.withColumn("_lph_z", _zvalue_column(df, zorder_by))
+                keys = pcols + ["_lph_z"]
+            else:
+                keys = pcols + [c for c in sort_by if c not in pcols]
             df = df.repartitionByRange(
                 n_tasks, *[F.col(c) for c in keys]
             ).sortWithinPartitions(*[F.col(c) for c in keys])
+            if zorder_by:
+                # the projection preserves per-partition row order; the
+                # helper key never reaches the data files
+                df = df.drop("_lph_z")
             staged = self._stage(df, pcols, snap.spec)
             return self._commit_compaction(snap, rewrite, staged, pcols)
         n_tasks = sum(wants.values())

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import subprocess
 import sys
 import threading
@@ -1092,7 +1093,7 @@ def test_compact_sort_by_enables_file_skipping(spark, tmp_path):
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
 
-    with pytest.raises(ValueError, match="sort_by"):
+    with pytest.raises(ValueError, match="sort/zorder"):
         t.compact(sort_by=["nope"])
 
 
@@ -1125,3 +1126,47 @@ def test_compact_sort_by_partitioned_table(spark, tmp_path):
         partition_filter={"sink": "a"}, predicate=[("id", "=", 10)]
     )
     assert len(both) < len(part_only) or len(part_only) == 1
+
+
+def test_compact_zorder_skips_on_both_columns(spark, tmp_path):
+    """compact(zorder_by=[x, y]): after the Z-curve rewrite each file
+    covers a small hyper-rectangle, so a point predicate on EITHER
+    column alone skips at least half the files — the property a
+    lexicographic sort cannot give for the second key. Content
+    unchanged."""
+    loc = str(tmp_path / "tz")
+    t = HadoopTable(spark, loc)
+    # an 80x80 grid of (x, y), shuffled before chunking into 4 appends so
+    # every file initially spans (nearly) the full range of BOTH columns
+    # and min/max skipping can prune nothing pre-rewrite (a plain stride-4
+    # round-robin correlates with x = i % 80 because 4 | 80)
+    pts = [(i % 80, i // 80, "f" * 60) for i in range(6400)]
+    random.Random(7).shuffle(pts)
+    for chunk in range(4):
+        t.append(
+            spark.createDataFrame(pts[chunk::4], "x long, y long, v string")
+        )
+    before_rows = _rows(t.read())
+    n0 = len(t.snapshot().data_files)
+    assert len(t.plan_files(predicate=[("x", "=", 7)])) == n0
+    assert len(t.plan_files(predicate=[("y", "=", 7)])) == n0
+
+    total = sum(f.bytes for f in t.snapshot().files)
+    new = t.compact(target_file_bytes=total // 16 + 1, zorder_by=["x", "y"])
+    assert new is not None and new.operation == "compact"
+    assert _rows(t.read()) == before_rows
+    n = len(new.data_files)
+    assert n >= 8  # the tiny target forced a multi-file z-layout
+    hit_x = t.plan_files(predicate=[("x", "=", 7)])
+    hit_y = t.plan_files(predicate=[("y", "=", 7)])
+    assert len(hit_x) <= n // 2 and len(hit_y) <= n // 2
+    # correctness of the pruned plans
+    assert t.read(predicate=[("x", "=", 7)]).count() == 80
+    assert t.read(predicate=[("y", "=", 7)]).count() == 80
+
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(sort_by=["x"], zorder_by=["x", "y"])
+    with pytest.raises(ValueError, match=">= 2"):
+        t.compact(zorder_by=["x"])
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.compact(zorder_by=["x", "v"])
