@@ -60,6 +60,7 @@ import time
 import re as _re
 import uuid
 from dataclasses import dataclass, field, replace as _dc_replace
+from datetime import datetime, timezone
 from typing import Any
 from urllib.parse import unquote
 
@@ -545,6 +546,154 @@ class HadoopTable:
                 }
             )
         return out
+
+    def inspect(self, name: str, version: int | None = None) -> DataFrame:
+        """Metadata tables (Iceberg's ``table$snapshots`` family) as
+        DataFrames, so table state is queryable with the same engine as
+        table data — join ``files`` against ``partitions`` to find skew,
+        filter ``snapshots`` on operation, aggregate file sizes to decide
+        a compaction, all in SQL. Built driver-side from the manifest
+        (bounded O(files) — the same scope as the inline manifest
+        itself; real Iceberg serves these from the manifest tree).
+
+        ``snapshots``  — one row per snapshot: version, parent,
+                         operation, committed_at, summary map, file/record
+                         counts.
+        ``files``      — one row per live file in the inspected snapshot:
+                         content, path, partition map, records, bytes,
+                         seq, equality_cols, per-column min/max/null-count
+                         maps (stringified bounds, as Iceberg renders
+                         them).
+        ``partitions`` — data files grouped by partition: file/record/
+                         byte totals plus position-delete counts.
+        ``history``    — the snapshot log (oldest first).
+        ``refs``       — named tags and branches with their pinned/current
+                         version.
+
+        ``version`` time-travels ``files``/``partitions`` (the other
+        tables are chain-wide). Returns an EMPTY correctly-typed frame
+        when there is nothing to list — callers can union/join without
+        special-casing a fresh table."""
+        spark = self.spark
+        if name == "snapshots":
+            rows = []
+            for v in self.versions():
+                s = self.snapshot(v)
+                rows.append(
+                    (
+                        v,
+                        s.parent,
+                        s.operation,
+                        datetime.fromtimestamp(
+                            s.timestamp_ms / 1000.0, tz=timezone.utc
+                        ).replace(tzinfo=None),
+                        {k: str(v2) for k, v2 in s.summary.items()},
+                        len(s.data_files),
+                        len(s.delete_files),
+                        s.total_records,
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "version int, parent int, operation string, "
+                "committed_at timestamp_ntz, summary map<string,string>, "
+                "data_files int, delete_files int, records bigint",
+            )
+        if name == "files":
+            snap = (
+                self.snapshot(version)
+                if self.exists()
+                else Snapshot(0, None, "none", 0, "", [])
+            )
+            rows = []
+            for f in snap.files:
+                st = f.stats or {}
+                rows.append(
+                    (
+                        f.content,
+                        f.path,
+                        {k: str(v) for k, v in f.partition.items()},
+                        f.records,
+                        f.bytes,
+                        f.seq,
+                        list(f.equality_cols) if f.equality_cols else None,
+                        {c: str(s["min"]) for c, s in st.items()
+                         if s.get("min") is not None},
+                        {c: str(s["max"]) for c, s in st.items()
+                         if s.get("max") is not None},
+                        {c: int(s["nulls"]) for c, s in st.items()
+                         if s.get("nulls") is not None},
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "content string, path string, partition map<string,string>, "
+                "records bigint, bytes bigint, seq bigint, "
+                "equality_cols array<string>, lower_bounds map<string,string>, "
+                "upper_bounds map<string,string>, "
+                "null_counts map<string,bigint>",
+            )
+        if name == "partitions":
+            snap = (
+                self.snapshot(version)
+                if self.exists()
+                else Snapshot(0, None, "none", 0, "", [])
+            )
+            agg: dict[tuple, list[int]] = {}
+            for f in snap.files:
+                key = tuple(sorted(f.partition.items()))
+                a = agg.setdefault(key, [0, 0, 0, 0])
+                if f.content == "data":
+                    a[0] += 1
+                    a[1] += f.records
+                    a[2] += f.bytes
+                elif f.content == "position-deletes":
+                    a[3] += f.records
+            rows = [
+                (dict(k), a[0], a[1], a[2], a[3])
+                for k, a in sorted(agg.items())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition map<string,string>, data_file_count int, "
+                "record_count bigint, total_bytes bigint, "
+                "position_delete_count bigint",
+            )
+        if name == "history":
+            rows = [
+                (
+                    h["version"],
+                    h["parent"],
+                    h["operation"],
+                    datetime.fromtimestamp(
+                        h["timestamp_ms"] / 1000.0, tz=timezone.utc
+                    ).replace(tzinfo=None),
+                    h["n_files"],
+                    h["n_records"],
+                )
+                for h in self.history()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version int, parent int, operation string, "
+                "made_current_at timestamp_ntz, n_files int, "
+                "n_records bigint",
+            )
+        if name == "refs":
+            rows = [
+                (n, str(r.get("type", "tag")), int(r["version"]))
+                for n, r in sorted(self.refs().items())
+            ] + [
+                (b, "branch", self.branch(b).current_version())
+                for b in self.branches()
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, version int"
+            )
+        raise ValueError(
+            f"unknown metadata table {name!r}; one of snapshots, files, "
+            "partitions, history, refs"
+        )
 
     # ------------------------------------------------------------- refs/tags
     # Named refs, the Iceberg table-metadata ``refs`` map re-expressed for
