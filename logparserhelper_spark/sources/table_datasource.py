@@ -1,0 +1,378 @@
+"""Python DataSource API integration for the snapshot table.
+
+Registers the snapshot-table shim (sinks/hadoop_table.py) as a first-class
+Spark data source, so table reads participate in Catalyst planning instead
+of going through a Python helper method:
+
+    register_table_source(spark)
+    df = spark.read.format("snapshot_table").load("/path/to/table")
+    stream = (spark.readStream.format("snapshot_table")
+                   .option("starting_version", 0).load("/path/to/table"))
+
+Batch reads plan ONE input partition per live data file, so parallelism
+tracks the file layout exactly as a native scan's split planning would,
+and `pushFilters` (Spark 4.1 Python-data-source filter pushdown) routes
+simple comparison predicates into the shim's manifest planning —
+partition pruning + footer min/max skipping happen BEFORE tasks launch,
+and every filter is also returned to Spark for post-scan re-application,
+so pushdown is pruning-only and can never change results. Row-level
+delete files (Iceberg v2 merge-on-read) are applied per task: each data
+file's partition carries the delete files that can apply to it and the
+worker masks dead rows in Arrow before emitting batches — the same
+task-local delete application a real Iceberg reader does.
+
+The streaming reader exposes the table as an incremental source with
+snapshot-version offsets: `latestOffset` is the current table version,
+`partitions(start, end)` are the files ADDED by the append snapshots in
+(start, end], and checkpointed offsets make redelivery exactly-once on
+restart (Structured Streaming replays the same version range; commits to
+the table are atomic so a version range always maps to the same files).
+Non-append snapshots inside a microbatch range fail the stream by
+default — reading "what was added" across an overwrite is ill-defined —
+or are skipped with `.option("skip_non_appends", "true")`, mirroring
+Iceberg's `streaming-skip-overwrite-snapshots`.
+
+Workers read parquet with pyarrow directly (no nested Spark session) —
+identity partition columns are reconstructed from hive directory values
+and cast under the SNAPSHOT schema, never re-inferred, so a string
+partition value "00" stays "00".
+
+Reference parity note: the reference app (MaksimBrezho/logparserhelper)
+reads whole files into a Tkinter widget (gui/app_window.py:37-51); this
+module is the Spark-first replacement surface for table-backed corpora.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+SOURCE_NAME = "snapshot_table"
+
+
+@dataclass
+class TableFilePartition(InputPartition):
+    """One live data file plus the delete files that can apply to it.
+    Everything a worker needs is inline (paths + the snapshot schema
+    json) — workers never touch table metadata, so a concurrent commit
+    cannot tear a running scan."""
+
+    file_path: str  # absolute
+    rel_path: str  # manifest-relative (the key position deletes use)
+    partition: dict[str, str]
+    seq: int
+    schema_json: str
+    pos_delete_paths: list[str] = field(default_factory=list)
+    # (absolute path, equality column tuple, delete seq) — pre-filtered
+    # driver-side to deletes with seq strictly greater than this file's
+    eq_deletes: list[tuple] = field(default_factory=list)
+
+
+def _parse_partition_value(raw: str, dtype) -> Any:
+    """Parse a hive directory value under the SNAPSHOT schema type (the
+    same never-re-infer rule as HadoopTable._read_files)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, T.StringType):
+        return raw
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(raw.replace(" ", "T"))
+    raise ValueError(
+        f"unsupported partition column type {dtype.simpleString()}"
+    )
+
+
+def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
+    """Worker-side scan of one data file: apply merge-on-read deletes,
+    reconstruct identity partition columns, emit Arrow batches under the
+    snapshot schema."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    arrow_schema = to_arrow_schema(schema)
+
+    table = pq.read_table(part.file_path)
+    n = table.num_rows
+
+    # --- merge-on-read masking -----------------------------------------
+    dead: set[int] = set()
+    for dpath in part.pos_delete_paths:
+        dt = pq.read_table(dpath, columns=["file_path", "pos"])
+        fp = dt.column("file_path").to_pylist()
+        pos = dt.column("pos").to_pylist()
+        dead.update(p for f, p in zip(fp, pos) if f == part.rel_path)
+    eq_masks: list[tuple[tuple, set]] = []
+    for dpath, cols, dseq in part.eq_deletes:
+        if dseq <= part.seq:  # defensive; driver already filtered
+            continue
+        dt = pq.read_table(dpath, columns=list(cols))
+        keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+        eq_masks.append((tuple(cols), keys))
+    if dead or eq_masks:
+        eq_cols = sorted({c for cols, _ in eq_masks for c in cols})
+        col_vals = {
+            c: table.column(c).to_pylist()
+            for c in eq_cols
+            if c in table.column_names
+        }
+        keep = []
+        for i in range(n):
+            if i in dead:
+                continue
+            hit = False
+            for cols, keys in eq_masks:
+                row = tuple(col_vals[c][i] for c in cols)
+                if row in keys:
+                    hit = True
+                    break
+            if not hit:
+                keep.append(i)
+        table = table.take(pa.array(keep, type=pa.int64()))
+        n = table.num_rows
+
+    # --- identity partition columns + schema alignment -----------------
+    arrays = []
+    for sf, af in zip(schema.fields, arrow_schema):
+        if sf.name in table.column_names:
+            arrays.append(table.column(sf.name).cast(af.type))
+        elif sf.name in part.partition:
+            v = _parse_partition_value(part.partition[sf.name], sf.dataType)
+            arrays.append(pa.array([v] * n).cast(af.type))
+        else:
+            arrays.append(pa.nulls(n, type=af.type))
+    out = pa.table(arrays, schema=arrow_schema)
+    for batch in out.to_batches(max_chunksize=1 << 16):
+        yield batch
+
+
+def _filters_to_predicate(filters: list[Filter]) -> list[tuple]:
+    """Translate pushed-down Filters into the shim's conjunctive
+    ``(col, op, value)`` predicate terms. Only top-level columns and the
+    operators plan_files prunes on; anything else is ignored (the filter
+    is re-applied by Spark either way — pruning-only pushdown)."""
+    out: list[tuple] = []
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for f in filters:
+        op = ops.get(type(f))
+        if op is not None and len(f.attribute) == 1:
+            v = f.value
+            if isinstance(v, (str, int, float, bool)) or hasattr(
+                v, "isoformat"
+            ):
+                out.append((f.attribute[0], op, v))
+        elif isinstance(f, IsNull) and len(f.attribute) == 1:
+            out.append((f.attribute[0], "is_null", None))
+        elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+            out.append((f.attribute[0], "is_not_null", None))
+    return out
+
+
+def _plan_partitions(
+    location: str, version: int | None, ref: str | None, predicate: list[tuple]
+) -> list[TableFilePartition]:
+    """Driver-side scan planning: manifest pruning via plan_files, then
+    one InputPartition per surviving data file with its applicable
+    delete files attached."""
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    t = HadoopTable(None, location)  # planning is pure metadata
+    if ref is not None:
+        version = t._resolve_ref(ref)
+    snap = t.snapshot(version)
+    files = t.plan_files(version, predicate=predicate or None)
+    root = t.root
+    pos = [
+        f for f in snap.delete_files if f.content == "position-deletes"
+    ]
+    eqs = [
+        f for f in snap.delete_files if f.content == "equality-deletes"
+    ]
+    parts = []
+    for f in files:
+        parts.append(
+            TableFilePartition(
+                file_path=os.path.join(root, f.path),
+                rel_path=f.path,
+                partition=dict(f.partition),
+                seq=f.seq,
+                schema_json=snap.schema_json,
+                pos_delete_paths=[os.path.join(root, d.path) for d in pos],
+                eq_deletes=[
+                    (
+                        os.path.join(root, d.path),
+                        tuple(d.equality_cols or ()),
+                        d.seq,
+                    )
+                    for d in eqs
+                    if d.seq > f.seq
+                ],
+            )
+        )
+    return parts
+
+
+class _SnapshotTableReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.location = options.get("path")
+        if not self.location:
+            raise ValueError("snapshot_table requires .load(<table path>)")
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.ref = options.get("ref")
+        self.predicate: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.predicate = _filters_to_predicate(list(filters))
+        # pruning-only: every filter is re-applied by Spark post-scan
+        return iter(filters)
+
+    def partitions(self) -> list[InputPartition]:
+        return _plan_partitions(
+            self.location, self.version, self.ref, self.predicate
+        )
+
+    def read(self, partition: TableFilePartition) -> Iterator[Any]:
+        return _read_file_batches(partition)
+
+
+class _SnapshotTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.location = options.get("path")
+        if not self.location:
+            raise ValueError("snapshot_table requires .load(<table path>)")
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else None
+        self.skip_non_appends = (
+            str(options.get("skip_non_appends", "false")).lower() == "true"
+        )
+
+    def _table(self):
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        return HadoopTable(None, self.location)
+
+    def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            return {"version": self.starting_version}
+        t = self._table()
+        return {"version": t.current_version() if t.exists() else 0}
+
+    def latestOffset(self) -> dict:
+        t = self._table()
+        return {"version": t.current_version() if t.exists() else 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        t = self._table()
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        base_snaps = []
+        for v in range(lo + 1, hi + 1):
+            s = t.snapshot(v)
+            if s.operation != "append":
+                if self.skip_non_appends:
+                    continue
+                raise ValueError(
+                    f"streaming range contains non-append snapshot v{v} "
+                    f"({s.operation}); restart from the current version or "
+                    "set option skip_non_appends=true"
+                )
+            base_snaps.append(s)
+        parts: list[InputPartition] = []
+        for s in base_snaps:
+            prev = {f.path for f in t.snapshot(s.parent).files} if s.parent else set()
+            for f in s.files:
+                if f.content == "data" and f.path not in prev:
+                    parts.append(
+                        TableFilePartition(
+                            file_path=os.path.join(t.root, f.path),
+                            rel_path=f.path,
+                            partition=dict(f.partition),
+                            seq=f.seq,
+                            schema_json=s.schema_json,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: TableFilePartition) -> Iterator[Any]:
+        return _read_file_batches(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing table-side
+
+
+class SnapshotTableDataSource(DataSource):
+    """``spark.read.format("snapshot_table")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> StructType:
+        import json
+
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        t = HadoopTable(None, self.options.get("path"))
+        v = self.options.get("version")
+        ref = self.options.get("ref")
+        version = int(v) if v is not None else None
+        if ref is not None:
+            version = t._resolve_ref(ref)
+        snap = t.snapshot(version)
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SnapshotTableReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotTableStreamReader(dict(self.options))
+
+
+def register_table_source(spark) -> None:
+    """Idempotently register the data source on a session. Also enables
+    `spark.sql.python.filterPushdown.enabled` — Spark refuses a reader
+    that implements pushFilters while the flag is off (default), and the
+    pruning-only contract here makes it always safe."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotTableDataSource)

@@ -1,0 +1,218 @@
+"""Python DataSource API surface for the snapshot table
+(sources/table_datasource.py): `spark.read.format("snapshot_table")` with
+per-file split planning, pruning-only filter pushdown into the manifest
+planner, task-local merge-on-read delete application, and the
+Structured-Streaming incremental reader with snapshot-version offsets.
+
+Reference parity note: the reference app (MaksimBrezho/logparserhelper)
+reads whole files into a Tkinter widget (gui/app_window.py:37-51); this
+suite pins the Spark-first table-scan replacement surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+from logparserhelper_spark.sources.table_datasource import (
+    _SnapshotTableReader,
+    _SnapshotTableStreamReader,
+    register_table_source,
+)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+@pytest.fixture()
+def registered(spark):
+    register_table_source(spark)
+    return spark
+
+
+def test_batch_read_equals_table_read(registered, tmp_path):
+    """Partitioned table with BOTH delete-file flavors applied: the
+    format() read must be row-for-row the table's own read()."""
+    spark = registered
+    loc = str(tmp_path / "t")
+    t = HadoopTable(spark, loc)
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "v%03d" % i) for i in range(100)],
+        "id long, sink string, v string",
+    )
+    t.append(df, partition_cols=["sink"])
+    # position deletes (MoR DELETE) + equality deletes (MoR upsert)
+    t.delete([("id", "<", 5)], mode="merge-on-read")
+    t.upsert(
+        spark.createDataFrame(
+            [(7, "s1", "NEW7"), (200, "s0", "new")],
+            "id long, sink string, v string",
+        ),
+        key_cols=["id"],
+        mode="merge-on-read",
+    )
+    assert t.snapshot().delete_files  # the MoR path is actually exercised
+
+    got = spark.read.format("snapshot_table").load(loc)
+    assert got.schema == t.read().schema
+    assert _rows(got) == _rows(t.read())
+    # spot semantics: deleted ids gone, upserted row visible once
+    ids = {r[0] for r in got.select("id").collect()}
+    assert 0 not in ids and 200 in ids
+    assert got.filter("id = 7").collect()[0]["v"] == "NEW7"
+
+
+def test_filter_pushdown_prunes_files_before_tasks(registered, tmp_path):
+    """pushFilters routes comparison predicates into plan_files: the
+    reader plans strictly fewer partitions under a selective filter, and
+    results stay exact because every filter is re-applied by Spark."""
+    spark = registered
+    loc = str(tmp_path / "tp")
+    t = HadoopTable(spark, loc)
+    for lo in range(0, 400, 100):  # 4 appends with disjoint id ranges
+        t.append(
+            spark.createDataFrame(
+                [(i, "x" * 10) for i in range(lo, lo + 100)],
+                "id long, v string",
+            )
+        )
+    r = _SnapshotTableReader({"path": loc})
+    n_all = len(r.partitions())
+
+    r2 = _SnapshotTableReader({"path": loc})
+    leftover = list(r2.pushFilters([EqualTo(("id",), 150)]))
+    assert len(leftover) == 1  # pruning-only: Spark re-applies the filter
+    assert len(r2.partitions()) < n_all
+
+    # unsupported filters are ignored by planning, returned to Spark
+    r3 = _SnapshotTableReader({"path": loc})
+    leftover3 = list(
+        r3.pushFilters(
+            [StringContains(("v",), "x"), GreaterThanOrEqual(("id",), 350)]
+        )
+    )
+    assert len(leftover3) == 2
+    assert len(r3.partitions()) < n_all
+
+    # end-to-end correctness through the session read path
+    got = (
+        spark.read.format("snapshot_table")
+        .load(loc)
+        .filter("id >= 350 AND id < 355")
+    )
+    assert sorted(r["id"] for r in got.collect()) == [350, 351, 352, 353, 354]
+
+
+def test_time_travel_options_version_and_ref(registered, tmp_path):
+    spark = registered
+    loc = str(tmp_path / "tt")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.create_tag("first")
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    assert (
+        spark.read.format("snapshot_table").option("version", 1).load(loc)
+    ).count() == 1
+    by_ref = (
+        spark.read.format("snapshot_table").option("ref", "first").load(loc)
+    )
+    assert _rows(by_ref) == [(1, "a")]
+    assert (
+        spark.read.format("snapshot_table").load(loc)
+    ).count() == 2
+
+
+def test_hidden_partitioned_table_roundtrip(registered, tmp_path):
+    """Hidden-partition dirs (derived values NOT in the schema) must not
+    leak into the scan; identity string partitions keep their exact
+    written form ('00' stays a string)."""
+    spark = registered
+    loc = str(tmp_path / "th")
+    t = HadoopTable(spark, loc)
+    df = spark.createDataFrame(
+        [("00", "2024-03-0%d 10:00:00" % (i % 3 + 1), i) for i in range(30)],
+        "key string, ts string, n long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    t.append(df, partition_cols=["key", "day(ts)"])
+
+    got = spark.read.format("snapshot_table").load(loc)
+    assert _rows(got) == _rows(t.read())
+    assert dict(got.dtypes)["key"] == "string"
+    assert {r["key"] for r in got.select("key").collect()} == {"00"}
+
+
+def test_streaming_incremental_versions(registered, tmp_path):
+    """The stream reader tails appends with snapshot-version offsets and
+    a checkpoint: run 1 sees the pre-existing rows (starting_version=0),
+    run 2 after two more appends delivers EXACTLY the delta."""
+    spark = registered
+    loc = str(tmp_path / "ts")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("starting_version", 0)
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    run_once()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
+
+
+def test_streaming_non_append_fails_or_skips(registered, tmp_path):
+    spark = registered
+    loc = str(tmp_path / "tn")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.delete([("id", "=", 1)])  # copy-on-write: an overwrite snapshot
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    hi = t.current_version()
+
+    r = _SnapshotTableStreamReader({"path": loc})
+    with pytest.raises(ValueError, match="non-append"):
+        r.partitions({"version": 0}, {"version": hi})
+
+    r2 = _SnapshotTableStreamReader({"path": loc, "skip_non_appends": "true"})
+    parts = r2.partitions({"version": 0}, {"version": hi})
+    # only the two appends' files are delivered (the delete's rewrite is
+    # skipped); skip-overwrite semantics deliver v1's row even though the
+    # later delete removed it — the same contract as Iceberg's
+    # streaming-skip-overwrite-snapshots
+    from logparserhelper_spark.sources.table_datasource import (
+        _read_file_batches,
+    )
+
+    rows = [
+        row
+        for p in parts
+        for b in _read_file_batches(p)
+        for row in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows) == [1, 2]
