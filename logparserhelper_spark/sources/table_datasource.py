@@ -128,40 +128,36 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
     table = pq.read_table(part.file_path)
     n = table.num_rows
 
-    # --- merge-on-read masking -----------------------------------------
-    dead: set[int] = set()
+    # --- merge-on-read masking (vectorized — no per-row Python loop) ----
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = None  # lazily allocated: zero-cost when no deletes apply
     for dpath in part.pos_delete_paths:
         dt = pq.read_table(dpath, columns=["file_path", "pos"])
-        fp = dt.column("file_path").to_pylist()
-        pos = dt.column("pos").to_pylist()
-        dead.update(p for f, p in zip(fp, pos) if f == part.rel_path)
-    eq_masks: list[tuple[tuple, set]] = []
+        hits = dt.filter(pc.equal(dt.column("file_path"), part.rel_path))
+        if hits.num_rows:
+            if mask is None:
+                mask = np.ones(n, dtype=bool)
+            pos = hits.column("pos").to_numpy(zero_copy_only=False)
+            mask[pos[pos < n].astype(np.int64)] = False
     for dpath, cols, dseq in part.eq_deletes:
         if dseq <= part.seq:  # defensive; driver already filtered
             continue
         dt = pq.read_table(dpath, columns=list(cols))
+        # to_pylist yields None for nulls on BOTH sides (never NaN), so
+        # tuple hashing gives exactly the reader's eqNullSafe semantics
         keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
-        eq_masks.append((tuple(cols), keys))
-    if dead or eq_masks:
-        eq_cols = sorted({c for cols, _ in eq_masks for c in cols})
-        col_vals = {
-            c: table.column(c).to_pylist()
-            for c in eq_cols
-            if c in table.column_names
-        }
-        keep = []
-        for i in range(n):
-            if i in dead:
-                continue
-            hit = False
-            for cols, keys in eq_masks:
-                row = tuple(col_vals[c][i] for c in cols)
-                if row in keys:
-                    hit = True
-                    break
-            if not hit:
-                keep.append(i)
-        table = table.take(pa.array(keep, type=pa.int64()))
+        if not keys:
+            continue
+        vals = zip(*[table.column(c).to_pylist() for c in cols])
+        hit = np.fromiter((t in keys for t in vals), dtype=bool, count=n)
+        if hit.any():
+            if mask is None:
+                mask = np.ones(n, dtype=bool)
+            mask &= ~hit
+    if mask is not None:
+        table = table.filter(pa.array(mask))
         n = table.num_rows
 
     # --- identity partition columns + schema alignment -----------------

@@ -216,3 +216,68 @@ def test_streaming_non_append_fails_or_skips(registered, tmp_path):
         for row in b.to_pylist()
     ]
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_eq_delete_null_keys_match_nullsafe(tmp_path):
+    """Arrow-side equality-delete masking must match the JVM reader's
+    eqNullSafe semantics: a null delete key kills null data keys (and
+    positions out of range are ignored). Pure pyarrow — no session."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.sources.table_datasource import (
+        TableFilePartition,
+        _read_file_batches,
+    )
+
+    data = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table({"k": [1, None, 2, None], "v": ["a", "b", "c", "d"]}),
+        data,
+    )
+    eq = str(tmp_path / "eq.parquet")
+    pq.write_table(pa.table({"k": pa.array([None, 2], type=pa.int64())}), eq)
+    pos = str(tmp_path / "pos.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": ["rel/d.parquet", "other.parquet"],
+                "pos": pa.array([0, 1], type=pa.int64()),
+            }
+        ),
+        pos,
+    )
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    part = TableFilePartition(
+        file_path=data,
+        rel_path="rel/d.parquet",
+        partition={},
+        seq=1,
+        schema_json=schema_json,
+        pos_delete_paths=[pos],
+        eq_deletes=[(eq, ("k",), 2)],
+    )
+    rows = [r for b in _read_file_batches(part) for r in b.to_pylist()]
+    # pos delete kills ordinal 0 (k=1); eq deletes kill k=2 AND both nulls
+    assert rows == []
+    # without the eq deletes, only the position delete applies
+    part2 = TableFilePartition(
+        file_path=data,
+        rel_path="rel/d.parquet",
+        partition={},
+        seq=1,
+        schema_json=schema_json,
+        pos_delete_paths=[pos],
+    )
+    rows2 = [r for b in _read_file_batches(part2) for r in b.to_pylist()]
+    assert [r["v"] for r in rows2] == ["b", "c", "d"]
