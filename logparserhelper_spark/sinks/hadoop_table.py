@@ -845,6 +845,109 @@ class HadoopTable:
             except CommitConflict:
                 continue
 
+    def update_spec(self, partition_cols: list[str]) -> Snapshot:
+        """Partition-spec evolution (Iceberg ``updateSpec``): a
+        metadata-only commit that changes how FUTURE writes are laid
+        out. Existing files keep their old directory layout and stay
+        exactly readable — the scan reconstructs partition values per
+        staging root from what is actually on disk, and the planner
+        prunes each file only on the spec fields its own partition
+        tuple carries (conservative: an old-layout file is simply not
+        prunable on new-spec fields, never wrongly pruned).
+        ``compact()`` migrates old-layout files into the current spec;
+        until then ``replace_partitions`` refuses (matching partition
+        tuples across two layouts is ill-defined — the same guard real
+        Iceberg's dynamic overwrite hits on an evolved spec).
+
+        A new field may reuse a partition-value NAME that live files
+        already carry only if its definition is identical to the
+        current spec's same-named field — otherwise pruning old files
+        under the new definition would be wrong, so it raises (Iceberg
+        tracks per-file spec ids instead; the shim keeps the one
+        invariant that makes name-keyed pruning exact)."""
+        spec = parse_partition_spec(partition_cols)
+        pcols = [f.name for f in spec]
+        cur = self.snapshot()
+        schema_cols = {
+            f["name"] for f in json.loads(cur.schema_json)["fields"]
+        }
+        for f in spec:
+            if f.source not in schema_cols:
+                raise ValueError(
+                    f"spec field {f.name} sources unknown column "
+                    f"{f.source!r}"
+                )
+        while True:
+            parent = self.snapshot()
+            live_keys = {
+                k for df_ in parent.data_files for k in df_.partition
+            }
+            # every definition each field name ever had, from the
+            # RETAINED snapshot chain (O(versions) metadata reads; this
+            # op is rare). A live partition key is re-usable only if its
+            # name maps to exactly one historical definition and the new
+            # field matches it — otherwise name-keyed pruning of the old
+            # files under the new definition could be wrong.
+            hist: dict[str, set[str]] = {}
+            for v in self.versions():
+                for g in self.snapshot(v).spec:
+                    hist.setdefault(g.name, set()).add(
+                        json.dumps(spec_to_json([g]), sort_keys=True)
+                    )
+            for f in spec:
+                if f.name in live_keys:
+                    defs = hist.get(f.name, set())
+                    if defs != {json.dumps(spec_to_json([f]), sort_keys=True)}:
+                        raise ValueError(
+                            f"spec field {f.name} collides with a partition "
+                            "value existing files carry under a different "
+                            "(or expired) definition; pick a fresh name or "
+                            "compact() first"
+                        )
+            if spec_to_json(parent.spec) == spec_to_json(spec) and (
+                parent.partition_cols == pcols
+            ):
+                return parent  # idempotent
+            new_version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "added_files": 0,
+                    "kept_files": len(parent.files),
+                    "added_records": 0,
+                    "new_spec": ",".join(partition_cols) or "(unpartitioned)",
+                }
+            )
+            new = Snapshot(
+                version=new_version,
+                parent=parent.version,
+                operation="update-spec",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=pcols,
+                partition_spec=spec,
+                files=list(parent.files),
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "update-spec",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(spec),
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, new_version)
+                return new
+            except CommitConflict:
+                continue
+
     # ------------------------------------------------------------- branches
     def branch(self, name: str) -> "HadoopTable":
         """A view of this table whose reads and writes use the branch's
@@ -1210,12 +1313,29 @@ class HadoopTable:
                 or spec_to_json(parent.spec) != spec_json
             ):
                 raise ValueError(
-                    f"partitioning is fixed at table creation: table has "
+                    f"partitioning is fixed at table creation unless "
+                    f"evolved via update_spec: table has "
                     f"{spec_to_json(parent.spec)}, write used {spec_json}"
                 )
             if op == "append":
                 keep = parent.files if parent else []
             elif op == "replace":
+                # spec evolution guard: partition-tuple matching across
+                # two layouts is ill-defined — an old-layout file could
+                # logically overlap an incoming partition without either
+                # drop rule seeing it. Refuse until compact() migrates.
+                names = {f.name for f in spec}
+                legacy = [
+                    f
+                    for f in (parent.files if parent else [])
+                    if f.content == "data" and set(f.partition) != names
+                ]
+                if legacy:
+                    raise ValueError(
+                        f"replace on evolved partition spec: "
+                        f"{len(legacy)} live file(s) use a previous "
+                        "layout; run compact() to migrate them first"
+                    )
                 # delete files have partition={} so neither drop rule can
                 # ever match them: a partition replace keeps every delete
                 # file (equality deletes still apply to kept older data;
@@ -1458,7 +1578,9 @@ class HadoopTable:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         for v in range(from_version + 1, to_v + 1):
             op = self.snapshot(v).operation
-            if op != "append":
+            # update-spec is metadata-only (file set unchanged): an
+            # append range spanning it still has well-defined added rows
+            if op not in ("append", "update-spec"):
                 raise ValueError(
                     f"incremental scan range contains a non-append snapshot "
                     f"v{v} ({op}); read the full snapshot instead"
@@ -1560,8 +1682,8 @@ class HadoopTable:
                         tag(self._read_files(cur, added_data), "insert", cur)
                     )
                 continue
-            if cur.operation == "compact":
-                continue
+            if cur.operation in ("compact", "update-spec"):
+                continue  # data-preserving: zero row-level changes
             removed_data = [
                 f for f in prev.data_files if f.path not in cur_paths
             ]
@@ -1683,10 +1805,18 @@ class HadoopTable:
         if not files:
             return self.spark.createDataFrame([], out_schema)
         by_root: dict[str, list[str]] = {}
+        # spec evolution: whether a root needs hive partition-dir
+        # reconstruction is decided from ITS files' manifest partition
+        # tuples, not from the current spec — an old-layout root keeps
+        # its dirs readable after the table evolved away from them
+        root_partitioned: dict[str, bool] = {}
         for f in files:
             parts = f.path.split("/")
             root = os.path.join(self.root, *parts[:2])  # data/<uuid>
             by_root.setdefault(root, []).append(os.path.join(self.root, f.path))
+            root_partitioned[root] = root_partitioned.get(root, False) or bool(
+                f.partition
+            )
         if guard and len(by_root) > self.max_union_roots:
             import warnings
 
@@ -1703,7 +1833,7 @@ class HadoopTable:
         prefix = self.root.rstrip("/") + "/"
         for root, paths in sorted(by_root.items()):
             reader = self.spark.read.schema(schema)
-            if snap.partition_cols:
+            if root_partitioned[root]:
                 reader = reader.option("basePath", root)
             part = reader.parquet(*sorted(paths))
             if with_meta:
@@ -1719,6 +1849,11 @@ class HadoopTable:
                     F.replace(norm, F.lit(prefix), F.lit("")).alias("_lph_file"),
                     F.col("_metadata.row_index").alias("_lph_pos"),
                 )
+            else:
+                # project away hidden-partition dir columns PER ROOT:
+                # after spec evolution, roots carry different derived
+                # columns and the union must see one uniform shape
+                part = part.select(*[F.col(f.name) for f in schema.fields])
             out = part if out is None else out.unionByName(part)
         return out.select(*[f.name for f in out_schema.fields])
 
@@ -2469,6 +2604,13 @@ class HadoopTable:
                     affected.update(
                         d.path for d in snap.data_files if d.seq < f.seq
                     )
+        # spec evolution: a file whose partition tuple does not match the
+        # CURRENT spec's field names was written under a previous layout —
+        # compact() is the migration path, so it always rewrites
+        spec_names = {f.name for f in snap.spec}
+        affected.update(
+            f.path for f in snap.data_files if set(f.partition) != spec_names
+        )
         by_part: dict[tuple, list[DataFile]] = {}
         for f in snap.data_files:
             by_part.setdefault(tuple(sorted(f.partition.items())), []).append(f)
@@ -2525,6 +2667,22 @@ class HadoopTable:
                 # the projection preserves per-partition row order; the
                 # helper key never reaches the data files
                 df = df.drop("_lph_z")
+            staged = self._stage(df, pcols, snap.spec)
+            return self._commit_compaction(snap, rewrite, staged, pcols)
+        if any(set(f.partition) != spec_names for f in rewrite):
+            # spec-evolution migration: old-layout rows re-derive their
+            # partition values under the CURRENT spec, so the
+            # per-old-partition wants table below cannot key them —
+            # allocate table-globally over the rewrite set instead
+            # (range partitioner samples the new keys, skew splits)
+            n_tasks = max(
+                1,
+                math.ceil(sum(f.bytes for f in rewrite) / target_file_bytes),
+            )
+            if pcols:
+                df = df.repartitionByRange(n_tasks, *[F.col(c) for c in pcols])
+            else:
+                df = df.repartition(n_tasks)
             staged = self._stage(df, pcols, snap.spec)
             return self._commit_compaction(snap, rewrite, staged, pcols)
         n_tasks = sum(wants.values())

@@ -305,6 +305,8 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         base_snaps = []
         for v in range(lo + 1, hi + 1):
             s = t.snapshot(v)
+            if s.operation == "update-spec":
+                continue  # metadata-only: no files added, always safe
             if s.operation != "append":
                 if self.skip_non_appends:
                     continue
