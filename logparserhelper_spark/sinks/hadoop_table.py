@@ -126,6 +126,149 @@ def _local_path(location: str) -> str:
 _STATS_MAX_STR = 64  # longer string bounds are dropped, not truncated
 _PRED_OPS = {"=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null"}
 
+# ------------------------------------------------------------ field IDs
+# Schema evolution beyond column ADDS needs a name-independent column
+# identity — Iceberg's field IDs. The shim stores the id assignment as two
+# extra top-level keys inside schema_json ("lph-field-ids": name -> id,
+# "lph-last-field-id": high-water mark); StructType.fromJson ignores keys
+# it does not know, so every existing schema_json consumer keeps working
+# untouched. Each data file additionally records its PHYSICAL columns
+# (name/type/id as written) in the manifest, so renames, drops, and type
+# widenings are metadata-only commits: the read path projects every file
+# from its physical shape to the current schema by ID (rename -> alias,
+# widen -> cast, dropped -> omitted, later-added -> null), and a column
+# re-added after a drop gets a FRESH id so pre-drop values can never
+# resurrect under the new column — the Iceberg v2 semantics exactly.
+
+# type widenings whose casts are lossless for every value (the Iceberg
+# allowed set for primitive promotions, by Spark typeName)
+_WIDEN_OK = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _schema_ids(schema_json: str) -> tuple[dict[str, int], int]:
+    """(name -> field id, last assigned id) for a snapshot schema. A
+    legacy schema_json (written before field ids existed) synthesizes
+    POSITIONAL ids — stable across legacy snapshots because the only
+    evolution legacy metadata can contain is additive (appended fields
+    keep every earlier position); the first DDL commit persists them."""
+    d = json.loads(schema_json)
+    raw = d.get("lph-field-ids")
+    if raw:
+        ids = {k: int(v) for k, v in raw.items()}
+        return ids, int(d.get("lph-last-field-id", max(ids.values())))
+    names = [f["name"] for f in d["fields"]]
+    return {n: i + 1 for i, n in enumerate(names)}, len(names)
+
+
+def _ids_json(struct_json_value: dict, ids: dict[str, int], last_id: int) -> str:
+    """Serialize a StructType jsonValue plus the field-id keys."""
+    out = dict(struct_json_value)
+    out["lph-field-ids"] = {k: int(v) for k, v in ids.items()}
+    out["lph-last-field-id"] = int(last_id)
+    return json.dumps(out)
+
+
+def _df_columns(schema) -> list[dict[str, Any]]:
+    """Physical-column manifest entries for a staged DataFrame schema:
+    [{"name", "type" (Spark type jsonValue), "id" (filled at commit)}].
+    Recorded per data file so the file stays readable under every FUTURE
+    schema — the mapping key is the id, never the name."""
+    return [
+        {"name": f.name, "type": f.dataType.jsonValue(), "id": None}
+        for f in schema.fields
+    ]
+
+
+def _columns_struct(columns: list[dict[str, Any]]):
+    """StructType of a file's recorded physical columns (read schema for
+    its staging root — names and types exactly as written)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField.fromJson(
+                {
+                    "name": c["name"],
+                    "type": c["type"],
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+            for c in columns
+        ]
+    )
+
+
+def _physical_name(f: "DataFile", col: str, cur_ids: dict[str, int]) -> str | None:
+    """The physical (as-written) column name inside data file ``f`` for
+    the CURRENT-schema column ``col`` — None when the file predates the
+    column (every row reads as null). Legacy files (no column manifest)
+    map by name: they can only exist on tables that never ran a DDL op
+    (the DDL guards refuse while un-annotated live files exist)."""
+    if f.columns is None:
+        return col
+    fid = cur_ids.get(col)
+    for c in f.columns:
+        if c.get("id") == fid and fid is not None:
+            return c["name"]
+    return None
+
+
+def _rename_map(f: "DataFile", cur_ids: dict[str, int]) -> dict[str, str]:
+    """Physical -> current column names for one annotated data file (the
+    worker-side projection the Python data source applies before
+    name-based alignment). Empty for legacy files (name IS the mapping).
+    Stale physical columns — dropped, or shadowed by a re-added name
+    under a fresh id — map to a ``__lph_stale_<id>`` sentinel so a
+    name-based lookup can never resurrect their values."""
+    if f.columns is None:
+        return {}
+    name_by_id = {fid: n for n, fid in cur_ids.items()}
+    out: dict[str, str] = {}
+    for i, c in enumerate(f.columns):
+        cur = name_by_id.get(c.get("id")) if c.get("id") is not None else None
+        if cur is None:
+            # derived partition dir columns are not in the parquet file,
+            # so a sentinel for them is harmless; for stale data columns
+            # it is the point
+            out[c["name"]] = f"__lph_stale_{i}"
+        elif cur != c["name"]:
+            out[c["name"]] = cur
+    return out
+
+
+def _file_pred_match(
+    f: "DataFile", pred: list[tuple], cur_ids: dict[str, int]
+) -> bool:
+    """Metrics-based skipping under schema evolution: translate each
+    predicate term's CURRENT column name to the file's physical name by
+    field id before consulting the footer stats. A file that predates
+    the column holds only nulls for it — provably unmatchable for every
+    comparison op and ``is_not_null`` (skip the file), provably satisfied
+    for ``is_null`` (term unconstraining)."""
+    terms = []
+    for term in pred:  # null-check terms are 2-tuples (no value)
+        col, op = term[0], term[1]
+        if cur_ids.get(col) is None:
+            # not a schema column at all (unknown name, or a derived
+            # partition value): no id to translate through — keep the
+            # term name-based, where missing stats keep the file
+            terms.append(tuple(term))
+            continue
+        pn = _physical_name(f, col, cur_ids)
+        if pn is None:
+            # schema column the file PREDATES: every row reads as null
+            if op == "is_null":
+                continue
+            return False
+        terms.append((pn, op) + tuple(term[2:]))
+    return _file_may_match(f, terms)
+
 
 def _stat_value(v: Any) -> tuple[bool, Any]:
     """Canonical JSON-storable, order-preserving encoding for a footer
@@ -368,6 +511,10 @@ class DataFile:
     content: str = "data"
     seq: int = 0
     equality_cols: list[str] | None = None
+    # physical column manifest ({"name","type","id"} per column as
+    # WRITTEN, ids assigned at commit) — the schema-evolution anchor.
+    # None = legacy entry (pre-field-id metadata): readable by name only.
+    columns: list[dict[str, Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -383,6 +530,8 @@ class DataFile:
             d["content"] = self.content
         if self.equality_cols is not None:
             d["equality_cols"] = list(self.equality_cols)
+        if self.columns is not None:
+            d["columns"] = self.columns
         return d
 
     @staticmethod
@@ -393,6 +542,7 @@ class DataFile:
             content=d.get("content", "data"),
             seq=d.get("seq", 0),
             equality_cols=d.get("equality_cols"),
+            columns=d.get("columns"),
         )
 
 
@@ -948,6 +1098,231 @@ class HadoopTable:
             except CommitConflict:
                 continue
 
+    # ------------------------------------------------------ schema evolution
+    # Full Iceberg-style schema evolution via field ids: each op is a
+    # METADATA-ONLY commit (operation "evolve-schema", file set carried by
+    # reference — zero data movement at any table size). Existing files
+    # stay readable forever through their physical-column manifests; time
+    # travel to a pre-evolution snapshot reads the old shape exactly.
+
+    def _parse_type(self, t):
+        from pyspark.sql import types as T
+
+        if isinstance(t, T.DataType):
+            return t
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(str(t))
+
+    def _ddl_guard(
+        self, parent: Snapshot, col: str | None, op_name: str
+    ) -> None:
+        """Shared preconditions for schema DDL against the current parent.
+        ``col`` (when given) is the column being renamed/dropped/widened:
+        it must not anchor the partition layout (identity partition
+        column, hidden-transform source, or any live file's partition dir
+        name) and must not be an equality-delete key of a live delete
+        file (the delete parquet stores keys by that name). Every live
+        data file must carry a physical-column manifest — legacy files
+        written before field ids are readable by NAME only, so evolving
+        names/types over them would corrupt reads; compact() rewrites
+        them (annotated) and is the migration path."""
+        legacy = [f for f in parent.data_files if f.columns is None]
+        if legacy:
+            raise ValueError(
+                f"{op_name}: {len(legacy)} live data file(s) predate "
+                "field-id manifests and are readable by name only; run "
+                "compact() to migrate them first"
+            )
+        if col is None:
+            return
+        protected = (
+            set(parent.partition_cols)
+            | {f.source for f in parent.spec}
+            | {f.name for f in parent.spec}
+        )
+        if col in protected:
+            raise ValueError(
+                f"{op_name}: column {col!r} anchors the partition layout "
+                "(identity partition column or hidden-transform source); "
+                "evolve the spec away from it first (update_spec)"
+            )
+        eq_keys = {
+            c
+            for f in parent.files
+            if f.content == "equality-deletes"
+            for c in (f.equality_cols or ())
+        }
+        if col in eq_keys:
+            raise ValueError(
+                f"{op_name}: column {col!r} is an equality-delete key of "
+                "a live delete file; compact() to materialize the deletes "
+                "first"
+            )
+
+    def _commit_schema(self, mutate, note: str) -> Snapshot:
+        """Optimistic metadata-only schema commit: ``mutate(parent,
+        fields, ids, last_id) -> (fields, ids, last_id)`` transforms the
+        schema parts (it re-runs against the CURRENT parent on every
+        retry, so its guards have no check-then-act window); the file
+        list is carried by reference with ids re-stamped nowhere — data
+        files keep their physical manifests, which is the whole point."""
+        while True:
+            parent = self.snapshot()
+            d = json.loads(parent.schema_json)
+            ids, last = _schema_ids(parent.schema_json)
+            fields = [dict(f) for f in d["fields"]]
+            fields, ids, last = mutate(parent, fields, ids, last)
+            schema_json = _ids_json(
+                {"type": "struct", "fields": fields}, ids, last
+            )
+            version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "added_files": 0,
+                    "kept_files": len(parent.files),
+                    "added_records": 0,
+                    "schema_change": note,
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="evolve-schema",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=schema_json,
+                partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
+                files=list(parent.files),
+                summary=summary,
+            )
+            summary["total_records"] = new.total_records
+            payload = {
+                "format_version": 1,
+                "version": new.version,
+                "parent": new.parent,
+                "operation": "evolve-schema",
+                "timestamp_ms": new.timestamp_ms,
+                "schema_json": new.schema_json,
+                "partition_cols": new.partition_cols,
+                "partition_spec": spec_to_json(new.spec),
+                "summary": summary,
+                "files": [e.to_json() for e in new.files],
+            }
+            try:
+                self._promote(payload, version)
+                return new
+            except CommitConflict:
+                continue
+
+    def add_column(self, name: str, dtype) -> Snapshot:
+        """``ALTER TABLE ADD COLUMN`` — nullable, reads as null from
+        every existing file. A name previously dropped gets a FRESH
+        field id, so the dropped column's old values never resurface."""
+        dt = self._parse_type(dtype)
+
+        def mutate(parent, fields, ids, last):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"add_column: column {name!r} exists")
+            live_dirs = {
+                k for f in parent.data_files for k in f.partition
+            }
+            if name in live_dirs or name in {
+                f.name for f in parent.spec
+            }:
+                raise ValueError(
+                    f"add_column: {name!r} collides with a partition "
+                    "value column live files carry"
+                )
+            fields.append(
+                {
+                    "name": name,
+                    "type": dt.jsonValue(),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+            last += 1
+            ids[name] = last
+            return fields, ids, last
+
+        return self._commit_schema(mutate, f"add {name}")
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """``ALTER TABLE RENAME COLUMN`` — metadata-only; every file's
+        data is found under the new name via its field id."""
+        if not new or "/" in new or "=" in new:
+            raise ValueError(f"rename_column: invalid name {new!r}")
+
+        def mutate(parent, fields, ids, last):
+            self._ddl_guard(parent, old, "rename_column")
+            if not any(f["name"] == old for f in fields):
+                raise ValueError(f"rename_column: no column {old!r}")
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"rename_column: column {new!r} exists")
+            live_dirs = {
+                k for f in parent.data_files for k in f.partition
+            }
+            if new in live_dirs or new in {f.name for f in parent.spec}:
+                raise ValueError(
+                    f"rename_column: {new!r} collides with a partition "
+                    "value column live files carry"
+                )
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            ids[new] = ids.pop(old)
+            return fields, ids, last
+
+        return self._commit_schema(mutate, f"rename {old} -> {new}")
+
+    def drop_column(self, name: str) -> Snapshot:
+        """``ALTER TABLE DROP COLUMN`` — metadata-only; the bytes stay in
+        the files (time travel still reads them) but no current-schema
+        read can see them."""
+
+        def mutate(parent, fields, ids, last):
+            self._ddl_guard(parent, name, "drop_column")
+            if not any(f["name"] == name for f in fields):
+                raise ValueError(f"drop_column: no column {name!r}")
+            if len(fields) == 1:
+                raise ValueError("drop_column: cannot drop the last column")
+            fields = [f for f in fields if f["name"] != name]
+            ids.pop(name, None)
+            return fields, ids, last  # last id NEVER reused
+
+        return self._commit_schema(mutate, f"drop {name}")
+
+    def widen_column(self, name: str, dtype) -> Snapshot:
+        """``ALTER TABLE ALTER COLUMN TYPE`` for the lossless promotions
+        Iceberg allows (int -> long family, float -> double). Old files
+        keep their narrow physical type; the read path casts by field id.
+        Writes must use the widened type from then on (the additive rule
+        still refuses mismatched writes)."""
+        dt = self._parse_type(dtype)
+
+        def mutate(parent, fields, ids, last):
+            self._ddl_guard(parent, name, "widen_column")
+            from pyspark.sql.types import StructField
+
+            cur = next((f for f in fields if f["name"] == name), None)
+            if cur is None:
+                raise ValueError(f"widen_column: no column {name!r}")
+            old_dt = StructField.fromJson(
+                {**cur, "nullable": True, "metadata": {}}
+            ).dataType
+            if (old_dt.typeName(), dt.typeName()) not in _WIDEN_OK:
+                raise ValueError(
+                    f"widen_column: {old_dt.simpleString()} -> "
+                    f"{dt.simpleString()} is not a lossless promotion "
+                    f"(allowed: int family upward, float -> double)"
+                )
+            cur["type"] = dt.jsonValue()
+            return fields, ids, last
+
+        return self._commit_schema(mutate, f"widen {name}")
+
     # ------------------------------------------------------------- branches
     def branch(self, name: str) -> "HadoopTable":
         """A view of this table whose reads and writes use the branch's
@@ -1080,6 +1455,11 @@ class HadoopTable:
         if spec:
             assert partition_cols == [f.name for f in spec]
             df = derive_partition_columns(df, spec)
+        # physical-column manifest: the full staged shape (in-file columns
+        # AND partition dir columns — the read path feeds both back as one
+        # reader schema per staging root); ids are stamped at commit time
+        # once the child schema is known
+        phys_columns = _df_columns(df.schema)
         commit_id = uuid.uuid4().hex[:16]
         rel_dir = os.path.join("data", commit_id)
         stage_abs = os.path.join(self.root, rel_dir)
@@ -1110,6 +1490,7 @@ class HadoopTable:
                         records=pf.metadata.num_rows,
                         bytes=os.path.getsize(abs_p),
                         stats=_collect_stats(pf, self.stats_columns),
+                        columns=[dict(c) for c in phys_columns],
                     )
                 )
         _fault("after-stage")
@@ -1157,8 +1538,10 @@ class HadoopTable:
         if parent is None or op == "overwrite_all":
             # a full overwrite keeps NO old files, so there is nothing the
             # old schema must stay readable for — the write's own schema
-            # wins outright (the one supported way to retype a column)
-            return new_schema.json()
+            # wins outright (the one supported way to retype a column).
+            # Field ids restart: no old file survives to care.
+            ids = {f.name: i + 1 for i, f in enumerate(new_schema.fields)}
+            return _ids_json(new_schema.jsonValue(), ids, len(ids))
         old = StructType.fromJson(json.loads(parent.schema_json))
         if old == new_schema:
             return parent.schema_json
@@ -1169,7 +1552,8 @@ class HadoopTable:
                 raise ValueError(
                     f"schema evolution cannot change column {name!r}: "
                     f"{old_by[name].dataType.simpleString()} -> "
-                    f"{f.dataType.simpleString()}"
+                    f"{f.dataType.simpleString()} "
+                    f"(use widen_column for a lossless promotion)"
                 )
         merged = [
             StructField(
@@ -1181,12 +1565,60 @@ class HadoopTable:
             )
             for f in old.fields
         ]
-        merged += [
+        added = [
             StructField(f.name, f.dataType, nullable=True)
             for f in new_schema.fields
             if f.name not in old_by
         ]
-        return StructType(merged).json()
+        # existing columns keep their field ids; appended columns get
+        # fresh ones past the parent's high-water mark
+        ids, last = _schema_ids(parent.schema_json)
+        for f in added:
+            last += 1
+            ids[f.name] = last
+        return _ids_json(
+            StructType(merged + added).jsonValue(), ids, last
+        )
+
+    def _annotate_ids(
+        self,
+        staged: list[DataFile],
+        schema_json: str,
+        spec: list[PartitionField],
+        conflict: bool = False,
+    ) -> list[DataFile]:
+        """Stamp field ids onto staged entries' physical-column manifests
+        from the CHILD schema's name -> id map. Hidden-partitioning
+        derived columns (dir values, not table fields) legitimately have
+        no id. Any OTHER unmapped name means the schema changed between
+        the staging scan and this commit (a concurrent rename/drop):
+        with ``conflict=True`` that raises :class:`CompactionConflict`
+        (rewrite paths must re-scan); otherwise it is impossible by
+        construction and asserts."""
+        ids, _ = _schema_ids(schema_json)
+        derived = {f.name for f in spec if f.transform != "identity"}
+        out = []
+        for e in staged:
+            if e.content != "data" or e.columns is None:
+                out.append(e)
+                continue
+            cols = []
+            for c in e.columns:
+                fid = ids.get(c["name"])
+                if fid is None and c["name"] not in derived:
+                    if conflict:
+                        raise CompactionConflict(
+                            f"column {c['name']!r} was renamed or dropped "
+                            "by a concurrent schema commit; re-run the "
+                            "operation against the new schema"
+                        )
+                    raise AssertionError(
+                        f"staged column {c['name']!r} missing from child "
+                        "schema"
+                    )
+                cols.append({**c, "id": fid})
+            out.append(_dc_replace(e, columns=cols))
+        return out
 
     def _inherited_summary(
         self, parent: "Snapshot | None", summary_extra: dict[str, Any] | None
@@ -1375,9 +1807,15 @@ class HadoopTable:
                 if dead:
                     keep = self._drop_dead_eq_deletes(keep)
             version = (parent.version + 1) if parent else 1
+            child_schema = self._evolve_schema(parent, df, op)
             # staged files inherit the child commit's data sequence number
-            # (recomputed per optimistic retry — the version moves)
-            staged = [_dc_replace(e, seq=version) for e in staged]
+            # and their physical-column ids (both recomputed per optimistic
+            # retry — the version moves and the parent schema may have)
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged],
+                child_schema,
+                spec,
+            )
             # summary_extra is applied exactly once (inside
             # _inherited_summary); the computed counters land LAST so a
             # caller key can never clobber added_files/kept_files/
@@ -1395,7 +1833,7 @@ class HadoopTable:
                 parent=parent.version if parent else None,
                 operation=op,
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=self._evolve_schema(parent, df, op),
+                schema_json=child_schema,
                 partition_cols=partition_cols,
                 files=list(keep) + list(staged),
                 summary=summary,
@@ -1524,11 +1962,12 @@ class HadoopTable:
         if predicate:
             pred = _check_predicate(predicate)
             spec = snap.spec
+            cur_ids, _ = _schema_ids(snap.schema_json)
             files = [
                 f
                 for f in files
                 if partition_may_match(f.partition, spec, pred)
-                and _file_may_match(f, pred)
+                and _file_pred_match(f, pred, cur_ids)
             ]
         return files
 
@@ -1578,9 +2017,10 @@ class HadoopTable:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         for v in range(from_version + 1, to_v + 1):
             op = self.snapshot(v).operation
-            # update-spec is metadata-only (file set unchanged): an
-            # append range spanning it still has well-defined added rows
-            if op not in ("append", "update-spec"):
+            # update-spec / evolve-schema are metadata-only (file set
+            # unchanged): an append range spanning them still has
+            # well-defined added rows
+            if op not in ("append", "update-spec", "evolve-schema"):
                 raise ValueError(
                     f"incremental scan range contains a non-append snapshot "
                     f"v{v} ({op}); read the full snapshot instead"
@@ -1637,19 +2077,26 @@ class HadoopTable:
         out_snap = self.snapshot(to_v) if to_v else None
         pieces: list[DataFrame] = []
 
+        out_ids, _ = _schema_ids(out_snap.schema_json) if out_snap else ({}, 0)
+
         def tag(df: DataFrame, ctype: str, s: Snapshot) -> DataFrame:
-            # align to the OUT schema (additive evolution: older rows
-            # null-fill later columns), then stamp the meta columns
+            # align to the OUT schema BY FIELD ID (schema evolution:
+            # rows scanned under snapshot s carry s's column names; a
+            # column renamed after s must still land in the out-schema
+            # name, an added one null-fills, a dropped one is omitted)
             out_fields = json.loads(out_snap.schema_json)["fields"]
+            s_ids, _ = _schema_ids(s.schema_json)
+            name_at_s = {fid: n for n, fid in s_ids.items()}
             have = set(df.columns)
             cols = []
             for fld in out_fields:
-                if fld["name"] in have:
-                    cols.append(F.col(fld["name"]))
-                else:
-                    from pyspark.sql.types import StructField
+                src = name_at_s.get(out_ids.get(fld["name"]))
+                from pyspark.sql.types import StructField
 
-                    dt = StructField.fromJson(fld).dataType
+                dt = StructField.fromJson(fld).dataType
+                if src is not None and src in have:
+                    cols.append(F.col(src).cast(dt).alias(fld["name"]))
+                else:
                     cols.append(F.lit(None).cast(dt).alias(fld["name"]))
             return df.select(
                 *cols,
@@ -1682,7 +2129,7 @@ class HadoopTable:
                         tag(self._read_files(cur, added_data), "insert", cur)
                     )
                 continue
-            if cur.operation in ("compact", "update-spec"):
+            if cur.operation in ("compact", "update-spec", "evolve-schema"):
                 continue  # data-preserving: zero row-level changes
             removed_data = [
                 f for f in prev.data_files if f.path not in cur_paths
@@ -1810,6 +2257,9 @@ class HadoopTable:
         # tuples, not from the current spec — an old-layout root keeps
         # its dirs readable after the table evolved away from them
         root_partitioned: dict[str, bool] = {}
+        # schema evolution: each root's PHYSICAL column manifest (one
+        # _stage call per root, so every file in it shares one shape)
+        root_columns: dict[str, list[dict[str, Any]] | None] = {}
         for f in files:
             parts = f.path.split("/")
             root = os.path.join(self.root, *parts[:2])  # data/<uuid>
@@ -1817,6 +2267,31 @@ class HadoopTable:
             root_partitioned[root] = root_partitioned.get(root, False) or bool(
                 f.partition
             )
+            if root not in root_columns:
+                root_columns[root] = f.columns
+        cur_ids, _ = _schema_ids(snap.schema_json)
+
+        def _trivial(ann: list[dict[str, Any]] | None) -> bool:
+            # True when reading this root by NAME under the current schema
+            # is exactly right (legacy entries, or annotated files whose
+            # physical name/type already match the current field for every
+            # current id) — keeps pre-evolution scan plans byte-identical
+            if ann is None:
+                return True
+            by_id = {c.get("id"): c for c in ann if c.get("id") is not None}
+            for sf in schema.fields:
+                c = by_id.get(cur_ids.get(sf.name))
+                if c is None:
+                    # file predates the column: the name-based reader
+                    # null-fills it — identical to the id projection —
+                    # UNLESS a stale same-named physical column exists
+                    # (dropped + re-added id): that must not be read
+                    if any(x["name"] == sf.name for x in ann):
+                        return False
+                    continue
+                if c["name"] != sf.name or c["type"] != sf.dataType.jsonValue():
+                    return False
+            return True
         if guard and len(by_root) > self.max_union_roots:
             import warnings
 
@@ -1832,7 +2307,34 @@ class HadoopTable:
         out: DataFrame | None = None
         prefix = self.root.rstrip("/") + "/"
         for root, paths in sorted(by_root.items()):
-            reader = self.spark.read.schema(schema)
+            ann = root_columns[root]
+            if _trivial(ann):
+                reader = self.spark.read.schema(schema)
+                sel = [F.col(f.name) for f in schema.fields]
+            else:
+                # schema-evolution projection: read the root under its
+                # PHYSICAL shape, then map physical -> current by field
+                # id (rename -> alias, widen -> lossless cast, dropped ->
+                # omitted, later-added -> typed null). A re-added name's
+                # old values can never surface: the old physical column's
+                # id is not the current field's id.
+                reader = self.spark.read.schema(_columns_struct(ann))
+                by_id = {
+                    c["id"]: c["name"]
+                    for c in ann
+                    if c.get("id") is not None
+                }
+                sel = []
+                for f in schema.fields:
+                    pn = by_id.get(cur_ids.get(f.name))
+                    if pn is None:
+                        sel.append(
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                    else:
+                        sel.append(
+                            F.col(pn).cast(f.dataType).alias(f.name)
+                        )
             if root_partitioned[root]:
                 reader = reader.option("basePath", root)
             part = reader.parquet(*sorted(paths))
@@ -1845,15 +2347,16 @@ class HadoopTable:
                     F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
                 )
                 part = part.select(
-                    *[F.col(f.name) for f in schema.fields],
+                    *sel,
                     F.replace(norm, F.lit(prefix), F.lit("")).alias("_lph_file"),
                     F.col("_metadata.row_index").alias("_lph_pos"),
                 )
             else:
-                # project away hidden-partition dir columns PER ROOT:
-                # after spec evolution, roots carry different derived
-                # columns and the union must see one uniform shape
-                part = part.select(*[F.col(f.name) for f in schema.fields])
+                # project away hidden-partition dir columns PER ROOT
+                # (after spec evolution, roots carry different derived
+                # columns) and map physical -> current columns — the
+                # union must see one uniform, current-schema shape
+                part = part.select(*sel)
             out = part if out is None else out.unionByName(part)
         return out.select(*[f.name for f in out_schema.fields])
 
@@ -2119,7 +2622,15 @@ class HadoopTable:
             if replaced:
                 keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
-            staged = [_dc_replace(e, seq=version) for e in staged]
+            child_schema = self._evolve_schema(parent, rewrite_df, "upsert")
+            # conflict=True: a schema commit racing between the merge
+            # scan and this promote invalidates the staged rewrite
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged],
+                child_schema,
+                snap.spec,
+                conflict=True,
+            )
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {
@@ -2133,7 +2644,7 @@ class HadoopTable:
                 parent=parent.version,
                 operation="upsert",
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=self._evolve_schema(parent, rewrite_df, "upsert"),
+                schema_json=child_schema,
                 partition_cols=snap.partition_cols,
                 partition_spec=snap.spec,
                 files=keep + staged,
@@ -2171,6 +2682,9 @@ class HadoopTable:
                 content=content,
                 equality_cols=list(equality_cols) if equality_cols else None,
                 stats=None,  # delete files carry no prunable table stats
+                # delete-file columns are contract names (file_path/pos,
+                # the equality key set), never schema-evolved
+                columns=None,
             )
             for e in entries
         ]
@@ -2206,9 +2720,13 @@ class HadoopTable:
                     "table partitioning changed under a concurrent commit"
                 )
             version = parent.version + 1
-            staged = [
-                _dc_replace(e, seq=version) for e in staged_data + staged_del
-            ]
+            child_schema = self._evolve_schema(parent, updates, "upsert")
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged_data],
+                child_schema,
+                snap.spec,
+                conflict=True,
+            ) + [_dc_replace(e, seq=version) for e in staged_del]
             summary = self._inherited_summary(parent, summary_extra)
             summary.update(
                 {
@@ -2227,7 +2745,7 @@ class HadoopTable:
                 parent=parent.version,
                 operation="upsert",
                 timestamp_ms=int(time.time() * 1000),
-                schema_json=self._evolve_schema(parent, updates, "upsert"),
+                schema_json=child_schema,
                 partition_cols=snap.partition_cols,
                 partition_spec=snap.spec,
                 files=list(parent.files) + staged,
@@ -2295,7 +2813,10 @@ class HadoopTable:
         expr = _pred_expr(pred)
         # stage 1: metrics-based skipping — provably-unmatchable files
         # never reach the scan
-        candidates = [f for f in snap.data_files if _file_may_match(f, pred)]
+        cur_ids, _ = _schema_ids(snap.schema_json)
+        candidates = [
+            f for f in snap.data_files if _file_pred_match(f, pred, cur_ids)
+        ]
         if not candidates:
             return None
         if mode == "merge-on-read":
@@ -2347,7 +2868,11 @@ class HadoopTable:
                 for f in parent.files
                 if f.path not in base_paths and f.content == "data"
             ]
-            check = [f for f in added_since if _file_may_match(f, pred)]
+            check = [
+                f
+                for f in added_since
+                if _file_pred_match(f, pred, cur_ids)
+            ]
             if check:
                 n_hits = (
                     self._read_files(parent, check)
@@ -2367,7 +2892,12 @@ class HadoopTable:
                 keep.extend(repl_del)
             keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
-            staged = [_dc_replace(e, seq=version) for e in staged]
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged],
+                parent.schema_json,
+                snap.spec,
+                conflict=True,
+            )
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {
@@ -2414,6 +2944,7 @@ class HadoopTable:
         matching LIVE rows' (file, pos) coordinates as a position-delete
         file, sorted by (file_path, pos) within each written file (the
         Iceberg pos-delete ordering contract)."""
+        cur_ids, _ = _schema_ids(snap.schema_json)
         matches = (
             self._scan(snap, candidates, with_meta=True)
             .filter(expr)
@@ -2462,7 +2993,11 @@ class HadoopTable:
                 for f in parent.files
                 if f.path not in base_paths and f.content == "data"
             ]
-            check = [f for f in added_since if _file_may_match(f, pred)]
+            check = [
+                f
+                for f in added_since
+                if _file_pred_match(f, pred, cur_ids)
+            ]
             if check:
                 n_hits = (
                     self._read_files(parent, check).filter(expr).limit(1).count()
@@ -2610,6 +3145,13 @@ class HadoopTable:
         spec_names = {f.name for f in snap.spec}
         affected.update(
             f.path for f in snap.data_files if set(f.partition) != spec_names
+        )
+        # schema evolution: legacy files with no physical-column manifest
+        # are readable by name only — rewrite them (the rewrite stages
+        # under the current schema, fully annotated), which is what the
+        # DDL guards' "compact() first" migration points at
+        affected.update(
+            f.path for f in snap.data_files if f.columns is None
         )
         by_part: dict[tuple, list[DataFile]] = {}
         for f in snap.data_files:
@@ -2776,7 +3318,12 @@ class HadoopTable:
                 keep.extend(repl_del)
             keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
-            staged = [_dc_replace(e, seq=version) for e in staged]
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged],
+                parent.schema_json,
+                snap.spec,
+                conflict=True,
+            )
             summary = self._inherited_summary(parent, None)
             summary.update(
                 {

@@ -83,6 +83,12 @@ class TableFilePartition(InputPartition):
     # (absolute path, equality column tuple, delete seq) — pre-filtered
     # driver-side to deletes with seq strictly greater than this file's
     eq_deletes: list[tuple] = field(default_factory=list)
+    # schema evolution: physical (as-written) column name -> snapshot
+    # column name, resolved driver-side from the file's field-id
+    # manifest. EVERY annotated physical column has an entry — stale
+    # columns (dropped, or a re-added name whose old id left the schema)
+    # map to a sentinel name so a name-based lookup can never read them.
+    rename_map: dict[str, str] = field(default_factory=dict)
 
 
 def _parse_partition_value(raw: str, dtype) -> Any:
@@ -115,6 +121,10 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
     """Worker-side scan of one data file: apply merge-on-read deletes,
     reconstruct identity partition columns, emit Arrow batches under the
     snapshot schema."""
+    if part is None:
+        # planning pruned EVERY file: Spark still schedules one task over
+        # a placeholder None partition — an empty scan, not an error
+        return
     import json
 
     import pyarrow as pa
@@ -126,6 +136,10 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
     arrow_schema = to_arrow_schema(schema)
 
     table = pq.read_table(part.file_path)
+    if part.rename_map:
+        table = table.rename_columns(
+            [part.rename_map.get(c, c) for c in table.column_names]
+        )
     n = table.num_rows
 
     # --- merge-on-read masking (vectorized — no per-row Python loop) ----
@@ -209,12 +223,17 @@ def _plan_partitions(
     """Driver-side scan planning: manifest pruning via plan_files, then
     one InputPartition per surviving data file with its applicable
     delete files attached."""
-    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+    from logparserhelper_spark.sinks.hadoop_table import (
+        HadoopTable,
+        _rename_map,
+        _schema_ids,
+    )
 
     t = HadoopTable(None, location)  # planning is pure metadata
     if ref is not None:
         version = t._resolve_ref(ref)
     snap = t.snapshot(version)
+    cur_ids, _ = _schema_ids(snap.schema_json)
     files = t.plan_files(version, predicate=predicate or None)
     root = t.root
     pos = [
@@ -232,6 +251,7 @@ def _plan_partitions(
                 partition=dict(f.partition),
                 seq=f.seq,
                 schema_json=snap.schema_json,
+                rename_map=_rename_map(f, cur_ids),
                 pos_delete_paths=[os.path.join(root, d.path) for d in pos],
                 eq_deletes=[
                     (
@@ -255,17 +275,31 @@ class _SnapshotTableReader(DataSourceReader):
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self.ref = options.get("ref")
+        # file skipping from pushed filters is OPT-IN: Spark caches the
+        # planned (read function, partitions) per RELATION and a filtered
+        # action overwrites that cache, so a later UNFILTERED action on
+        # the same DataFrame would reuse the pruned partition list and
+        # silently lose rows (measured on this Spark: filtered count,
+        # then plain count on one DataFrame -> 0 rows). Safe under the
+        # load-once/query-once pattern — set option prune_files=true
+        # there; the default never prunes, only ever scanning extra
+        # files that Spark's re-applied filter then discards.
+        self.prune_files = (
+            str(options.get("prune_files", "false")).lower() == "true"
+        )
         self.predicate: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        self.predicate = _filters_to_predicate(list(filters))
+        if self.prune_files:
+            self.predicate = _filters_to_predicate(list(filters))
         # pruning-only: every filter is re-applied by Spark post-scan
         return iter(filters)
 
     def partitions(self) -> list[InputPartition]:
-        return _plan_partitions(
-            self.location, self.version, self.ref, self.predicate
-        )
+        # consume the pushed predicate: one pushFilters -> partitions
+        # pass per planning run, never carried into a later plan
+        pred, self.predicate = self.predicate, []
+        return _plan_partitions(self.location, self.version, self.ref, pred)
 
     def read(self, partition: TableFilePartition) -> Iterator[Any]:
         return _read_file_batches(partition)
@@ -305,7 +339,7 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         base_snaps = []
         for v in range(lo + 1, hi + 1):
             s = t.snapshot(v)
-            if s.operation == "update-spec":
+            if s.operation in ("update-spec", "evolve-schema"):
                 continue  # metadata-only: no files added, always safe
             if s.operation != "append":
                 if self.skip_non_appends:
@@ -316,9 +350,15 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                     "set option skip_non_appends=true"
                 )
             base_snaps.append(s)
+        from logparserhelper_spark.sinks.hadoop_table import (
+            _rename_map,
+            _schema_ids,
+        )
+
         parts: list[InputPartition] = []
         for s in base_snaps:
             prev = {f.path for f in t.snapshot(s.parent).files} if s.parent else set()
+            s_ids, _ = _schema_ids(s.schema_json)
             for f in s.files:
                 if f.content == "data" and f.path not in prev:
                     parts.append(
@@ -328,6 +368,7 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                             partition=dict(f.partition),
                             seq=f.seq,
                             schema_json=s.schema_json,
+                            rename_map=_rename_map(f, s_ids),
                         )
                     )
         return parts

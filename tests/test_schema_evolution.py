@@ -1,0 +1,332 @@
+"""Full schema evolution on the snapshot table via field ids
+(sinks/hadoop_table.py: add_column / rename_column / drop_column /
+widen_column): every op is a metadata-only commit; existing files stay
+readable forever through their per-file physical-column manifests; reads
+project physical -> current by field id (rename -> alias, widen -> cast,
+dropped -> omitted, re-added -> fresh id so old values never resurface)
+— the Iceberg v2 schema-evolution semantics.
+
+Reference parity note: the reference app (MaksimBrezho/logparserhelper)
+has no table layer — its persistence is whole-file JSON overwrite
+(utils/json_utils.py:21-27).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparserhelper_spark.sinks.hadoop_table import (
+    CompactionConflict,
+    HadoopTable,
+    _schema_ids,
+)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def _mk(spark, path, partitioned=True):
+    t = HadoopTable(spark, str(path))
+    df = spark.createDataFrame(
+        [(i, i * 2, "u%d" % i, "s%d" % (i % 2)) for i in range(10)],
+        "k int, v int, name string, sink string",
+    )
+    t.append(df, partition_cols=["sink"] if partitioned else [])
+    return t
+
+
+# ---------------------------------------------------------------- rename
+
+
+def test_rename_is_metadata_only_and_reads_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    v1 = t.current_version()
+    files_before = {f.path for f in t.snapshot().files}
+    s = t.rename_column("v", "value")
+    assert s.operation == "evolve-schema"
+    assert {f.path for f in s.files} == files_before  # zero data movement
+    got = t.read()
+    assert "value" in got.columns and "v" not in got.columns
+    assert got.agg(F.sum("value")).first()[0] == sum(i * 2 for i in range(10))
+    # time travel reads the OLD shape
+    old = t.read(version=v1)
+    assert "v" in old.columns and "value" not in old.columns
+
+
+def test_rename_mixes_old_and_new_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(100, 200, "u100", "s0")],
+            "k int, value int, name string, sink string",
+        ),
+        partition_cols=["sink"],
+    )
+    got = _rows(t.read().select("k", "value"))
+    assert (100, 200) in got and len(got) == 11
+    # field id is preserved across the rename
+    ids, _ = _schema_ids(t.snapshot().schema_json)
+    assert ids["value"] == 2  # v was field 2 at creation
+
+
+def test_rename_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="partition layout"):
+        t.rename_column("sink", "route")  # identity partition column
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="exists"):
+        t.rename_column("v", "name")
+    # a hidden-spec SOURCE column is protected too
+    t2 = HadoopTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([(1, 7)], "k int, b int"),
+        partition_cols=["bucket(4, b)"],
+    )
+    with pytest.raises(ValueError, match="partition layout"):
+        t2.rename_column("b", "bb")
+
+
+# ------------------------------------------------------------ drop / add
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.drop_column("name")
+    assert "name" not in t.read().columns
+    t.add_column("name", "string")
+    assert [r[0] for r in t.read().select("name").collect()] == [None] * 10
+    # but time travel to the pre-drop snapshot still sees the values
+    pre = t.read(version=1)
+    assert pre.filter(F.col("name").isNotNull()).count() == 10
+    # the re-added field got a FRESH id
+    ids, last = _schema_ids(t.snapshot().schema_json)
+    assert ids["name"] == last and ids["name"] > 4
+
+
+def test_add_column_then_write_and_filter_skips_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame(
+            [(200, 1, "x", "s1", 0.5)],
+            "k int, v int, name string, sink string, score double",
+        ),
+        partition_cols=["sink"],
+    )
+    # metrics skipping: files predating the column are provably
+    # unmatchable for a comparison predicate
+    assert len(t.plan_files(predicate=[("score", ">", 0.0)])) == 1
+    assert t.read(predicate=[("score", ">", 0.0)]).count() == 1
+    assert t.read(predicate=[("score", "is_null", None)]).count() == 10
+
+
+# ----------------------------------------------------------------- widen
+
+
+def test_widen_casts_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.widen_column("v", "bigint")
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert t.read().agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(10))
+    # writes must use the widened type from now on
+    t.append(
+        spark.createDataFrame(
+            [(300, 2**40, "big", "s0")],
+            "k int, v long, name string, sink string",
+        ),
+        partition_cols=["sink"],
+    )
+    assert t.read().agg(F.max("v")).first()[0] == 2**40
+    with pytest.raises(ValueError, match="not a lossless promotion"):
+        t.widen_column("name", "int")
+    with pytest.raises(ValueError, match="not a lossless promotion"):
+        t.widen_column("v", "int")  # narrowing refused (already long)
+
+
+# -------------------------------------------- interactions with mutations
+
+
+def test_upsert_and_delete_after_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("v", "value")
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 999, "upd", "s0")],
+            "k int, value int, name string, sink string",
+        ),
+        key_cols=["k"],
+    )
+    got = dict((r.k, r.value) for r in t.read().collect())
+    assert got[0] == 999 and got[1] == 2 and len(got) == 10
+    t.delete([("value", "=", 999)])
+    assert t.read().count() == 9
+    assert 0 not in {r.k for r in t.read().collect()}
+
+
+def test_mor_delete_then_rename_then_read(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete([("k", "=", 3)], mode="merge-on-read")
+    t.rename_column("v", "value")  # pos-deletes are path-keyed: safe
+    assert t.read().count() == 9
+    assert 3 not in {r.k for r in t.read().collect()}
+    assert t.read().agg(F.sum("value")).first()[0] == sum(
+        i * 2 for i in range(10) if i != 3
+    )
+
+
+def test_eq_delete_key_blocks_ddl_until_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 111, "m", "s1")],
+            "k int, v int, name string, sink string",
+        ),
+        key_cols=["k"],
+        mode="merge-on-read",
+    )
+    with pytest.raises(ValueError, match="equality-delete key"):
+        t.rename_column("k", "key")
+    t.compact()  # materializes + retires the delete
+    t.rename_column("k", "key")
+    got = dict((r.key, r.v) for r in t.read().collect())
+    assert got[1] == 111 and len(got) == 10
+
+
+def test_changelog_across_rename_uses_out_names(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(50, 51, "new", "s0")],
+            "k int, value int, name string, sink string",
+        )
+    )
+    ch = t.read_changes(0)
+    assert "value" in ch.columns and "v" not in ch.columns
+    ins = ch.filter(F.col("_change_type") == "insert")
+    # pre-rename inserts land in the renamed column, with their values
+    assert ins.count() == 11
+    assert ins.agg(F.sum("value")).first()[0] == sum(
+        i * 2 for i in range(10)
+    ) + 51
+    # the evolve-schema snapshot itself emits no row changes
+    assert ch.filter(
+        F.col("_change_version") == 2
+    ).count() == 0
+
+
+def test_incremental_scan_spans_evolve_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    v1 = t.current_version()
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(60, 61, "inc", "s1")],
+            "k int, value int, name string, sink string",
+        )
+    )
+    inc = t.read_incremental(v1)
+    assert _rows(inc.select("k", "value")) == [(60, 61)]
+
+
+def test_compact_migrates_then_preserves_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = _rows(t.read())
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(70, 71, "c", "s0")],
+            "k int, value int, name string, sink string",
+        ),
+        partition_cols=["sink"],
+    )
+    t.compact(sort_by=["k"])  # SORT strategy rewrites every data file
+    after = _rows(t.read().select("k", "value", "name", "sink"))
+    assert len(after) == 11
+    assert _rows(t.read(version=1)) == before  # time travel intact
+    # post-compact files are annotated under the CURRENT names
+    for f in t.snapshot().data_files:
+        assert any(c["name"] == "value" for c in f.columns)
+
+
+def test_branch_schema_evolves_independently(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    b = t.create_branch("dev")
+    b.rename_column("v", "value")
+    assert "value" in b.read().columns
+    assert "v" in t.read().columns  # main untouched
+
+
+# ------------------------------------------------------------ concurrency
+
+
+def test_concurrent_rename_aborts_inflight_compaction(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.append(
+        spark.createDataFrame(
+            [(i, i, "x%d" % i, "s0") for i in range(5)],
+            "k int, v int, name string, sink string",
+        )
+    )
+    snap = t.snapshot()
+    rewrite = list(snap.data_files)
+    df = t._scan(snap, rewrite, guard=False)
+    staged = t._stage(df, snap.partition_cols, snap.spec)
+    # a rename lands between the compaction scan and its commit: the
+    # staged files' physical names no longer resolve in the new schema
+    t.rename_column("v", "value")
+    with pytest.raises(CompactionConflict, match="renamed or dropped"):
+        t._commit_compaction(snap, rewrite, staged, snap.partition_cols)
+
+
+# ------------------------------------------------------------ data source
+
+
+def test_datasource_reads_renamed_and_widened(spark, tmp_path):
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("v", "value")
+    t.widen_column("value", "bigint")
+    t.drop_column("name")
+    t.add_column("name", "string")
+    got = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert dict(got.dtypes)["value"] == "bigint"
+    assert got.agg(F.sum("value")).first()[0] == sum(
+        i * 2 for i in range(10)
+    )
+    # re-added column must be all null through the data source too
+    assert got.filter(F.col("name").isNotNull()).count() == 0
+    assert _rows(got.select("k", "value")) == _rows(
+        t.read().select("k", "value")
+    )
+
+
+# ------------------------------------------------------- metadata details
+
+
+def test_field_ids_persist_and_never_reuse(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    d0 = json.loads(t.snapshot().schema_json)
+    assert d0["lph-field-ids"] == {"k": 1, "v": 2, "name": 3, "sink": 4}
+    t.drop_column("name")
+    t.add_column("extra", "int")
+    d1 = json.loads(t.snapshot().schema_json)
+    assert d1["lph-field-ids"]["extra"] == 5  # 3 is never reused
+    assert d1["lph-last-field-id"] == 5
+    # overwrite_all restarts the id space (no old files survive)
+    t.overwrite_all(spark.createDataFrame([(1.5,)], "z double"))
+    d2 = json.loads(t.snapshot().schema_json)
+    assert d2["lph-field-ids"] == {"z": 1}

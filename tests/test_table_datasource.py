@@ -85,13 +85,13 @@ def test_filter_pushdown_prunes_files_before_tasks(registered, tmp_path):
     r = _SnapshotTableReader({"path": loc})
     n_all = len(r.partitions())
 
-    r2 = _SnapshotTableReader({"path": loc})
+    r2 = _SnapshotTableReader({"path": loc, "prune_files": "true"})
     leftover = list(r2.pushFilters([EqualTo(("id",), 150)]))
     assert len(leftover) == 1  # pruning-only: Spark re-applies the filter
     assert len(r2.partitions()) < n_all
 
     # unsupported filters are ignored by planning, returned to Spark
-    r3 = _SnapshotTableReader({"path": loc})
+    r3 = _SnapshotTableReader({"path": loc, "prune_files": "true"})
     leftover3 = list(
         r3.pushFilters(
             [StringContains(("v",), "x"), GreaterThanOrEqual(("id",), 350)]
@@ -100,13 +100,39 @@ def test_filter_pushdown_prunes_files_before_tasks(registered, tmp_path):
     assert len(leftover3) == 2
     assert len(r3.partitions()) < n_all
 
+    # pruning is OPT-IN: the default reader plans every file no matter
+    # what was pushed (Spark caches planned partitions per relation, so
+    # a default-on prune could starve a later unfiltered action)
+    r4 = _SnapshotTableReader({"path": loc})
+    list(r4.pushFilters([EqualTo(("id",), 150)]))
+    assert len(r4.partitions()) == n_all
+
     # end-to-end correctness through the session read path
     got = (
         spark.read.format("snapshot_table")
+        .option("prune_files", "true")
         .load(loc)
         .filter("id >= 350 AND id < 355")
     )
     assert sorted(r["id"] for r in got.collect()) == [350, 351, 352, 353, 354]
+
+
+def test_reused_dataframe_not_poisoned_by_filtered_action(registered, tmp_path):
+    """Regression: Spark overwrites the relation's cached (read
+    function, partitions) on every FILTERED action and reuses it for
+    unfiltered ones — with default options a filtered count followed by
+    a plain count on the SAME DataFrame must still see every row."""
+    spark = registered
+    loc = str(tmp_path / "tr")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, "v%d" % i) for i in range(50)], "id long, v string"
+        )
+    )
+    got = spark.read.format("snapshot_table").load(loc)
+    assert got.filter("id < 0").count() == 0  # would prune every file
+    assert got.count() == 50  # the reused plan must not have pruned
 
 
 def test_time_travel_options_version_and_ref(registered, tmp_path):
