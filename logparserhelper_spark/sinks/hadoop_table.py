@@ -165,12 +165,30 @@ def _schema_ids(schema_json: str) -> tuple[dict[str, int], int]:
     return {n: i + 1 for i, n in enumerate(names)}, len(names)
 
 
-def _ids_json(struct_json_value: dict, ids: dict[str, int], last_id: int) -> str:
-    """Serialize a StructType jsonValue plus the field-id keys."""
+def _ids_json(
+    struct_json_value: dict,
+    ids: dict[str, int],
+    last_id: int,
+    defaults: dict[int, Any] | None = None,
+) -> str:
+    """Serialize a StructType jsonValue plus the field-id keys (and the
+    per-FIELD-ID default values, when any exist — keying defaults by id
+    makes them survive renames for free)."""
     out = dict(struct_json_value)
     out["lph-field-ids"] = {k: int(v) for k, v in ids.items()}
     out["lph-last-field-id"] = int(last_id)
+    if defaults:
+        out["lph-field-defaults"] = {str(k): v for k, v in defaults.items()}
     return json.dumps(out)
+
+
+def _schema_defaults(schema_json: str) -> dict[int, Any]:
+    """field id -> default value (Iceberg v3 initial/write default):
+    rows in files that PREDATE the field read back the default instead
+    of null. JSON-primitive values only (int/float/str/bool)."""
+    d = json.loads(schema_json)
+    raw = d.get("lph-field-defaults") or {}
+    return {int(k): v for k, v in raw.items()}
 
 
 def _df_columns(schema) -> list[dict[str, Any]]:
@@ -242,15 +260,39 @@ def _rename_map(f: "DataFile", cur_ids: dict[str, int]) -> dict[str, str]:
     return out
 
 
+def _file_defaults(f: "DataFile", schema_json: str) -> dict[str, Any]:
+    """Current-name -> default value for every schema field this
+    annotated data file predates/omits and that carries a default
+    (Iceberg v3 initial/write default). Empty for legacy files — the
+    add_column(default=...) guard refuses while any live file lacks a
+    column manifest, so the two cannot coexist."""
+    if f.columns is None:
+        return {}
+    defaults = _schema_defaults(schema_json)
+    if not defaults:
+        return {}
+    ids, _ = _schema_ids(schema_json)
+    have = {c.get("id") for c in f.columns if c.get("id") is not None}
+    return {
+        name: defaults[fid]
+        for name, fid in ids.items()
+        if fid in defaults and fid not in have
+    }
+
+
 def _file_pred_match(
-    f: "DataFile", pred: list[tuple], cur_ids: dict[str, int]
+    f: "DataFile",
+    pred: list[tuple],
+    cur_ids: dict[str, int],
+    defaults: dict[int, Any] | None = None,
 ) -> bool:
     """Metrics-based skipping under schema evolution: translate each
     predicate term's CURRENT column name to the file's physical name by
     field id before consulting the footer stats. A file that predates
-    the column holds only nulls for it — provably unmatchable for every
-    comparison op and ``is_not_null`` (skip the file), provably satisfied
-    for ``is_null`` (term unconstraining)."""
+    the column holds one constant for it — its default when the field
+    has one (Iceberg v3), else null — so every term is decidable
+    outright: provably false skips the file, provably true drops the
+    term."""
     terms = []
     for term in pred:  # null-check terms are 2-tuples (no value)
         col, op = term[0], term[1]
@@ -262,10 +304,28 @@ def _file_pred_match(
             continue
         pn = _physical_name(f, col, cur_ids)
         if pn is None:
-            # schema column the file PREDATES: every row reads as null
+            dv = (defaults or {}).get(cur_ids[col])
+            if dv is None:  # schema column the file PREDATES: all null
+                if op == "is_null":
+                    continue
+                return False
+            # every row reads the default: evaluate the term against it
             if op == "is_null":
+                return False
+            if op == "is_not_null":
                 continue
-            return False
+            v = term[2]
+            try:
+                hold = {
+                    "=": dv == v, "==": dv == v,
+                    "<": dv < v, "<=": dv <= v,
+                    ">": dv > v, ">=": dv >= v,
+                }[op]
+            except TypeError:
+                continue  # incomparable types: keep the file (never wrong)
+            if not hold:
+                return False
+            continue
         terms.append((pn, op) + tuple(term[2:]))
     return _file_may_match(f, terms)
 
@@ -1171,10 +1231,11 @@ class HadoopTable:
             parent = self.snapshot()
             d = json.loads(parent.schema_json)
             ids, last = _schema_ids(parent.schema_json)
+            defaults = _schema_defaults(parent.schema_json)
             fields = [dict(f) for f in d["fields"]]
-            fields, ids, last = mutate(parent, fields, ids, last)
+            fields, ids, last = mutate(parent, fields, ids, last, defaults)
             schema_json = _ids_json(
-                {"type": "struct", "fields": fields}, ids, last
+                {"type": "struct", "fields": fields}, ids, last, defaults
             )
             version = parent.version + 1
             summary = self._inherited_summary(parent, None)
@@ -1216,13 +1277,30 @@ class HadoopTable:
             except CommitConflict:
                 continue
 
-    def add_column(self, name: str, dtype) -> Snapshot:
-        """``ALTER TABLE ADD COLUMN`` — nullable, reads as null from
-        every existing file. A name previously dropped gets a FRESH
-        field id, so the dropped column's old values never resurface."""
+    def add_column(self, name: str, dtype, default: Any = None) -> Snapshot:
+        """``ALTER TABLE ADD COLUMN`` — nullable. ``default`` (Iceberg
+        v3 initial/write default; JSON primitives only) makes rows in
+        files that PREDATE the column — and in later writes that OMIT
+        it — read back the default instead of null; a file that
+        explicitly stores nulls keeps them. Without a default the
+        column reads as null everywhere until written. A name
+        previously dropped gets a FRESH field id, so the dropped
+        column's old values never resurface."""
         dt = self._parse_type(dtype)
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                "add_column: default must be a JSON primitive "
+                "(int/float/str/bool)"
+            )
 
-        def mutate(parent, fields, ids, last):
+        def mutate(parent, fields, ids, last, defaults):
+            if default is not None:
+                # defaults are resolved through the field-id manifests:
+                # legacy un-annotated files cannot distinguish "predates
+                # the column" from "omitted it" — require migration
+                self._ddl_guard(parent, None, "add_column(default=...)")
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"add_column: column {name!r} exists")
             live_dirs = {
@@ -1245,6 +1323,8 @@ class HadoopTable:
             )
             last += 1
             ids[name] = last
+            if default is not None:
+                defaults[last] = default
             return fields, ids, last
 
         return self._commit_schema(mutate, f"add {name}")
@@ -1255,7 +1335,7 @@ class HadoopTable:
         if not new or "/" in new or "=" in new:
             raise ValueError(f"rename_column: invalid name {new!r}")
 
-        def mutate(parent, fields, ids, last):
+        def mutate(parent, fields, ids, last, defaults):
             self._ddl_guard(parent, old, "rename_column")
             if not any(f["name"] == old for f in fields):
                 raise ValueError(f"rename_column: no column {old!r}")
@@ -1282,13 +1362,14 @@ class HadoopTable:
         the files (time travel still reads them) but no current-schema
         read can see them."""
 
-        def mutate(parent, fields, ids, last):
+        def mutate(parent, fields, ids, last, defaults):
             self._ddl_guard(parent, name, "drop_column")
             if not any(f["name"] == name for f in fields):
                 raise ValueError(f"drop_column: no column {name!r}")
             if len(fields) == 1:
                 raise ValueError("drop_column: cannot drop the last column")
             fields = [f for f in fields if f["name"] != name]
+            defaults.pop(ids.get(name), None)
             ids.pop(name, None)
             return fields, ids, last  # last id NEVER reused
 
@@ -1302,7 +1383,7 @@ class HadoopTable:
         still refuses mismatched writes)."""
         dt = self._parse_type(dtype)
 
-        def mutate(parent, fields, ids, last):
+        def mutate(parent, fields, ids, last, defaults):
             self._ddl_guard(parent, name, "widen_column")
             from pyspark.sql.types import StructField
 
@@ -1577,7 +1658,10 @@ class HadoopTable:
             last += 1
             ids[f.name] = last
         return _ids_json(
-            StructType(merged + added).jsonValue(), ids, last
+            StructType(merged + added).jsonValue(),
+            ids,
+            last,
+            _schema_defaults(parent.schema_json),
         )
 
     def _annotate_ids(
@@ -1963,11 +2047,12 @@ class HadoopTable:
             pred = _check_predicate(predicate)
             spec = snap.spec
             cur_ids, _ = _schema_ids(snap.schema_json)
+            dfl = _schema_defaults(snap.schema_json)
             files = [
                 f
                 for f in files
                 if partition_may_match(f.partition, spec, pred)
-                and _file_pred_match(f, pred, cur_ids)
+                and _file_pred_match(f, pred, cur_ids, dfl)
             ]
         return files
 
@@ -2078,6 +2163,7 @@ class HadoopTable:
         pieces: list[DataFrame] = []
 
         out_ids, _ = _schema_ids(out_snap.schema_json) if out_snap else ({}, 0)
+        out_defaults = _schema_defaults(out_snap.schema_json) if out_snap else {}
 
         def tag(df: DataFrame, ctype: str, s: Snapshot) -> DataFrame:
             # align to the OUT schema BY FIELD ID (schema evolution:
@@ -2097,7 +2183,9 @@ class HadoopTable:
                 if src is not None and src in have:
                     cols.append(F.col(src).cast(dt).alias(fld["name"]))
                 else:
-                    cols.append(F.lit(None).cast(dt).alias(fld["name"]))
+                    # rows predating the column read its default (if any)
+                    dv = out_defaults.get(out_ids.get(fld["name"]))
+                    cols.append(F.lit(dv).cast(dt).alias(fld["name"]))
             return df.select(
                 *cols,
                 F.lit(ctype).alias("_change_type"),
@@ -2270,6 +2358,7 @@ class HadoopTable:
             if root not in root_columns:
                 root_columns[root] = f.columns
         cur_ids, _ = _schema_ids(snap.schema_json)
+        cur_defaults = _schema_defaults(snap.schema_json)
 
         def _trivial(ann: list[dict[str, Any]] | None) -> bool:
             # True when reading this root by NAME under the current schema
@@ -2285,8 +2374,11 @@ class HadoopTable:
                     # file predates the column: the name-based reader
                     # null-fills it — identical to the id projection —
                     # UNLESS a stale same-named physical column exists
-                    # (dropped + re-added id): that must not be read
+                    # (dropped + re-added id) or the field carries a
+                    # DEFAULT (null-fill would lose it)
                     if any(x["name"] == sf.name for x in ann):
+                        return False
+                    if cur_defaults.get(cur_ids.get(sf.name)) is not None:
                         return False
                     continue
                 if c["name"] != sf.name or c["type"] != sf.dataType.jsonValue():
@@ -2328,8 +2420,12 @@ class HadoopTable:
                 for f in schema.fields:
                     pn = by_id.get(cur_ids.get(f.name))
                     if pn is None:
+                        # absent from the file: the field's default when
+                        # one exists (Iceberg v3 initial-default), null
+                        # otherwise
+                        dv = cur_defaults.get(cur_ids.get(f.name))
                         sel.append(
-                            F.lit(None).cast(f.dataType).alias(f.name)
+                            F.lit(dv).cast(f.dataType).alias(f.name)
                         )
                     else:
                         sel.append(
@@ -2814,8 +2910,11 @@ class HadoopTable:
         # stage 1: metrics-based skipping — provably-unmatchable files
         # never reach the scan
         cur_ids, _ = _schema_ids(snap.schema_json)
+        dfl = _schema_defaults(snap.schema_json)
         candidates = [
-            f for f in snap.data_files if _file_pred_match(f, pred, cur_ids)
+            f
+            for f in snap.data_files
+            if _file_pred_match(f, pred, cur_ids, dfl)
         ]
         if not candidates:
             return None
@@ -2871,7 +2970,7 @@ class HadoopTable:
             check = [
                 f
                 for f in added_since
-                if _file_pred_match(f, pred, cur_ids)
+                if _file_pred_match(f, pred, cur_ids, dfl)
             ]
             if check:
                 n_hits = (
@@ -2945,6 +3044,7 @@ class HadoopTable:
         file, sorted by (file_path, pos) within each written file (the
         Iceberg pos-delete ordering contract)."""
         cur_ids, _ = _schema_ids(snap.schema_json)
+        dfl = _schema_defaults(snap.schema_json)
         matches = (
             self._scan(snap, candidates, with_meta=True)
             .filter(expr)
@@ -2996,7 +3096,7 @@ class HadoopTable:
             check = [
                 f
                 for f in added_since
-                if _file_pred_match(f, pred, cur_ids)
+                if _file_pred_match(f, pred, cur_ids, dfl)
             ]
             if check:
                 n_hits = (

@@ -89,6 +89,9 @@ class TableFilePartition(InputPartition):
     # columns (dropped, or a re-added name whose old id left the schema)
     # map to a sentinel name so a name-based lookup can never read them.
     rename_map: dict[str, str] = field(default_factory=dict)
+    # snapshot column name -> default value for columns this file
+    # PREDATES (Iceberg v3 initial-default), resolved driver-side
+    defaults: dict[str, Any] = field(default_factory=dict)
 
 
 def _parse_partition_value(raw: str, dtype) -> Any:
@@ -182,6 +185,8 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
         elif sf.name in part.partition:
             v = _parse_partition_value(part.partition[sf.name], sf.dataType)
             arrays.append(pa.array([v] * n).cast(af.type))
+        elif sf.name in part.defaults:
+            arrays.append(pa.array([part.defaults[sf.name]] * n).cast(af.type))
         else:
             arrays.append(pa.nulls(n, type=af.type))
     out = pa.table(arrays, schema=arrow_schema)
@@ -225,6 +230,7 @@ def _plan_partitions(
     delete files attached."""
     from logparserhelper_spark.sinks.hadoop_table import (
         HadoopTable,
+        _file_defaults,
         _rename_map,
         _schema_ids,
     )
@@ -252,6 +258,7 @@ def _plan_partitions(
                 seq=f.seq,
                 schema_json=snap.schema_json,
                 rename_map=_rename_map(f, cur_ids),
+                defaults=_file_defaults(f, snap.schema_json),
                 pos_delete_paths=[os.path.join(root, d.path) for d in pos],
                 eq_deletes=[
                     (
@@ -351,6 +358,7 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                 )
             base_snaps.append(s)
         from logparserhelper_spark.sinks.hadoop_table import (
+            _file_defaults,
             _rename_map,
             _schema_ids,
         )
@@ -369,6 +377,7 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                             seq=f.seq,
                             schema_json=s.schema_json,
                             rename_map=_rename_map(f, s_ids),
+                            defaults=_file_defaults(f, s.schema_json),
                         )
                     )
         return parts

@@ -330,3 +330,69 @@ def test_field_ids_persist_and_never_reuse(spark, tmp_path):
     t.overwrite_all(spark.createDataFrame([(1.5,)], "z double"))
     d2 = json.loads(t.snapshot().schema_json)
     assert d2["lph-field-ids"] == {"z": 1}
+
+
+# ------------------------------------------------------- default values
+
+
+def test_add_column_with_default_reads_on_old_files(spark, tmp_path):
+    """Iceberg v3 initial-default: rows in files that predate the column
+    read the default, not null — batch read, predicate skipping, and the
+    data source all agree; explicit values and explicit nulls win."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = _mk(spark, tmp_path / "t")
+    t.add_column("lang", "string", default="en")
+    assert {r.lang for r in t.read().collect()} == {"en"}
+    # a later write omitting the column gets the default too (write-
+    # default); one writing explicit values keeps them
+    t.append(
+        spark.createDataFrame(
+            [(100, 1, "x", "s0")], "k int, v int, name string, sink string"
+        ),
+        partition_cols=["sink"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(101, 1, "y", "s1", None), (102, 1, "z", "s1", "fr")],
+            "k int, v int, name string, sink string, lang string",
+        ),
+        partition_cols=["sink"],
+    )
+    got = {r.k: r.lang for r in t.read().collect()}
+    assert got[100] == "en" and got[101] is None and got[102] == "fr"
+    # predicate skipping treats predating files as constant-default
+    assert t.read(predicate=[("lang", "=", "fr")]).count() == 1
+    assert (
+        t.read(predicate=[("lang", "=", "en")]).count() == 11
+    )  # 10 old + k=100
+    assert t.read(predicate=[("lang", "is_null", None)]).count() == 1
+    # files provably constant-default are skipped for non-matching values
+    n_planned = len(t.plan_files(predicate=[("lang", "=", "fr")]))
+    assert n_planned < len(t.snapshot().data_files)
+    # the Python data source returns the same rows
+    ds = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert {r.k: r.lang for r in ds.collect()} == got
+
+
+def test_default_survives_rename_and_dies_with_drop(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.add_column("score", "double", default=1.5)
+    t.rename_column("score", "quality")  # defaults are keyed by field id
+    assert {r.quality for r in t.read().collect()} == {1.5}
+    t.drop_column("quality")
+    t.add_column("quality", "double")  # fresh id: no default attached
+    assert {r.quality for r in t.read().collect()} == {None}
+
+
+def test_default_in_changelog_and_rejected_types(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.add_column("lang", "string", default="en")
+    ch = t.read_changes(0)
+    ins = ch.filter(F.col("_change_type") == "insert")
+    assert {r.lang for r in ins.collect()} == {"en"}
+    with pytest.raises(ValueError, match="JSON primitive"):
+        t.add_column("bad", "string", default=["not", "primitive"])
