@@ -170,6 +170,7 @@ def _ids_json(
     ids: dict[str, int],
     last_id: int,
     defaults: dict[int, Any] | None = None,
+    epoch: str | None = None,
 ) -> str:
     """Serialize a StructType jsonValue plus the field-id keys (and the
     per-FIELD-ID default values, when any exist — keying defaults by id
@@ -179,7 +180,18 @@ def _ids_json(
     out["lph-last-field-id"] = int(last_id)
     if defaults:
         out["lph-field-defaults"] = {str(k): v for k, v in defaults.items()}
+    # id EPOCH: two schemas' field ids are comparable only when their
+    # epochs match — overwrite_all restarts the id space (id 1 before
+    # and after it are UNRELATED columns), so it mints a fresh epoch
+    out["lph-id-epoch"] = epoch or uuid.uuid4().hex[:12]
     return json.dumps(out)
+
+
+def _schema_epoch(schema_json: str) -> str | None:
+    """The schema's id-lineage epoch; None for legacy metadata (whose
+    synthesized positional ids never crossed an overwrite and are only
+    compared within one retained chain)."""
+    return json.loads(schema_json).get("lph-id-epoch")
 
 
 def _schema_defaults(schema_json: str) -> dict[int, Any]:
@@ -260,18 +272,18 @@ def _rename_map(f: "DataFile", cur_ids: dict[str, int]) -> dict[str, str]:
     return out
 
 
-def _file_defaults(f: "DataFile", schema_json: str) -> dict[str, Any]:
+def _file_defaults(
+    f: "DataFile", ids: dict[str, int], defaults: dict[int, Any]
+) -> dict[str, Any]:
     """Current-name -> default value for every schema field this
     annotated data file predates/omits and that carries a default
-    (Iceberg v3 initial/write default). Empty for legacy files — the
-    add_column(default=...) guard refuses while any live file lacks a
-    column manifest, so the two cannot coexist."""
-    if f.columns is None:
+    (Iceberg v3 initial/write default). ``ids``/``defaults`` are the
+    snapshot schema's pre-parsed maps (parse once per plan, not per
+    file). Empty for legacy files — the add_column(default=...) guard
+    refuses while any live file lacks a column manifest, so the two
+    cannot coexist."""
+    if f.columns is None or not defaults:
         return {}
-    defaults = _schema_defaults(schema_json)
-    if not defaults:
-        return {}
-    ids, _ = _schema_ids(schema_json)
     have = {c.get("id") for c in f.columns if c.get("id") is not None}
     return {
         name: defaults[fid]
@@ -1235,7 +1247,11 @@ class HadoopTable:
             fields = [dict(f) for f in d["fields"]]
             fields, ids, last = mutate(parent, fields, ids, last, defaults)
             schema_json = _ids_json(
-                {"type": "struct", "fields": fields}, ids, last, defaults
+                {"type": "struct", "fields": fields},
+                ids,
+                last,
+                defaults,
+                epoch=_schema_epoch(parent.schema_json),
             )
             version = parent.version + 1
             summary = self._inherited_summary(parent, None)
@@ -1287,13 +1303,40 @@ class HadoopTable:
         previously dropped gets a FRESH field id, so the dropped
         column's old values never resurface."""
         dt = self._parse_type(dtype)
-        if default is not None and not isinstance(
-            default, (int, float, str, bool)
-        ):
-            raise ValueError(
-                "add_column: default must be a JSON primitive "
-                "(int/float/str/bool)"
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    "add_column: default must be a JSON primitive "
+                    "(int/float/str/bool)"
+                )
+            # the default must be VALID for the column type — a mismatch
+            # would surface as silent nulls (lit(v).cast), Arrow task
+            # failures in the data source, and wrong metrics skipping
+            tn = dt.typeName()
+            int_caps = {
+                "byte": 2**7, "short": 2**15, "integer": 2**31, "long": 2**63
+            }
+            ok = (
+                (tn == "boolean" and isinstance(default, bool))
+                or (
+                    tn in int_caps
+                    and isinstance(default, int)
+                    and not isinstance(default, bool)
+                    and -int_caps[tn] <= default < int_caps[tn]
+                )
+                or (
+                    tn in ("float", "double")
+                    and isinstance(default, (int, float))
+                    and not isinstance(default, bool)
+                )
+                or (tn == "string" and isinstance(default, str))
             )
+            if not ok:
+                raise ValueError(
+                    f"add_column: default {default!r} is not a valid "
+                    f"{dt.simpleString()} value (defaults are supported "
+                    "for boolean/integral/floating/string columns)"
+                )
 
         def mutate(parent, fields, ids, last, defaults):
             if default is not None:
@@ -1662,6 +1705,7 @@ class HadoopTable:
             ids,
             last,
             _schema_defaults(parent.schema_json),
+            epoch=_schema_epoch(parent.schema_json),
         )
 
     def _annotate_ids(
@@ -1670,16 +1714,26 @@ class HadoopTable:
         schema_json: str,
         spec: list[PartitionField],
         conflict: bool = False,
+        scan_schema_json: str | None = None,
     ) -> list[DataFile]:
         """Stamp field ids onto staged entries' physical-column manifests
         from the CHILD schema's name -> id map. Hidden-partitioning
         derived columns (dir values, not table fields) legitimately have
-        no id. Any OTHER unmapped name means the schema changed between
-        the staging scan and this commit (a concurrent rename/drop):
-        with ``conflict=True`` that raises :class:`CompactionConflict`
-        (rewrite paths must re-scan); otherwise it is impossible by
-        construction and asserts."""
+        no id. With ``conflict=True`` (the rewrite paths), a name that no
+        longer resolves — OR that resolves to a DIFFERENT id than the one
+        it had under ``scan_schema_json``, the schema the rewrite scanned
+        under — raises :class:`CompactionConflict`: both mean a schema
+        commit raced this operation (a plain rename/drop, or the nastier
+        rename-then-readd that keeps the name alive while rebinding it to
+        a fresh id — stamping the new id would resurrect pre-rename
+        values under the re-added column). Names the scan schema did not
+        have (columns the rewrite itself introduced) accept whatever id
+        the child schema assigned. Without ``conflict`` an unmapped name
+        is impossible by construction and asserts."""
         ids, _ = _schema_ids(schema_json)
+        scan_ids = (
+            _schema_ids(scan_schema_json)[0] if scan_schema_json else {}
+        )
         derived = {f.name for f in spec if f.transform != "identity"}
         out = []
         for e in staged:
@@ -1689,17 +1743,24 @@ class HadoopTable:
             cols = []
             for c in e.columns:
                 fid = ids.get(c["name"])
-                if fid is None and c["name"] not in derived:
-                    if conflict:
-                        raise CompactionConflict(
-                            f"column {c['name']!r} was renamed or dropped "
-                            "by a concurrent schema commit; re-run the "
-                            "operation against the new schema"
-                        )
-                    raise AssertionError(
-                        f"staged column {c['name']!r} missing from child "
-                        "schema"
+                if c["name"] not in derived:
+                    rebound = (
+                        conflict
+                        and scan_ids.get(c["name"]) is not None
+                        and fid != scan_ids[c["name"]]
                     )
+                    if fid is None or rebound:
+                        if conflict:
+                            raise CompactionConflict(
+                                f"column {c['name']!r} was renamed, "
+                                "dropped, or rebound by a concurrent "
+                                "schema commit; re-run the operation "
+                                "against the new schema"
+                            )
+                        raise AssertionError(
+                            f"staged column {c['name']!r} missing from "
+                            "child schema"
+                        )
                 cols.append({**c, "id": fid})
             out.append(_dc_replace(e, columns=cols))
         return out
@@ -1791,12 +1852,23 @@ class HadoopTable:
         precondition=None,
         replace_scope: dict[str, str] | None = None,
         spec: list[PartitionField] | None = None,
+        base_schema_json: str | None = None,
     ) -> Snapshot:
         """``precondition(parent)`` (optional) is re-evaluated against the
         CURRENT parent on every optimistic retry; returning False raises
         :class:`PreconditionFailed`. Because the metadata swap is atomic,
         a guard expressed this way has no check-then-act window: a racer
         that lands first is visible as the loser's new parent.
+
+        ``base_schema_json`` — the schema the caller's DataFrame was
+        written against (captured before staging). If a concurrent DDL
+        commit rebound any of the write's column NAMES (rename, drop,
+        drop+readd) or restarted the id epoch (overwrite_all) before
+        this commit landed, the name-keyed schema merge would silently
+        fork the schema (the renamed-away name re-added as a phantom new
+        column holding only this write's rows); that raises
+        :class:`CompactionConflict` instead — re-run the write against
+        the current schema.
 
         ``replace_scope`` (op="replace" only) widens the drop set from
         "partitions present in the staged data" to "every parent
@@ -1824,6 +1896,25 @@ class HadoopTable:
             parent: Snapshot | None = self.snapshot(versions[-1]) if versions else None
             if precondition is not None and not precondition(parent):
                 raise PreconditionFailed(op)
+            if (
+                base_schema_json is not None
+                and parent is not None
+                and op != "overwrite_all"
+            ):
+                b_ids, _ = _schema_ids(base_schema_json)
+                p_ids, _ = _schema_ids(parent.schema_json)
+                stale = _schema_epoch(base_schema_json) != _schema_epoch(
+                    parent.schema_json
+                ) or any(
+                    b_ids.get(c) is not None and p_ids.get(c) != b_ids[c]
+                    for c in df.columns
+                )
+                if stale:
+                    raise CompactionConflict(
+                        "a concurrent schema commit rebound this write's "
+                        "columns; re-run the write against the current "
+                        "schema"
+                    )
             if parent is not None and (
                 parent.partition_cols != partition_cols
                 or spec_to_json(parent.spec) != spec_json
@@ -1951,6 +2042,7 @@ class HadoopTable:
         summary_extra: dict[str, Any] | None = None,
     ) -> Snapshot:
         pcols, spec = self._resolve_pcols(partition_cols)
+        base = self.snapshot().schema_json if self.exists() else None
         return self._commit(
             self._stage(df, pcols, spec),
             df,
@@ -1958,6 +2050,7 @@ class HadoopTable:
             pcols,
             summary_extra=summary_extra,
             spec=spec,
+            base_schema_json=base,
         )
 
     def replace_partitions(
@@ -1983,6 +2076,7 @@ class HadoopTable:
         rscope = (
             {k: str(v) for k, v in scope.items()} if scope else None
         )
+        base = self.snapshot().schema_json if self.exists() else None
         return self._commit(
             self._stage(df, pcols, spec),
             df,
@@ -1990,6 +2084,7 @@ class HadoopTable:
             pcols,
             replace_scope=rscope,
             spec=spec,
+            base_schema_json=base,
         )
 
     def overwrite_all(
@@ -2164,19 +2259,32 @@ class HadoopTable:
 
         out_ids, _ = _schema_ids(out_snap.schema_json) if out_snap else ({}, 0)
         out_defaults = _schema_defaults(out_snap.schema_json) if out_snap else {}
+        out_epoch = _schema_epoch(out_snap.schema_json) if out_snap else None
 
         def tag(df: DataFrame, ctype: str, s: Snapshot) -> DataFrame:
             # align to the OUT schema BY FIELD ID (schema evolution:
             # rows scanned under snapshot s carry s's column names; a
             # column renamed after s must still land in the out-schema
-            # name, an added one null-fills, a dropped one is omitted)
+            # name, an added one null-fills, a dropped one is omitted).
+            # Ids are comparable only within one id EPOCH — overwrite_all
+            # restarts the id space, so id 1 before and after it are
+            # unrelated columns; across epochs (or for legacy metadata
+            # with no persisted ids) fall back to name alignment, which
+            # is exact there: renames only exist inside an epoch.
             out_fields = json.loads(out_snap.schema_json)["fields"]
+            same_epoch = (
+                out_epoch is not None
+                and _schema_epoch(s.schema_json) == out_epoch
+            )
             s_ids, _ = _schema_ids(s.schema_json)
             name_at_s = {fid: n for n, fid in s_ids.items()}
             have = set(df.columns)
             cols = []
             for fld in out_fields:
-                src = name_at_s.get(out_ids.get(fld["name"]))
+                if same_epoch:
+                    src = name_at_s.get(out_ids.get(fld["name"]))
+                else:
+                    src = fld["name"]
                 from pyspark.sql.types import StructField
 
                 dt = StructField.fromJson(fld).dataType
@@ -2726,6 +2834,7 @@ class HadoopTable:
                 child_schema,
                 snap.spec,
                 conflict=True,
+                scan_schema_json=snap.schema_json,
             )
             summary = self._inherited_summary(parent, None)
             summary.update(
@@ -2822,6 +2931,7 @@ class HadoopTable:
                 child_schema,
                 snap.spec,
                 conflict=True,
+                scan_schema_json=snap.schema_json,
             ) + [_dc_replace(e, seq=version) for e in staged_del]
             summary = self._inherited_summary(parent, summary_extra)
             summary.update(
@@ -2996,6 +3106,7 @@ class HadoopTable:
                 parent.schema_json,
                 snap.spec,
                 conflict=True,
+                scan_schema_json=snap.schema_json,
             )
             summary = self._inherited_summary(parent, None)
             summary.update(
@@ -3423,6 +3534,7 @@ class HadoopTable:
                 parent.schema_json,
                 snap.spec,
                 conflict=True,
+                scan_schema_json=snap.schema_json,
             )
             summary = self._inherited_summary(parent, None)
             summary.update(

@@ -143,6 +143,13 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
         table = table.rename_columns(
             [part.rename_map.get(c, c) for c in table.column_names]
         )
+    # hive dir values are keyed by PHYSICAL names too: map them through
+    # the same rename map (a renamed identity-partition column from an
+    # old layout keeps its values; a dropped+readded name maps to the
+    # stale sentinel and can never resurrect the old dir values)
+    part_vals = {
+        part.rename_map.get(k, k): v for k, v in part.partition.items()
+    }
     n = table.num_rows
 
     # --- merge-on-read masking (vectorized — no per-row Python loop) ----
@@ -158,6 +165,24 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
                 mask = np.ones(n, dtype=bool)
             pos = hits.column("pos").to_numpy(zero_copy_only=False)
             mask[pos[pos < n].astype(np.int64)] = False
+    field_by_name = {sf.name: sf for sf in schema.fields}
+
+    def _key_vals(c: str) -> list:
+        # an eq-delete key the file PREDATES (or stores as a hive dir)
+        # must compare against the ALIGNED value — the same constant the
+        # projection emits: dir value, else the column default, else null
+        if c in table.column_names:
+            return table.column(c).to_pylist()
+        if c in part_vals:
+            sf = field_by_name.get(c)
+            v = (
+                _parse_partition_value(part_vals[c], sf.dataType)
+                if sf is not None
+                else part_vals[c]
+            )
+            return [v] * n
+        return [part.defaults.get(c)] * n
+
     for dpath, cols, dseq in part.eq_deletes:
         if dseq <= part.seq:  # defensive; driver already filtered
             continue
@@ -167,7 +192,7 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
         keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
         if not keys:
             continue
-        vals = zip(*[table.column(c).to_pylist() for c in cols])
+        vals = zip(*[_key_vals(c) for c in cols])
         hit = np.fromiter((t in keys for t in vals), dtype=bool, count=n)
         if hit.any():
             if mask is None:
@@ -182,8 +207,8 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
     for sf, af in zip(schema.fields, arrow_schema):
         if sf.name in table.column_names:
             arrays.append(table.column(sf.name).cast(af.type))
-        elif sf.name in part.partition:
-            v = _parse_partition_value(part.partition[sf.name], sf.dataType)
+        elif sf.name in part_vals:
+            v = _parse_partition_value(part_vals[sf.name], sf.dataType)
             arrays.append(pa.array([v] * n).cast(af.type))
         elif sf.name in part.defaults:
             arrays.append(pa.array([part.defaults[sf.name]] * n).cast(af.type))
@@ -232,6 +257,7 @@ def _plan_partitions(
         HadoopTable,
         _file_defaults,
         _rename_map,
+        _schema_defaults,
         _schema_ids,
     )
 
@@ -240,6 +266,7 @@ def _plan_partitions(
         version = t._resolve_ref(ref)
     snap = t.snapshot(version)
     cur_ids, _ = _schema_ids(snap.schema_json)
+    cur_defaults = _schema_defaults(snap.schema_json)
     files = t.plan_files(version, predicate=predicate or None)
     root = t.root
     pos = [
@@ -258,7 +285,7 @@ def _plan_partitions(
                 seq=f.seq,
                 schema_json=snap.schema_json,
                 rename_map=_rename_map(f, cur_ids),
-                defaults=_file_defaults(f, snap.schema_json),
+                defaults=_file_defaults(f, cur_ids, cur_defaults),
                 pos_delete_paths=[os.path.join(root, d.path) for d in pos],
                 eq_deletes=[
                     (
@@ -322,11 +349,24 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         self.skip_non_appends = (
             str(options.get("skip_non_appends", "false")).lower() == "true"
         )
+        self._schema_json: str | None = None
 
     def _table(self):
         from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
         return HadoopTable(None, self.location)
+
+    def _stream_schema(self, t) -> str | None:
+        """The stream's FIXED schema (captured at reader construction,
+        matching what DataSource.schema() declared): a Structured
+        Streaming query's schema cannot change mid-stream, so every
+        microbatch's files are projected to this one shape by field id —
+        a rename/add/widen committed while the stream runs keeps the
+        batches binding correctly instead of emitting the adding
+        snapshot's (different) column set."""
+        if self._schema_json is None and t.exists():
+            self._schema_json = t.snapshot().schema_json
+        return self._schema_json
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -360,13 +400,25 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         from logparserhelper_spark.sinks.hadoop_table import (
             _file_defaults,
             _rename_map,
+            _schema_defaults,
+            _schema_epoch,
             _schema_ids,
         )
 
+        fixed = self._stream_schema(t)
+        if fixed is None or not base_snaps:
+            return []
+        fixed_ids, _ = _schema_ids(fixed)
+        fixed_defaults = _schema_defaults(fixed)
+        fixed_epoch = _schema_epoch(fixed)
         parts: list[InputPartition] = []
         for s in base_snaps:
             prev = {f.path for f in t.snapshot(s.parent).files} if s.parent else set()
-            s_ids, _ = _schema_ids(s.schema_json)
+            # files project to the stream's FIXED schema by field id —
+            # valid within one id epoch; across an epoch restart (an
+            # overwrite_all skipped via skip_non_appends) ids are
+            # unrelated, so fall back to best-effort name alignment
+            same_epoch = _schema_epoch(s.schema_json) == fixed_epoch
             for f in s.files:
                 if f.content == "data" and f.path not in prev:
                     parts.append(
@@ -375,9 +427,17 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                             rel_path=f.path,
                             partition=dict(f.partition),
                             seq=f.seq,
-                            schema_json=s.schema_json,
-                            rename_map=_rename_map(f, s_ids),
-                            defaults=_file_defaults(f, s.schema_json),
+                            schema_json=fixed,
+                            rename_map=(
+                                _rename_map(f, fixed_ids)
+                                if same_epoch
+                                else {}
+                            ),
+                            defaults=(
+                                _file_defaults(f, fixed_ids, fixed_defaults)
+                                if same_epoch
+                                else {}
+                            ),
                         )
                     )
         return parts

@@ -284,7 +284,7 @@ def test_concurrent_rename_aborts_inflight_compaction(spark, tmp_path):
     # a rename lands between the compaction scan and its commit: the
     # staged files' physical names no longer resolve in the new schema
     t.rename_column("v", "value")
-    with pytest.raises(CompactionConflict, match="renamed or dropped"):
+    with pytest.raises(CompactionConflict, match="renamed, dropped, or rebound"):
         t._commit_compaction(snap, rewrite, staged, snap.partition_cols)
 
 
@@ -396,3 +396,157 @@ def test_default_in_changelog_and_rejected_types(spark, tmp_path):
     assert {r.lang for r in ins.collect()} == {"en"}
     with pytest.raises(ValueError, match="JSON primitive"):
         t.add_column("bad", "string", default=["not", "primitive"])
+
+
+# ----------------------------------------------- review-hardening cases
+
+
+def test_changelog_across_overwrite_all_id_restart(spark, tmp_path):
+    """overwrite_all restarts the field-id space: a new column that
+    happens to reuse id 1 must NOT inherit the old id-1 column's values
+    in the changelog (ids are only comparable within one epoch)."""
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(7, "a")], "k int, name string"))
+    t.overwrite_all(spark.createDataFrame([(1.5,)], "z double"))
+    ch = t.read_changes(0)
+    by_ver = {
+        (r._change_version, r._change_type): r
+        for r in ch.collect()
+    }
+    # the v1 insert aligns by NAME across the epoch break: z is null
+    # there, never the old k value coerced into it
+    assert by_ver[(1, "insert")].z is None
+    assert by_ver[(2, "insert")].z == 1.5
+    assert by_ver[(2, "delete")].z is None  # the removed v1 row
+
+
+def test_datasource_partition_values_after_spec_then_rename(spark, tmp_path):
+    """An identity-partition column can be renamed once update_spec
+    evolved the layout away from it; old files' hive dir values must
+    flow into the RENAMED column through the data source (not nulls),
+    and a drop+readd must not resurrect them."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = _mk(spark, tmp_path / "t")  # partitioned by sink
+    t.update_spec([])  # unpartition future writes; old dirs remain
+    t.rename_column("sink", "route")
+    exp = {r.k: r.route for r in t.read().collect()}
+    assert set(exp.values()) == {"s0", "s1"}  # native path keeps values
+    ds = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert {r.k: r.route for r in ds.collect()} == exp
+    # drop + re-add under the same name: fresh id, old dir values dead
+    t.drop_column("route")
+    t.add_column("route", "string")
+    assert {r.route for r in t.read().collect()} == {None}
+    ds2 = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert {r.route for r in ds2.collect()} == {None}
+
+
+def test_default_must_match_column_type(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("score", "int", default="oops")
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("flag", "boolean", default=1)
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("tiny", "tinyint", default=1000)  # out of range
+    t.add_column("score", "int", default=3)  # valid one still works
+    assert {r.score for r in t.read().collect()} == {3}
+
+
+def test_concurrent_rename_readd_conflicts_compaction(spark, tmp_path):
+    """The nastier race: rename v->value then re-add a fresh 'v' while a
+    compaction is staged. The staged files' 'v' data is PRE-rename id-2
+    data; stamping it with the re-added column's fresh id would
+    resurrect it — the commit must abort instead."""
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.append(
+        spark.createDataFrame(
+            [(50, 51, "x", "s0")], "k int, v int, name string, sink string"
+        )
+    )
+    snap = t.snapshot()
+    rewrite = list(snap.data_files)
+    staged = t._stage(
+        t._scan(snap, rewrite, guard=False), snap.partition_cols, snap.spec
+    )
+    t.rename_column("v", "value")
+    t.add_column("v", "int")  # same NAME alive again, different id
+    with pytest.raises(CompactionConflict, match="rebound"):
+        t._commit_compaction(snap, rewrite, staged, snap.partition_cols)
+
+
+def test_append_racing_rename_conflicts_not_forks(spark, tmp_path):
+    """A plain append staged under the old schema must CONFLICT when a
+    rename lands first — not silently re-add the renamed-away name as a
+    phantom new column holding only this write's rows."""
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    df = spark.createDataFrame(
+        [(60, 61, "r", "s1")], "k int, v int, name string, sink string"
+    )
+    base = t.snapshot().schema_json
+    staged = t._stage(df, [], [])
+    t.rename_column("v", "value")
+    with pytest.raises(CompactionConflict, match="rebound this write"):
+        t._commit(staged, df, "append", [], spec=[], base_schema_json=base)
+    # no phantom column was committed
+    assert "v" not in t.read().columns
+
+
+def test_datasource_eq_delete_key_predating_file(spark, tmp_path):
+    """MoR upsert keyed on a column an old file PREDATES: the worker
+    must evaluate that file's rows against the aligned constant
+    (default/null), matching the native read — not crash."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = _mk(spark, tmp_path / "t", partitioned=False)
+    t.add_column("lang", "string", default="en")
+    t.upsert(
+        spark.createDataFrame(
+            [(3, 999, "u", "s0", "en")],
+            "k int, v int, name string, sink string, lang string",
+        ),
+        key_cols=["k", "lang"],
+        mode="merge-on-read",
+    )
+    native = _rows(t.read().select("k", "v", "lang"))
+    assert (3, 999, "en") in native and (3, 6, "en") not in native
+    ds = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert _rows(ds.select("k", "v", "lang")) == native
+
+
+def test_stream_spans_rename_binds_current_names(spark, tmp_path):
+    """A rename committed before the stream starts must not break a
+    backlog read that includes pre-rename appends: every microbatch
+    projects to the stream's fixed (current) schema by field id."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    loc = str(tmp_path / "t")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.rename_column("v", "value")
+    t.append(spark.createDataFrame([(2, 20)], "k int, value int"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("starting_version", 0)
+        .load(loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.value) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 10), (2, 20)}
