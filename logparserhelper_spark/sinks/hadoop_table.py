@@ -3733,20 +3733,33 @@ class HadoopTable:
         return removed
 
     def expire_snapshots(
-        self, keep_last: int = 1, cleanup_older_than_sec: float = 86400.0
+        self,
+        keep_last: int = 1,
+        cleanup_older_than_sec: float = 86400.0,
+        older_than_ms: int | None = None,
     ) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots, then reclaim
-        files only they referenced. Snapshots pinned by a tag
-        (:meth:`create_tag`) are ALWAYS retained regardless of
-        ``keep_last`` — the Iceberg ref-retention rule that makes tags
-        durable audit/repro pins — until the tag is dropped. Expiry is
-        metadata-first (unlink the version files, THEN collect garbage)
-        so a crash mid-expiry can strand files but never break a
-        retained snapshot. The cleanup keeps :meth:`cleanup_orphans`'
-        in-flight-writer grace period — freshly-expired files younger
-        than it are reclaimed by the next cleanup instead."""
+        """Drop old snapshots, then reclaim files only they referenced.
+        Retention composes like Iceberg's ``expireSnapshots``: the newest
+        ``keep_last`` snapshots are always kept, ``older_than_ms`` (when
+        given) additionally keeps every snapshot committed AT or after
+        that timestamp (so only strictly-older ones expire — the
+        time-travel window SLAs are written in), and snapshots pinned by
+        a tag (:meth:`create_tag`) are ALWAYS retained regardless — the
+        Iceberg ref-retention rule that makes tags durable audit/repro
+        pins — until the tag is dropped. Expiry is metadata-first
+        (unlink the version files, THEN collect garbage) so a crash
+        mid-expiry can strand files but never break a retained snapshot.
+        The cleanup keeps :meth:`cleanup_orphans`' in-flight-writer
+        grace period — freshly-expired files younger than it are
+        reclaimed by the next cleanup instead."""
         vs = self.versions()
         drop = vs[:-keep_last] if keep_last > 0 else vs
+        if older_than_ms is not None:
+            drop = [
+                v
+                for v in drop
+                if self.snapshot(v).timestamp_ms < older_than_ms
+            ]
         if self.branch_name is None:
             pinned = {
                 int(r["version"])
@@ -3758,6 +3771,40 @@ class HadoopTable:
             os.unlink(self._meta_path(v))
         self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
         return drop
+
+    def maintain(
+        self,
+        target_file_bytes: int = 128 << 20,
+        keep_last: int = 3,
+        older_than_ms: int | None = None,
+        orphan_grace_sec: float = 86400.0,
+    ) -> dict[str, Any]:
+        """One maintenance pass — the operational cadence loop a
+        long-lived table needs, in dependency order:
+
+        1. :meth:`compact` — bin-pack small files, materialize + retire
+           row-level delete files, migrate old-layout / legacy files
+           (the union-depth guard in ``_read_files`` points here);
+        2. :meth:`expire_snapshots` — retention-window snapshot expiry
+           (tags always survive), which also runs the orphan cleanup
+           under the in-flight-writer grace period.
+
+        Returns a summary dict. Raises :class:`CompactionConflict` when
+        a concurrent writer raced the compaction — re-run the pass (the
+        expiry half is unconditionally safe, so nothing is half-done in
+        a way a re-run cannot finish). Cadence guidance at 100 TB: run
+        roughly every ``max_union_roots`` commits per table; each half
+        is snapshot-atomic, so maintenance never blocks readers or
+        writers beyond the optimistic-commit conflict rules."""
+        out: dict[str, Any] = {}
+        snap = self.compact(target_file_bytes=target_file_bytes)
+        out["compacted_version"] = snap.version if snap is not None else None
+        out["expired_versions"] = self.expire_snapshots(
+            keep_last=keep_last,
+            cleanup_older_than_sec=orphan_grace_sec,
+            older_than_ms=older_than_ms,
+        )
+        return out
 
 
 def last_streaming_batch(table: HadoopTable) -> int | None:

@@ -550,3 +550,78 @@ def test_stream_spans_rename_binds_current_names(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.k, r.value) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 10), (2, 20)}
+
+
+# ------------------------------------------ nested types + maintenance
+
+
+def test_array_and_binary_columns_roundtrip_and_evolve(spark, tmp_path):
+    """The transcripts/documents world carries array<float> embeddings
+    and binary payloads: they must round-trip through the table, the
+    data source, and a rename (ids are type-agnostic); stats harvesting
+    must skip them without breaking pruning on scalar columns."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, [float(i), i + 0.5], bytes([i, 255 - i])) for i in range(8)],
+        "k int, emb array<float>, payload binary",
+    )
+    t.append(df)
+    t.rename_column("emb", "embedding")
+    got = {r.k: (list(r.embedding), bytes(r.payload)) for r in t.read().collect()}
+    assert got[3] == ([3.0, 3.5], bytes([3, 252]))
+    ds = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert {
+        r.k: (list(r.embedding), bytes(r.payload)) for r in ds.collect()
+    } == got
+    # scalar-column pruning still works alongside unprunable types
+    assert len(t.plan_files(predicate=[("k", ">", 100)])) == 0
+    # defaults stay refused for non-primitive types
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("vec", "array<float>", default=1.0)
+
+
+def test_maintain_compacts_and_expires(spark, tmp_path):
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    for i in range(4):  # 4 tiny appends -> 4 snapshots, small files
+        t.append(
+            spark.createDataFrame([(i, "v%d" % i)], "k int, v string")
+        )
+    t.delete([("k", "=", 2)], mode="merge-on-read")
+    before = _rows(t.read())
+    out = t.maintain(keep_last=1, orphan_grace_sec=0)
+    assert out["compacted_version"] is not None
+    assert len(out["expired_versions"]) >= 4
+    assert _rows(t.read()) == before  # maintenance never changes rows
+    assert not t.snapshot().delete_files  # MoR deletes materialized
+    assert len(t.versions()) == 1  # retention applied
+    # expired data files were garbage-collected (grace 0)
+    live = {f.path for f in t.snapshot().files}
+    on_disk = set()
+    import os as _os
+
+    for dirpath, _d, names in _os.walk(str(tmp_path / "t" / "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(
+                    _os.path.relpath(
+                        _os.path.join(dirpath, n), str(tmp_path / "t")
+                    )
+                )
+    assert on_disk == live
+
+
+def test_expire_older_than_keeps_window(spark, tmp_path):
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    cut = t.snapshot(2).timestamp_ms  # v2 commits AT the cut: retained
+    dropped = t.expire_snapshots(
+        keep_last=1, older_than_ms=cut, cleanup_older_than_sec=0
+    )
+    assert dropped == [1]
+    assert t.versions() == [2, 3]
