@@ -791,6 +791,9 @@ class HadoopTable:
         ``history``    — the snapshot log (oldest first).
         ``refs``       — named tags and branches with their pinned/current
                          version.
+        ``schema``     — the (time-travelable) current schema with field
+                         ids, defaults, and the id epoch — the
+                         schema-evolution debugging surface.
 
         ``version`` time-travels ``files``/``partitions`` (the other
         tables are chain-wide). Returns an EMPTY correctly-typed frame
@@ -901,6 +904,33 @@ class HadoopTable:
                 "made_current_at timestamp_ntz, n_files int, "
                 "n_records bigint",
             )
+        if name == "schema":
+            snap = self.snapshot(version)
+            ids, last = _schema_ids(snap.schema_json)
+            defaults = _schema_defaults(snap.schema_json)
+            epoch = _schema_epoch(snap.schema_json)
+            rows = []
+            for fld in json.loads(snap.schema_json)["fields"]:
+                fid = ids.get(fld["name"])
+                dv = defaults.get(fid)
+                rows.append(
+                    (
+                        fld["name"],
+                        fid,
+                        json.dumps(fld["type"])
+                        if not isinstance(fld["type"], str)
+                        else fld["type"],
+                        bool(fld.get("nullable", True)),
+                        None if dv is None else str(dv),
+                        last,
+                        epoch,
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "name string, field_id int, type string, nullable boolean, "
+                "default string, last_field_id int, id_epoch string",
+            )
         if name == "refs":
             rows = [
                 (n, str(r.get("type", "tag")), int(r["version"]))
@@ -914,7 +944,7 @@ class HadoopTable:
             )
         raise ValueError(
             f"unknown metadata table {name!r}; one of snapshots, files, "
-            "partitions, history, refs"
+            "partitions, history, refs, schema"
         )
 
     # ------------------------------------------------------------- refs/tags

@@ -124,3 +124,20 @@ def test_inspect_empty_table_and_unknown_name(spark, tmp_path):
         assert len(df.schema.fields) >= 3  # typed, not degenerate
     with pytest.raises(ValueError, match="unknown metadata table"):
         t.inspect("manifests")
+
+
+def test_inspect_schema_table(spark, tmp_path):
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    t = HadoopTable(spark, str(tmp_path / "ts"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.rename_column("v", "val")
+    t.add_column("lang", "string", default="en")
+    rows = {r.name: r for r in t.inspect("schema").collect()}
+    assert rows["val"].field_id == 2  # rename kept the id
+    assert rows["lang"].default == "en"
+    assert rows["k"].default is None
+    assert rows["k"].id_epoch == rows["lang"].id_epoch is not None
+    # time travel shows the pre-rename shape
+    old = {r.name for r in t.inspect("schema", version=1).collect()}
+    assert old == {"k", "v"}
