@@ -631,6 +631,10 @@ class Snapshot:
     # hidden-partitioning spec (partition_spec.py). Empty = legacy
     # manifest: every partition column is an identity field.
     partition_spec: list[PartitionField] = field(default_factory=list)
+    # table PROPERTIES (Iceberg's key->value config map): carried forward
+    # by every commit, mutated only by set/unset_properties. String
+    # values only — they are configuration, not data.
+    properties: dict[str, str] = field(default_factory=dict)
 
     @property
     def spec(self) -> list[PartitionField]:
@@ -657,6 +661,25 @@ class Snapshot:
         return sum(f.records for f in self.data_files) - sum(
             f.records for f in self.files if f.content == "position-deletes"
         )
+
+
+def _snapshot_payload(snap: Snapshot) -> dict[str, Any]:
+    """The metadata-file JSON for a snapshot — ONE serialization for
+    every commit path, so a new snapshot field (properties, spec, ...)
+    cannot be forgotten by one of them."""
+    return {
+        "format_version": 1,
+        "version": snap.version,
+        "parent": snap.parent,
+        "operation": snap.operation,
+        "timestamp_ms": snap.timestamp_ms,
+        "schema_json": snap.schema_json,
+        "partition_cols": snap.partition_cols,
+        "partition_spec": spec_to_json(snap.spec),
+        "summary": snap.summary,
+        "properties": snap.properties,
+        "files": [e.to_json() for e in snap.files],
+    }
 
 
 class HadoopTable:
@@ -750,6 +773,7 @@ class HadoopTable:
             files=[DataFile.from_json(x) for x in d["files"]],
             summary=dict(d.get("summary") or {}),
             partition_spec=spec_from_json(d.get("partition_spec") or []),
+            properties=dict(d.get("properties") or {}),
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -1077,20 +1101,10 @@ class HadoopTable:
                 partition_spec=old.spec,
                 files=list(old.files),
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "rollback",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, new_version)
                 return new
@@ -1180,20 +1194,10 @@ class HadoopTable:
                 partition_spec=spec,
                 files=list(parent.files),
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "update-spec",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, new_version)
                 return new
@@ -1303,20 +1307,10 @@ class HadoopTable:
                 partition_spec=parent.spec,
                 files=list(parent.files),
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "evolve-schema",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -1477,6 +1471,87 @@ class HadoopTable:
 
         return self._commit_schema(mutate, f"widen {name}")
 
+    # ------------------------------------------------------ table properties
+    def properties(self) -> dict[str, str]:
+        """The table's key->value configuration map (Iceberg table
+        properties): carried forward by every commit, mutated only by
+        :meth:`set_properties` / :meth:`unset_properties`. Knobs the
+        maintenance surface reads (explicit argument > property >
+        built-in default):
+
+        - ``write.target-file-size-bytes`` — compact()/maintain() bin
+          target (default 128 MiB)
+        - ``history.keep-last`` — expire_snapshots()/maintain() snapshot
+          retention count (default 1 / maintain 3)
+        - ``orphan.grace-sec`` — cleanup_orphans() in-flight-writer
+          grace period (default 86400; Iceberg defaults its
+          remove_orphan_files retention the same way)
+        - ``read.max-union-roots`` — the union-depth maintenance-cadence
+          warning threshold
+        """
+        return dict(self.snapshot().properties) if self.exists() else {}
+
+    def _prop(self, key: str, default):
+        if not self.exists():
+            return default
+        v = self.snapshot().properties.get(key)
+        if v is None:
+            return default
+        return type(default)(v) if default is not None else v
+
+    def set_properties(self, props: dict[str, Any]) -> Snapshot:
+        """Set table properties — a metadata-only commit under the same
+        optimistic protocol as everything else, so two concurrent
+        property writers serialize instead of losing updates."""
+        return self._commit_properties(
+            {k: str(v) for k, v in props.items()}, drop=()
+        )
+
+    def unset_properties(self, *keys: str) -> Snapshot:
+        return self._commit_properties({}, drop=keys)
+
+    def _commit_properties(
+        self, update: dict[str, str], drop: tuple | list
+    ) -> Snapshot:
+        while True:
+            parent = self.snapshot()
+            props = dict(parent.properties)
+            props.update(update)
+            for k in drop:
+                props.pop(k, None)
+            if props == parent.properties:
+                return parent  # idempotent
+            version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "added_files": 0,
+                    "kept_files": len(parent.files),
+                    "added_records": 0,
+                    "properties_changed": ",".join(
+                        sorted(set(update) | set(drop))
+                    ),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="set-properties",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
+                files=list(parent.files),
+                summary=summary,
+                properties=props,
+            )
+            summary["total_records"] = new.total_records
+            try:
+                self._promote(_snapshot_payload(new), version)
+                return new
+            except CommitConflict:
+                continue
+
     # ------------------------------------------------------------- branches
     def branch(self, name: str) -> "HadoopTable":
         """A view of this table whose reads and writes use the branch's
@@ -1519,6 +1594,7 @@ class HadoopTable:
             "partition_cols": cur.partition_cols,
             "partition_spec": spec_to_json(cur.spec),
             "summary": summary,
+            "properties": dict(cur.properties),
             "files": [e.to_json() for e in cur.files],
         }
         b._promote(payload, 1)  # fail-if-exists: a racing creator loses
@@ -1575,6 +1651,7 @@ class HadoopTable:
                 "partition_cols": head.partition_cols,
                 "partition_spec": spec_to_json(head.spec),
                 "summary": summary,
+                "properties": dict(head.properties),
                 "files": [e.to_json() for e in head.files],
             }
             self._promote(payload, version)  # CommitConflict propagates:
@@ -2042,21 +2119,11 @@ class HadoopTable:
                 partition_cols=partition_cols,
                 files=list(keep) + list(staged),
                 summary=summary,
+                properties=dict(parent.properties if parent else {}),
                 partition_spec=spec,
             )
             summary["total_records"] = snap.total_records
-            payload = {
-                "format_version": 1,
-                "version": snap.version,
-                "parent": snap.parent,
-                "operation": snap.operation,
-                "timestamp_ms": snap.timestamp_ms,
-                "schema_json": snap.schema_json,
-                "partition_cols": snap.partition_cols,
-                "partition_spec": spec_json,
-                "summary": summary,
-                "files": [e.to_json() for e in snap.files],
-            }
+            payload = _snapshot_payload(snap)
             try:
                 self._promote(payload, version)
                 return snap
@@ -2230,7 +2297,9 @@ class HadoopTable:
             # update-spec / evolve-schema are metadata-only (file set
             # unchanged): an append range spanning them still has
             # well-defined added rows
-            if op not in ("append", "update-spec", "evolve-schema"):
+            if op not in (
+                "append", "update-spec", "evolve-schema", "set-properties"
+            ):
                 raise ValueError(
                     f"incremental scan range contains a non-append snapshot "
                     f"v{v} ({op}); read the full snapshot instead"
@@ -2355,7 +2424,9 @@ class HadoopTable:
                         tag(self._read_files(cur, added_data), "insert", cur)
                     )
                 continue
-            if cur.operation in ("compact", "update-spec", "evolve-schema"):
+            if cur.operation in (
+                "compact", "update-spec", "evolve-schema", "set-properties"
+            ):
                 continue  # data-preserving: zero row-level changes
             removed_data = [
                 f for f in prev.data_files if f.path not in cur_paths
@@ -2522,15 +2593,18 @@ class HadoopTable:
                 if c["name"] != sf.name or c["type"] != sf.dataType.jsonValue():
                     return False
             return True
-        if guard and len(by_root) > self.max_union_roots:
+        max_roots = int(
+            snap.properties.get("read.max-union-roots", self.max_union_roots)
+        )
+        if guard and len(by_root) > max_roots:
             import warnings
 
             warnings.warn(
                 f"table {self.location} read spans {len(by_root)} staging "
-                f"roots (> max_union_roots={self.max_union_roots}); each is "
+                f"roots (> max_union_roots={max_roots}); each is "
                 "a union branch in the scan plan — run compact() to collapse "
                 "accreted commits (maintenance cadence: roughly every "
-                f"{self.max_union_roots} commits)",
+                f"{max_roots} commits)",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -2884,20 +2958,10 @@ class HadoopTable:
                 partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             new.summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "upsert",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": new.summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -2986,20 +3050,10 @@ class HadoopTable:
                 partition_spec=snap.spec,
                 files=list(parent.files) + staged,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "upsert",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -3157,20 +3211,10 @@ class HadoopTable:
                 partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "delete",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -3270,20 +3314,10 @@ class HadoopTable:
                 partition_spec=parent.spec,
                 files=list(parent.files) + staged_v,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "delete",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -3293,7 +3327,7 @@ class HadoopTable:
     # -------------------------------------------------------------- compact
     def compact(
         self,
-        target_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
     ) -> Snapshot | None:
@@ -3351,6 +3385,10 @@ class HadoopTable:
         nulls rank lowest. Mutually exclusive with ``sort_by``."""
         import math
 
+        if target_file_bytes is None:
+            target_file_bytes = int(
+                self._prop("write.target-file-size-bytes", 128 << 20)
+            )
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         if zorder_by is not None and len(zorder_by) < 2:
@@ -3588,20 +3626,10 @@ class HadoopTable:
                 partition_spec=snap.spec,
                 files=keep + staged,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "compact",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -3642,20 +3670,10 @@ class HadoopTable:
                 partition_spec=parent.spec,
                 files=keep,
                 summary=summary,
+                properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = {
-                "format_version": 1,
-                "version": new.version,
-                "parent": new.parent,
-                "operation": "compact",
-                "timestamp_ms": new.timestamp_ms,
-                "schema_json": new.schema_json,
-                "partition_cols": new.partition_cols,
-                "partition_spec": spec_to_json(new.spec),
-                "summary": summary,
-                "files": [e.to_json() for e in new.files],
-            }
+            payload = _snapshot_payload(new)
             try:
                 self._promote(payload, version)
                 return new
@@ -3690,7 +3708,9 @@ class HadoopTable:
             for f in t.snapshot(v).files
         }
 
-    def cleanup_orphans(self, older_than_sec: float = 86400.0) -> list[str]:
+    def cleanup_orphans(
+        self, older_than_sec: float | None = None
+    ) -> list[str]:
         """Remove data files not referenced by ANY retained snapshot on
         any chain (branches included — see :meth:`_live_files`) — the
         debris of commits that died before their metadata swap.
@@ -3718,6 +3738,8 @@ class HadoopTable:
         the rmdir sweep can remove it."""
         import time as _time
 
+        if older_than_sec is None:
+            older_than_sec = float(self._prop("orphan.grace-sec", 86400.0))
         cutoff = _time.time() - older_than_sec
         live = self._live_files()
         # staging roots (data/<uuid>) that still host live files: their
@@ -3764,8 +3786,8 @@ class HadoopTable:
 
     def expire_snapshots(
         self,
-        keep_last: int = 1,
-        cleanup_older_than_sec: float = 86400.0,
+        keep_last: int | None = None,
+        cleanup_older_than_sec: float | None = None,
         older_than_ms: int | None = None,
     ) -> list[int]:
         """Drop old snapshots, then reclaim files only they referenced.
@@ -3782,6 +3804,8 @@ class HadoopTable:
         The cleanup keeps :meth:`cleanup_orphans`' in-flight-writer
         grace period — freshly-expired files younger than it are
         reclaimed by the next cleanup instead."""
+        if keep_last is None:
+            keep_last = int(self._prop("history.keep-last", 1))
         vs = self.versions()
         drop = vs[:-keep_last] if keep_last > 0 else vs
         if older_than_ms is not None:
@@ -3804,10 +3828,10 @@ class HadoopTable:
 
     def maintain(
         self,
-        target_file_bytes: int = 128 << 20,
-        keep_last: int = 3,
+        target_file_bytes: int | None = None,
+        keep_last: int | None = None,
         older_than_ms: int | None = None,
-        orphan_grace_sec: float = 86400.0,
+        orphan_grace_sec: float | None = None,
     ) -> dict[str, Any]:
         """One maintenance pass — the operational cadence loop a
         long-lived table needs, in dependency order:
@@ -3826,6 +3850,8 @@ class HadoopTable:
         roughly every ``max_union_roots`` commits per table; each half
         is snapshot-atomic, so maintenance never blocks readers or
         writers beyond the optimistic-commit conflict rules."""
+        if keep_last is None:
+            keep_last = int(self._prop("history.keep-last", 3))
         out: dict[str, Any] = {}
         snap = self.compact(target_file_bytes=target_file_bytes)
         out["compacted_version"] = snap.version if snap is not None else None

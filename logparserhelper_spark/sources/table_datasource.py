@@ -386,7 +386,9 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         base_snaps = []
         for v in range(lo + 1, hi + 1):
             s = t.snapshot(v)
-            if s.operation in ("update-spec", "evolve-schema"):
+            if s.operation in (
+                "update-spec", "evolve-schema", "set-properties"
+            ):
                 continue  # metadata-only: no files added, always safe
             if s.operation != "append":
                 if self.skip_non_appends:

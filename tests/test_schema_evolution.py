@@ -625,3 +625,68 @@ def test_expire_older_than_keeps_window(spark, tmp_path):
     )
     assert dropped == [1]
     assert t.versions() == [2, 3]
+
+
+# ------------------------------------------------------ table properties
+
+
+def test_properties_cas_carry_and_drive_maintenance(spark, tmp_path):
+    import warnings
+
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    assert t.properties() == {}
+    s = t.set_properties({"history.keep-last": 2, "owner": "corpus-team"})
+    assert s.operation == "set-properties"
+    assert t.properties()["history.keep-last"] == "2"
+    # idempotent: same values commit nothing
+    v = t.current_version()
+    t.set_properties({"owner": "corpus-team"})
+    assert t.current_version() == v
+    # properties CARRY through every commit kind
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    t.rename_column("k", "key")
+    t.update_spec([])
+    assert t.properties()["owner"] == "corpus-team"
+    # they drive the defaults: keep-last 2 retains two snapshots
+    t.append(spark.createDataFrame([(3,)], "key int"))
+    t.expire_snapshots(cleanup_older_than_sec=0)
+    assert len(t.versions()) == 2
+    # unset
+    t.unset_properties("owner")
+    assert "owner" not in t.properties()
+    # set-properties is metadata-only for incremental/changelog readers
+    lo = t.current_version()
+    t.set_properties({"x": "1"})
+    t.append(spark.createDataFrame([(9,)], "key int"))
+    assert [r.key for r in t.read_incremental(lo).collect()] == [9]
+    ch = t.read_changes(lo)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 1
+
+
+def test_union_roots_guard_reads_property(spark, tmp_path):
+    import warnings
+
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    t.set_properties({"read.max-union-roots": 2})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.read().count()
+    assert any("max_union_roots=2" in str(x.message) for x in w)
+
+
+def test_compact_target_from_property(spark, tmp_path):
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x" * 50)], "k int, v string"))
+    # a TINY per-file target from the property: want = ceil(bytes/200)
+    # exceeds the file count, so the 3 small files are already compact
+    # under the configured target and nothing rewrites
+    t.set_properties({"write.target-file-size-bytes": 200})
+    assert t.compact() is None
+    # an explicit argument still overrides the property (want collapses
+    # to 1 under a huge target -> bin-pack to one file)
+    assert t.compact(target_file_bytes=1 << 30) is not None
+    assert len(t.snapshot().data_files) == 1
