@@ -32,6 +32,17 @@ default — reading "what was added" across an overwrite is ill-defined —
 or are skipped with `.option("skip_non_appends", "true")`, mirroring
 Iceberg's `streaming-skip-overwrite-snapshots`.
 
+Writes are first-class too: ``df.write.format("snapshot_table")`` (and
+``df.writeStream...``) runs Iceberg's two-phase write protocol through
+the Python DataSource writer API — tasks stage immutable parquet (with
+footer stats and field-id manifests) under one commit uuid in parallel,
+and the driver's ``commit`` performs a single optimistic atomic
+metadata swap: append, truncate overwrite, and dynamic partition
+replace (``.option("replace_partitions", "true")``); the streaming
+writer stamps each microbatch's ``batchId`` as a commit precondition,
+making redelivery exactly-once. A failed job publishes nothing (abort +
+orphan GC reclaim the staged files).
+
 Workers read parquet with pyarrow directly (no nested Spark session) —
 identity partition columns are reconstructed from hive directory values
 and cast under the SNAPSHOT schema, never re-inferred, so a string
@@ -50,8 +61,10 @@ from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -61,6 +74,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -451,6 +465,266 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; nothing table-side
 
 
+@dataclass
+class TableWriteMessage(WriterCommitMessage):
+    """Per-task commit message: the manifest entries (DataFile json) for
+    the parquet files this task staged. The DRIVER composes them into
+    one atomic snapshot commit — exactly Iceberg's two-phase write
+    (tasks stage immutable files, a single metadata swap publishes)."""
+
+    entries: list
+
+
+def _resolve_write_target(options: dict, schema) -> tuple:
+    """(location, identity partition cols, base schema_json | None) for
+    a write. Existing tables dictate their own partitioning; new tables
+    take ``.option("partition_by", "a,b")``. Hidden-partition specs and
+    exotic dir-value types are refused — pyarrow and Spark format those
+    dir values differently, so round-tripping them through this writer
+    would corrupt partition parsing (HadoopTable.append handles them)."""
+    from pyspark.sql import types as T
+
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    location = options.get("path")
+    if not location:
+        raise ValueError("snapshot_table requires .save(<table path>)")
+    t = HadoopTable(None, location)
+    if t.exists():
+        snap = t.snapshot()
+        if any(f.transform != "identity" for f in snap.spec):
+            raise ValueError(
+                "the snapshot_table writer supports identity partitioning "
+                "only; use HadoopTable.append for hidden-partition specs"
+            )
+        pcols, base = snap.partition_cols, snap.schema_json
+    else:
+        raw = options.get("partition_by")
+        pcols = (
+            [c.strip() for c in str(raw).split(",") if c.strip()]
+            if raw
+            else []
+        )
+        base = None
+    names = set(schema.fieldNames())
+    for c in pcols:
+        if c not in names:
+            raise ValueError(
+                f"partition column {c!r} is not in the written schema"
+            )
+        dt = schema[c].dataType
+        if not isinstance(
+            dt,
+            (
+                T.StringType,
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.BooleanType,
+            ),
+        ):
+            raise ValueError(
+                f"writer partition column {c!r} has type "
+                f"{dt.simpleString()}; only string/integral/boolean dir "
+                "values round-trip identically between pyarrow and Spark "
+                "— use HadoopTable.append for the rest"
+            )
+    return location, pcols, base
+
+
+def _stage_batches(
+    location: str, commit_uuid: str, pcols: list, schema, iterator
+) -> list:
+    """Worker body shared by the batch and streaming writers: stage this
+    task's rows as immutable parquet under ``data/<commit uuid>/`` at
+    their FINAL paths (published only by the driver's metadata swap) and
+    return the manifest entries. Task attempt ids key the basenames, so
+    speculative/retried attempts can never collide — a failed attempt's
+    files stay unreferenced and are reclaimed by the orphan GC."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from logparserhelper_spark.sinks.hadoop_table import (
+        DataFile,
+        _collect_stats,
+        _df_columns,
+        _local_path,
+    )
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return []
+    tbl = pa.Table.from_batches(batches)
+    table_root = _local_path(location)
+    stage_root = os.path.join(table_root, "data", commit_uuid)
+    task = TaskContext.get().taskAttemptId()
+    written: list[str] = []
+    if pcols:
+        pq.write_to_dataset(
+            tbl,
+            root_path=stage_root,
+            partition_cols=pcols,
+            basename_template=f"part-{task}-{{i}}.parquet",
+            file_visitor=lambda f: written.append(f.path),
+            existing_data_behavior="overwrite_or_ignore",
+        )
+    else:
+        os.makedirs(stage_root, exist_ok=True)
+        p = os.path.join(stage_root, f"part-{task}-0.parquet")
+        pq.write_table(tbl, p)
+        written.append(p)
+    phys_columns = _df_columns(schema)
+    entries = []
+    for abs_p in sorted(written):
+        part: dict[str, str] = {}
+        rel_dir = os.path.relpath(os.path.dirname(abs_p), stage_root)
+        if rel_dir != ".":
+            for comp in rel_dir.split(os.sep):
+                if "=" in comp:
+                    k, _, val = comp.partition("=")
+                    from urllib.parse import unquote
+
+                    part[k] = unquote(val)
+        pf = pq.ParquetFile(abs_p)
+        entries.append(
+            DataFile(
+                path=os.path.relpath(abs_p, table_root),
+                partition=part,
+                records=pf.metadata.num_rows,
+                bytes=os.path.getsize(abs_p),
+                stats=_collect_stats(pf, None),
+                columns=[dict(c) for c in phys_columns],
+            ).to_json()
+        )
+    return entries
+
+
+class _SnapshotTableWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot_table")`` — the standard Spark write
+    API over the snapshot-commit protocol. ``mode("append")`` appends;
+    ``mode("overwrite")`` truncates (``overwrite_all``), or replaces
+    just the incoming partitions Iceberg-``overwritePartitions``-style
+    with ``.option("replace_partitions", "true")``. Tasks stage files in
+    parallel; the driver's ``commit`` is one optimistic atomic metadata
+    swap, so a failed job publishes NOTHING (abort + orphan GC reclaim
+    the staged files)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.location, self.pcols, self.base_schema_json = (
+            _resolve_write_target(options, schema)
+        )
+        self.schema = schema
+        self.dynamic = (
+            str(options.get("replace_partitions", "false")).lower() == "true"
+        )
+        if self.dynamic and not overwrite:
+            raise ValueError(
+                "replace_partitions requires mode('overwrite')"
+            )
+        if self.dynamic and not self.pcols:
+            raise ValueError(
+                "replace_partitions needs a partitioned table"
+            )
+        self.op = (
+            "replace"
+            if self.dynamic
+            else ("overwrite_all" if overwrite else "append")
+        )
+        self.commit_uuid = __import__("uuid").uuid4().hex[:16]
+
+    def write(self, iterator):
+        return TableWriteMessage(
+            _stage_batches(
+                self.location,
+                self.commit_uuid,
+                self.pcols,
+                self.schema,
+                iterator,
+            )
+        )
+
+    def _entries(self, messages) -> list:
+        from logparserhelper_spark.sinks.hadoop_table import DataFile
+
+        return [
+            DataFile.from_json(d)
+            for m in messages
+            if m is not None
+            for d in m.entries
+        ]
+
+    def _df_shim(self):
+        import types as _t
+
+        return _t.SimpleNamespace(
+            schema=self.schema, columns=self.schema.fieldNames()
+        )
+
+    def commit(self, messages) -> None:
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        HadoopTable(None, self.location)._commit(
+            self._entries(messages),
+            self._df_shim(),
+            self.op,
+            self.pcols,
+            base_schema_json=self.base_schema_json,
+        )
+
+    def abort(self, messages) -> None:
+        # best-effort: staged files are unreferenced either way and the
+        # orphan GC reclaims whatever this misses
+        from logparserhelper_spark.sinks.hadoop_table import _local_path
+
+        root = _local_path(self.location)
+        for e in self._entries(messages):
+            try:
+                os.unlink(os.path.join(root, e.path))
+            except OSError:
+                pass
+
+
+class _SnapshotTableStreamWriter(DataSourceStreamWriter, _SnapshotTableWriter):
+    """``df.writeStream.format("snapshot_table")`` — exactly-once
+    streaming appends: each microbatch commits atomically with its
+    ``batchId`` stamped in the snapshot summary, and the replay guard is
+    a commit PRECONDITION inside the optimistic retry loop (same
+    protocol as sinks/hadoop_table.table_batch_sink), so an
+    at-least-once redelivery is a provable no-op."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        _SnapshotTableWriter.__init__(self, options, schema, overwrite=False)
+
+    def write(self, iterator):
+        return _SnapshotTableWriter.write(self, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from logparserhelper_spark.sinks.hadoop_table import (
+            HadoopTable,
+            PreconditionFailed,
+            _batch_guard,
+        )
+
+        t = HadoopTable(None, self.location)
+        try:
+            t._commit(
+                self._entries(messages),
+                self._df_shim(),
+                "append",
+                self.pcols,
+                summary_extra={"streaming_batch_id": int(batchId)},
+                precondition=_batch_guard(t, int(batchId)),
+                base_schema_json=self.base_schema_json,
+            )
+        except PreconditionFailed:
+            pass  # replay: this batch is already committed
+
+    def abort(self, messages, batchId: int) -> None:
+        _SnapshotTableWriter.abort(self, messages)
+
+
 class SnapshotTableDataSource(DataSource):
     """``spark.read.format("snapshot_table")`` — see module docstring."""
 
@@ -477,6 +751,14 @@ class SnapshotTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotTableStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapshotTableWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _SnapshotTableStreamWriter(
+            dict(self.options), schema, overwrite
+        )
 
 
 def register_table_source(spark) -> None:
