@@ -1,0 +1,230 @@
+"""SQL frontend for snapshot-table DDL, DML, and maintenance.
+
+Spark's own SQL parser only reaches catalog tables, and this sandbox has
+no Iceberg catalog — so the statements an Iceberg user types every day
+(``ALTER TABLE``, ``DELETE FROM``, ``CALL system.rewrite_data_files``)
+need a path-addressed frontend to be usable against the snapshot-table
+shim. :func:`table_sql` maps a practical subset of that surface onto the
+:class:`~logparserhelper_spark.sinks.hadoop_table.HadoopTable` API — one
+statement, one atomic commit, same semantics as calling the method:
+
+    table_sql(spark, "ALTER TABLE '/data/t' RENAME COLUMN v TO value")
+    table_sql(spark, "ALTER TABLE '/data/t' ADD COLUMN lang string DEFAULT 'en'")
+    table_sql(spark, "ALTER TABLE '/data/t' ALTER COLUMN v TYPE bigint")
+    table_sql(spark, "ALTER TABLE '/data/t' DROP COLUMN tmp")
+    table_sql(spark, "ALTER TABLE '/data/t' SET TBLPROPERTIES ('history.keep-last'='3')")
+    table_sql(spark, "ALTER TABLE '/data/t' UNSET TBLPROPERTIES ('owner')")
+    table_sql(spark, "DELETE FROM '/data/t' WHERE k = 3 AND v IS NOT NULL")
+    table_sql(spark, "CALL compact('/data/t')")
+    table_sql(spark, "CALL expire_snapshots('/data/t', keep_last => 2)")
+    table_sql(spark, "CALL maintain('/data/t')")
+    table_sql(spark, "VACUUM '/data/t'")
+
+The grammar is deliberately small and STRICT: anything outside it raises
+``ValueError`` with the supported shapes, never a silent partial parse.
+``DELETE`` predicates are the same conjunctive ``col op literal`` /
+``col IS [NOT] NULL`` terms the table's ``read``/``delete`` accept —
+exactly what manifests can plan. Queries (SELECT) are not routed here:
+``spark.read.format("snapshot_table")`` already gives full Spark SQL
+over table reads.
+
+Reference parity note: the reference app (MaksimBrezho/logparserhelper)
+persists state by whole-file JSON overwrite (utils/json_utils.py:21-27);
+this module is part of the Spark-first table surface replacing it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from .hadoop_table import HadoopTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_LOC = r"'(?P<loc>[^']+)'"
+# column types accepted by ALTER ADD/ALTER COLUMN — Spark DDL strings,
+# possibly parameterized (decimal(10,2), array<float>)
+_TYPE = r"(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*[<(][^)>]*[)>])?)"
+
+
+def _literal(tok: str) -> Any:
+    """Parse one SQL literal: 'string', integer, float, TRUE/FALSE, NULL."""
+    t = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?\d*\.\d+(?:[eE][+-]?\d+)?", t):
+        return float(t)
+    raise ValueError(f"unsupported literal {tok!r}")
+
+
+def _parse_predicate(text: str) -> list[tuple]:
+    """Conjunctive WHERE clause -> the shim's (col, op, value) terms."""
+    terms: list[tuple] = []
+    for part in re.split(r"(?i)\s+AND\s+", text.strip()):
+        m = re.fullmatch(
+            rf"({_IDENT})\s+IS\s+NOT\s+NULL", part.strip(), re.I
+        )
+        if m:
+            terms.append((m.group(1), "is_not_null", None))
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+IS\s+NULL", part.strip(), re.I)
+        if m:
+            terms.append((m.group(1), "is_null", None))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(=|==|<=|>=|<|>)\s*(\S.*)", part.strip()
+        )
+        if m:
+            terms.append((m.group(1), m.group(2), _literal(m.group(3))))
+            continue
+        raise ValueError(
+            f"unsupported predicate term {part.strip()!r}; terms are "
+            "'col <op> literal' (= < <= > >=) or 'col IS [NOT] NULL', "
+            "joined by AND"
+        )
+    return terms
+
+
+def _parse_prop_pairs(text: str) -> dict[str, str]:
+    pairs = re.findall(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", text)
+    if not pairs:
+        raise ValueError(
+            "SET TBLPROPERTIES needs ('key'='value', ...) pairs"
+        )
+    return {
+        k.replace("''", "'"): v.replace("''", "'") for k, v in pairs
+    }
+
+
+def table_sql(spark, statement: str) -> Any:
+    """Execute one statement against a path-addressed snapshot table.
+    Returns whatever the underlying API returns (a Snapshot for commits,
+    a list for expiry/vacuum, a dict for maintain, None for a no-op
+    delete)."""
+    stmt = statement.strip().rstrip(";").strip()
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+RENAME\s+COLUMN\s+"
+        rf"(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        return t.rename_column(m.group("old"), m.group("new"))
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+ADD\s+COLUMN\s+"
+        rf"(?P<col>{_IDENT})\s+{_TYPE}"
+        rf"(?:\s+DEFAULT\s+(?P<default>\S.*))?",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        default = (
+            _literal(m.group("default"))
+            if m.group("default") is not None
+            else None
+        )
+        return t.add_column(m.group("col"), m.group("type"), default=default)
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+DROP\s+COLUMN\s+(?P<col>{_IDENT})",
+        stmt,
+    )
+    if m:
+        return HadoopTable(spark, m.group("loc")).drop_column(m.group("col"))
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+ALTER\s+COLUMN\s+"
+        rf"(?P<col>{_IDENT})\s+TYPE\s+{_TYPE}",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        return t.widen_column(m.group("col"), m.group("type"))
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+SET\s+TBLPROPERTIES\s*"
+        rf"\((?P<pairs>.+)\)",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        return t.set_properties(_parse_prop_pairs(m.group("pairs")))
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+UNSET\s+TBLPROPERTIES\s*"
+        rf"\((?P<keys>.+)\)",
+        stmt,
+    )
+    if m:
+        keys = [
+            k.replace("''", "'")
+            for k in re.findall(r"'((?:[^']|'')*)'", m.group("keys"))
+        ]
+        if not keys:
+            raise ValueError("UNSET TBLPROPERTIES needs ('key', ...) keys")
+        return HadoopTable(spark, m.group("loc")).unset_properties(*keys)
+
+    m = re.fullmatch(
+        rf"(?i)DELETE\s+FROM\s+{_LOC}\s+WHERE\s+(?P<pred>.+)", stmt
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        return t.delete(_parse_predicate(m.group("pred")))
+
+    m = re.fullmatch(
+        rf"(?i)CALL\s+(?:system\s*\.\s*)?(?P<proc>{_IDENT})\s*"
+        rf"\(\s*{_LOC}\s*(?P<args>(?:,[^)]*)?)\)",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        kwargs: dict[str, Any] = {}
+        for part in m.group("args").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            am = re.fullmatch(rf"({_IDENT})\s*=>\s*(\S.*)", part)
+            if not am:
+                raise ValueError(
+                    f"CALL arguments use name => value, got {part!r}"
+                )
+            kwargs[am.group(1)] = _literal(am.group(2))
+        proc = m.group("proc").lower()
+        procs = {
+            # the Iceberg procedure names AND the shim's own
+            "rewrite_data_files": t.compact,
+            "compact": t.compact,
+            "expire_snapshots": t.expire_snapshots,
+            "remove_orphan_files": t.cleanup_orphans,
+            "maintain": t.maintain,
+            "rollback_to_snapshot": None,  # special-cased below
+        }
+        if proc == "rollback_to_snapshot":
+            return t.rollback(int(kwargs.pop("version")))
+        if proc not in procs:
+            raise ValueError(
+                f"unknown procedure {proc!r}; one of "
+                f"{sorted(k for k in procs)}"
+            )
+        return procs[proc](**kwargs)
+
+    m = re.fullmatch(rf"(?i)VACUUM\s+{_LOC}", stmt)
+    if m:
+        return HadoopTable(spark, m.group("loc")).cleanup_orphans()
+
+    raise ValueError(
+        "unsupported statement; supported: ALTER TABLE '<loc>' "
+        "RENAME COLUMN a TO b | ADD COLUMN x <type> [DEFAULT lit] | "
+        "DROP COLUMN x | ALTER COLUMN x TYPE <type> | SET/UNSET "
+        "TBLPROPERTIES (...); DELETE FROM '<loc>' WHERE ...; "
+        "CALL <proc>('<loc>' [, name => value ...]); VACUUM '<loc>'"
+    )
