@@ -929,6 +929,13 @@ class HadoopTable:
                 "n_records bigint",
             )
         if name == "schema":
+            if not self.exists():
+                return spark.createDataFrame(
+                    [],
+                    "name string, field_id int, type string, "
+                    "nullable boolean, default string, last_field_id int, "
+                    "id_epoch string",
+                )
             snap = self.snapshot(version)
             ids, last = _schema_ids(snap.schema_json)
             defaults = _schema_defaults(snap.schema_json)
@@ -1584,20 +1591,20 @@ class HadoopTable:
         summary.update(
             {"forked_from_version": cur.version, "branch": name}
         )
-        payload = {
-            "format_version": 1,
-            "version": 1,
-            "parent": None,
-            "operation": "branch-create",
-            "timestamp_ms": int(time.time() * 1000),
-            "schema_json": cur.schema_json,
-            "partition_cols": cur.partition_cols,
-            "partition_spec": spec_to_json(cur.spec),
-            "summary": summary,
-            "properties": dict(cur.properties),
-            "files": [e.to_json() for e in cur.files],
-        }
-        b._promote(payload, 1)  # fail-if-exists: a racing creator loses
+        fork = Snapshot(
+            version=1,
+            parent=None,
+            operation="branch-create",
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=cur.schema_json,
+            partition_cols=cur.partition_cols,
+            partition_spec=cur.spec,
+            files=list(cur.files),
+            summary=summary,
+            properties=dict(cur.properties),
+        )
+        # fail-if-exists: a racing creator loses
+        b._promote(_snapshot_payload(fork), 1)
         return b
 
     def drop_branch(self, name: str) -> None:
@@ -1641,19 +1648,20 @@ class HadoopTable:
                     "fast_forwarded_from": int(fork),
                 }
             )
-            payload = {
-                "format_version": 1,
-                "version": version,
-                "parent": parent.version,
-                "operation": "fast-forward",
-                "timestamp_ms": int(time.time() * 1000),
-                "schema_json": head.schema_json,
-                "partition_cols": head.partition_cols,
-                "partition_spec": spec_to_json(head.spec),
-                "summary": summary,
-                "properties": dict(head.properties),
-                "files": [e.to_json() for e in head.files],
-            }
+            payload = _snapshot_payload(
+                Snapshot(
+                    version=version,
+                    parent=parent.version,
+                    operation="fast-forward",
+                    timestamp_ms=int(time.time() * 1000),
+                    schema_json=head.schema_json,
+                    partition_cols=head.partition_cols,
+                    partition_spec=head.spec,
+                    files=list(head.files),
+                    summary=summary,
+                    properties=dict(head.properties),
+                )
+            )
             self._promote(payload, version)  # CommitConflict propagates:
             # a racing main commit means the fork check must re-run, and
             # it can only fail then — no silent retry

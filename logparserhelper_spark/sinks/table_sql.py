@@ -79,7 +79,7 @@ def _parse_predicate(text: str) -> list[tuple]:
             terms.append((m.group(1), "is_null", None))
             continue
         m = re.fullmatch(
-            rf"({_IDENT})\s*(=|==|<=|>=|<|>)\s*(\S.*)", part.strip()
+            rf"({_IDENT})\s*(==|<=|>=|=|<|>)\s*(\S.*)", part.strip()
         )
         if m:
             terms.append((m.group(1), m.group(2), _literal(m.group(3))))
@@ -92,14 +92,21 @@ def _parse_predicate(text: str) -> list[tuple]:
     return terms
 
 
+_QSTR = r"'(?:[^']|'')*'"
+_PAIR = rf"{_QSTR}\s*=\s*{_QSTR}"
+
+
 def _parse_prop_pairs(text: str) -> dict[str, str]:
-    pairs = re.findall(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", text)
-    if not pairs:
+    # STRICT: the whole list must be well-formed pairs — findall-style
+    # extraction would silently skip garbage between them
+    if not re.fullmatch(rf"\s*{_PAIR}\s*(?:,\s*{_PAIR}\s*)*", text):
         raise ValueError(
             "SET TBLPROPERTIES needs ('key'='value', ...) pairs"
         )
+    pairs = re.findall(rf"({_QSTR})\s*=\s*({_QSTR})", text)
     return {
-        k.replace("''", "'"): v.replace("''", "'") for k, v in pairs
+        k[1:-1].replace("''", "'"): v[1:-1].replace("''", "'")
+        for k, v in pairs
     }
 
 
@@ -165,12 +172,14 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
+        if not re.fullmatch(
+            rf"\s*{_QSTR}\s*(?:,\s*{_QSTR}\s*)*", m.group("keys")
+        ):
+            raise ValueError("UNSET TBLPROPERTIES needs ('key', ...) keys")
         keys = [
             k.replace("''", "'")
             for k in re.findall(r"'((?:[^']|'')*)'", m.group("keys"))
         ]
-        if not keys:
-            raise ValueError("UNSET TBLPROPERTIES needs ('key', ...) keys")
         return HadoopTable(spark, m.group("loc")).unset_properties(*keys)
 
     m = re.fullmatch(
@@ -209,7 +218,17 @@ def table_sql(spark, statement: str) -> Any:
             "rollback_to_snapshot": None,  # special-cased below
         }
         if proc == "rollback_to_snapshot":
-            return t.rollback(int(kwargs.pop("version")))
+            if "version" not in kwargs:
+                raise ValueError(
+                    "rollback_to_snapshot needs version => <N>"
+                )
+            version = int(kwargs.pop("version"))
+            if kwargs:
+                raise ValueError(
+                    f"rollback_to_snapshot got unknown arguments "
+                    f"{sorted(kwargs)}"
+                )
+            return t.rollback(version)
         if proc not in procs:
             raise ValueError(
                 f"unknown procedure {proc!r}; one of "

@@ -688,14 +688,21 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
 
 class _SnapshotTableStreamWriter(DataSourceStreamWriter, _SnapshotTableWriter):
     """``df.writeStream.format("snapshot_table")`` — exactly-once
-    streaming appends: each microbatch commits atomically with its
+    streaming writes: each microbatch commits atomically with its
     ``batchId`` stamped in the snapshot summary, and the replay guard is
     a commit PRECONDITION inside the optimistic retry loop (same
     protocol as sinks/hadoop_table.table_batch_sink), so an
-    at-least-once redelivery is a provable no-op."""
+    at-least-once redelivery is a provable no-op (whose staged files are
+    reclaimed immediately, not left to the orphan GC). Output modes:
+    append appends; complete/truncate (Spark passes ``overwrite=True``)
+    lands each batch as an ``overwrite_all`` — the table always holds
+    the latest full result of a streaming aggregation."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         _SnapshotTableWriter.__init__(self, options, schema, overwrite=False)
+        # set AFTER the batch __init__ (which maps overwrite to its own
+        # batch semantics): per-microbatch truncate for complete mode
+        self.op = "overwrite_all" if overwrite else "append"
 
     def write(self, iterator):
         return _SnapshotTableWriter.write(self, iterator)
@@ -712,14 +719,17 @@ class _SnapshotTableStreamWriter(DataSourceStreamWriter, _SnapshotTableWriter):
             t._commit(
                 self._entries(messages),
                 self._df_shim(),
-                "append",
+                self.op,
                 self.pcols,
                 summary_extra={"streaming_batch_id": int(batchId)},
                 precondition=_batch_guard(t, int(batchId)),
                 base_schema_json=self.base_schema_json,
             )
         except PreconditionFailed:
-            pass  # replay: this batch is already committed
+            # replay of an already-committed batch: a no-op — and the
+            # files this delivery staged are dead on arrival, so unlink
+            # them now instead of stranding them until the orphan GC
+            _SnapshotTableWriter.abort(self, messages)
 
     def abort(self, messages, batchId: int) -> None:
         _SnapshotTableWriter.abort(self, messages)

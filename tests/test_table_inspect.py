@@ -141,3 +141,12 @@ def test_inspect_schema_table(spark, tmp_path):
     # time travel shows the pre-rename shape
     old = {r.name for r in t.inspect("schema", version=1).collect()}
     assert old == {"k", "v"}
+
+
+def test_inspect_schema_empty_table(spark, tmp_path):
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    t = HadoopTable(spark, str(tmp_path / "nothing"))
+    df = t.inspect("schema")
+    assert df.count() == 0
+    assert "field_id" in df.columns  # correctly typed, not an error

@@ -102,3 +102,36 @@ def test_strict_grammar(spark, tmp_path):
     )
     t = HadoopTable(spark, loc)
     assert t.properties()["note"] == "it's fine"
+
+
+def test_review_hardening(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    t = _mk(spark, loc)
+    # == is a reachable operator
+    s = table_sql(spark, f"DELETE FROM '{loc}' WHERE k == 9")
+    assert s is not None and 9 not in {r.k for r in t.read().collect()}
+    # strict TBLPROPERTIES: garbage between pairs raises, nothing applies
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        table_sql(
+            spark,
+            f"ALTER TABLE '{loc}' SET TBLPROPERTIES "
+            "('a'='1' GARBAGE 'b'='2')",
+        )
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        table_sql(
+            spark,
+            f"ALTER TABLE '{loc}' SET TBLPROPERTIES ('a'='1', 'b')",
+        )
+    assert "a" not in t.properties()
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        table_sql(
+            spark, f"ALTER TABLE '{loc}' UNSET TBLPROPERTIES ('a' junk)"
+        )
+    # rollback arg validation
+    with pytest.raises(ValueError, match="version =>"):
+        table_sql(spark, f"CALL rollback_to_snapshot('{loc}')")
+    with pytest.raises(ValueError, match="unknown arguments"):
+        table_sql(
+            spark,
+            f"CALL rollback_to_snapshot('{loc}', version => 1, oops => 2)",
+        )
