@@ -690,3 +690,37 @@ def test_compact_target_from_property(spark, tmp_path):
     # to 1 under a huge target -> bin-pack to one file)
     assert t.compact(target_file_bytes=1 << 30) is not None
     assert len(t.snapshot().data_files) == 1
+
+
+def test_struct_column_roundtrip_rename_and_branch_properties(spark, tmp_path):
+    """Top-level STRUCT columns flow through the manifests, the id
+    projection, and the data source (nested-field DDL is out of scope —
+    renaming the top-level column is supported); branches inherit the
+    fork point's properties."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, ("alice", 30)), (2, ("bob", 40))],
+        "k int, who struct<name string, age int>",
+    )
+    t.append(df)
+    t.rename_column("who", "person")
+    got = {r.k: (r.person.name, r.person.age) for r in t.read().collect()}
+    assert got == {1: ("alice", 30), 2: ("bob", 40)}
+    ds = spark.read.format("snapshot_table").load(str(tmp_path / "t"))
+    assert {
+        r.k: (r.person.name, r.person.age) for r in ds.collect()
+    } == got
+    # defaults stay refused for struct types
+    with pytest.raises(ValueError, match="JSON primitive|not a valid"):
+        t.add_column("extra", "struct<a int>", default="x")
+    # branches inherit properties from the fork point
+    t.set_properties({"owner": "corpus"})
+    b = t.create_branch("dev")
+    assert b.properties()["owner"] == "corpus"
+    b.set_properties({"owner": "dev-team"})
+    assert t.properties()["owner"] == "corpus"  # main untouched
