@@ -327,6 +327,10 @@ def _file_pred_match(
             if op == "is_not_null":
                 continue
             v = term[2]
+            if _stat_kind(dv) != _stat_kind(v):
+                # cross-kind compare (a == between them silently returns
+                # False instead of raising): keep the file, never prune
+                continue
             try:
                 hold = {
                     "=": dv == v, "==": dv == v,
@@ -350,7 +354,16 @@ def _stat_value(v: Any) -> tuple[bool, Any]:
     precision (plain ISO is only lexicographically ordered at equal
     precision: '..T00:00:00' < '..T00:00:00.000000' despite being the
     same instant, which would make a >=-prune drop a matching file).
-    Returns (ok, encoded); ok=False means "unusable — do not prune"."""
+    Returns (ok, encoded); ok=False means "unusable — do not prune".
+
+    Encodings are comparable only WITHIN one type kind (see
+    :func:`_stat_kind`): a date encodes as '2024-01-05' while a
+    timestamp encodes as '2024-01-05T00:00:00.000000', so comparing
+    them lexicographically would wrongly prune files whose rows Spark's
+    residual date->timestamp coercion matches. _file_may_match tags
+    both sides with their kind and either lifts the date side to the
+    midnight timestamp form (exact under Spark's coercion) or refuses
+    to prune."""
     import datetime as _dt
 
     if isinstance(v, bool) or isinstance(v, (int, float)):
@@ -366,6 +379,32 @@ def _stat_value(v: Any) -> tuple[bool, Any]:
     if isinstance(v, _dt.date):
         return True, v.isoformat()
     return False, None
+
+
+def _stat_kind(v: Any) -> str | None:
+    """Type kind of a raw stat value / predicate constant. Values of
+    different kinds do NOT share an encoding domain: pruning must not
+    compare them (except the exact date<->timestamp midnight lift).
+    datetime is checked before date (it is a date subclass)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, _dt.datetime):
+        return "ts"
+    if isinstance(v, _dt.date):
+        return "date"
+    return None
+
+
+def _lift_date(encoded: Any) -> Any:
+    """Lift an encoded DATE bound/constant into the timestamp encoding
+    domain. Exact, not approximate: Spark's date->timestamp coercion
+    maps a date to its midnight instant, so every date-column value
+    compares as exactly this timestamp."""
+    return None if encoded is None else f"{encoded}T00:00:00.000000"
 
 
 def _collect_stats(pf, stats_columns: list[str] | None):
@@ -404,6 +443,8 @@ def _collect_stats(pf, stats_columns: list[str] | None):
                 continue
             ok_lo, lo = _stat_value(st.min)
             ok_hi, hi = _stat_value(st.max)
+            if e.get("kind") is None:
+                e["kind"] = _stat_kind(st.min)
             if ok_lo:
                 e["mins"].append(lo)
             else:
@@ -416,11 +457,24 @@ def _collect_stats(pf, stats_columns: list[str] | None):
     for name, e in per.items():
         if not e["ok"]:
             continue
-        out[name] = {
+        entry = {
             "min": min(e["mins"]) if e["lo"] and e["mins"] else None,
             "max": max(e["maxs"]) if e["hi"] and e["maxs"] else None,
             "nulls": e["nulls"],
         }
+        # the bounds' type kind, recorded for the STRING-ENCODED kinds
+        # only (str/ts/date): those share Python's str domain, so a
+        # cross-kind comparison would succeed lexicographically and
+        # wrongly prune — e.g. a timestamp constant
+        # '2024-01-05T00:00:00.000000' against a date bound '2024-01-05'.
+        # Numeric bounds need no tag: comparing them against a string-ish
+        # constant raises TypeError, which the evaluator already treats
+        # as "keep the file".
+        if e.get("kind") in ("str", "ts", "date") and (
+            entry["min"] is not None or entry["max"] is not None
+        ):
+            entry["kind"] = e["kind"]
+        out[name] = entry
     return out or None
 
 
@@ -513,6 +567,26 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
         ok_v, v = _stat_value(term[2])
         if not ok_v:
             continue
+        vk = _stat_kind(term[2])
+        if vk in ("str", "ts", "date"):
+            # string-encoded kinds share Python's str domain, so a
+            # cross-kind comparison succeeds lexicographically — and is
+            # wrong. Only same-kind bounds compare; date<->timestamp
+            # gets the exact midnight lift (Spark's coercion); an
+            # untagged (legacy numeric-era or pre-kind) bound facing a
+            # temporal constant cannot be trusted — keep the file.
+            sk = st.get("kind")
+            if sk != vk:
+                if {sk, vk} == {"date", "ts"}:
+                    if vk == "date":
+                        v = _lift_date(v)
+                    else:
+                        lo, hi = _lift_date(lo), _lift_date(hi)
+                elif vk == "str" and sk is None:
+                    pass  # plain string vs untagged bound: legacy path,
+                    # numeric bounds raise TypeError below (file kept)
+                else:
+                    continue  # incomparable encodings: never prune
         try:
             if op in ("=", "=="):
                 if (lo is not None and v < lo) or (hi is not None and v > hi):
@@ -700,7 +774,11 @@ class HadoopTable:
         self.root = _local_path(location)
         # non-None: this instance is a BRANCH VIEW — same data directory,
         # its own metadata chain under metadata/branches/<name>/ (see
-        # create_branch / fast_forward)
+        # create_branch / fast_forward). Validated HERE, not only in
+        # create_branch: a name is a path component under metadata/, so
+        # an unvalidated one ('../..') could escape the directory.
+        if branch is not None and not _BRANCH_NAME_RE.match(branch):
+            raise ValueError(f"invalid branch name {branch!r}")
         self.branch_name = branch
         # columns to harvest footer metrics for at write time; None = every
         # eligible top-level leaf column (narrow it on very wide tables —
@@ -1082,8 +1160,17 @@ class HadoopTable:
         old = self.snapshot(version)  # raises NoSuchTable if expired
         while True:
             parent = self.snapshot()
+            # "already in the target state" covers schema, file list AND
+            # partition layout — without the spec terms, rolling back
+            # across a metadata-only update_spec commit (same files, same
+            # schema, different spec) would silently keep the new spec.
+            # Properties are deliberately NOT compared: rollback restores
+            # data/layout state but preserves current table config (the
+            # non-idempotent path carries parent.properties forward).
             if parent.version == version or (
                 parent.schema_json == old.schema_json
+                and parent.partition_cols == old.partition_cols
+                and spec_to_json(parent.spec) == spec_to_json(old.spec)
                 and [f.to_json() for f in parent.files]
                 == [f.to_json() for f in old.files]
             ):
@@ -1613,6 +1700,10 @@ class HadoopTable:
         after the grace period."""
         if self.branch_name is not None:
             raise ValueError("drop branches from the main table view")
+        if not _BRANCH_NAME_RE.match(name):
+            # the name is about to become an rmtree path component: an
+            # unvalidated '../..' would resolve to (and delete) the table
+            raise ValueError(f"invalid branch name {name!r}")
         d = os.path.join(self._main_meta_dir, "branches", name)
         if not os.path.isdir(d):
             raise ValueError(f"no such branch {name!r}")

@@ -323,6 +323,28 @@ class _SnapshotTableReader(DataSourceReader):
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self.ref = options.get("ref")
+        if self.version is None:
+            # Pin the snapshot ONCE (Iceberg's load-time snapshot
+            # pinning). partitions() re-runs at every (re)planning, so
+            # resolving "current" there would let a commit between load
+            # and action shift the scanned snapshot — and a
+            # schema-evolution commit in that window would make workers
+            # emit batches under the NEW snapshot's schema while Spark
+            # binds the load-time one. DataSource.schema() pins the same
+            # version into the options; this is the fallback for the
+            # user-supplied-schema path where schema() is never called.
+            from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+            t = HadoopTable(None, self.location)
+            self.version = (
+                t._resolve_ref(self.ref)
+                if self.ref is not None
+                else (t.current_version() if t.exists() else None)
+            )
+        # the pin subsumes the ref (and survives a concurrent drop/
+        # re-create of the tag): plan strictly by version from here on
+        if self.version is not None:
+            self.ref = None
         # file skipping from pushed filters is OPT-IN: Spark caches the
         # planned (read function, partitions) per RELATION and a filtered
         # action overwrites that cache, so a later UNFILTERED action on
@@ -754,6 +776,11 @@ class SnapshotTableDataSource(DataSource):
         if ref is not None:
             version = t._resolve_ref(ref)
         snap = t.snapshot(version)
+        # pin the resolved snapshot for the reader: schema() runs at load
+        # time, so this makes the whole scan read the load-time snapshot
+        # even when commits land between load and action (reader __init__
+        # has the same pin as a fallback for explicit-schema loads)
+        self.options["version"] = str(snap.version)
         return StructType.fromJson(json.loads(snap.schema_json))
 
     def reader(self, schema: StructType) -> DataSourceReader:

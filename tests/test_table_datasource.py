@@ -541,3 +541,27 @@ def test_stream_writer_replay_reclaims_staged_files(registered, tmp_path):
     w.commit([TableWriteMessage([entry])], batchId=3)  # stale: 3 < 5
     assert t.current_version() == v  # no commit happened
     assert not _os.path.exists(fpath)  # staged file reclaimed NOW
+
+
+def test_batch_read_pins_load_time_snapshot(registered, tmp_path):
+    """The batch reader resolves the snapshot ONCE at load (Iceberg's
+    load-time pinning, ADVICE r7): commits landing between .load() and an
+    action — including a schema-evolution commit — neither shift the
+    scanned snapshot nor tear the schema binding. Re-planning the same
+    DataFrame later still reads the pinned snapshot."""
+    t = HadoopTable(None, str(tmp_path / "tpin"))
+    spark = registered
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    df = spark.read.format("snapshot_table").load(t.location)
+    # a data commit AND a schema-evolution commit land after load
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(3, "c")], "id long, w string"))
+    # the scan still sees exactly the load-time snapshot, under its schema
+    assert df.columns == ["id", "v"]
+    assert _rows(df) == [(1, "a")]
+    assert _rows(df.select("v")) == [("a",)]  # second action: same pin
+    # a fresh load sees the current snapshot under the evolved schema
+    df2 = spark.read.format("snapshot_table").load(t.location)
+    assert df2.columns == ["id", "w"]
+    assert _rows(df2) == [(1, "a"), (2, "b"), (3, "c")]

@@ -240,3 +240,47 @@ def test_branch_mutations_full_family(spark, tmp_path):
     assert _rows(b.read()) == [(2, "B"), (5, "e")]
     t.fast_forward("mut")
     assert _rows(t.read()) == [(2, "B"), (5, "e")]
+
+
+def test_branch_names_validated_everywhere(spark, tmp_path):
+    """Branch names are metadata-path components: every entry point that
+    turns one into a path validates it (ADVICE r7 — drop_branch('../..')
+    previously resolved to the table root and rmtree'd the whole table)."""
+    t = _mk(spark, tmp_path, "t_names")
+    t.create_branch("wip")
+    for bad in ("../..", "../../x", "a/b", "", ".hidden", "x" * 65):
+        with pytest.raises(ValueError, match="invalid branch name"):
+            t.drop_branch(bad)
+        with pytest.raises(ValueError, match="invalid branch name"):
+            t.branch(bad)
+        with pytest.raises(ValueError, match="invalid branch name"):
+            t.create_branch(bad)
+    # the table (and the real branch) survived every attempt
+    assert t.exists() and t.branches() == ["wip"]
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    t.drop_branch("wip")
+    assert t.branches() == []
+
+
+def test_rollback_across_update_spec_restores_partitioning(spark, tmp_path):
+    """rollback() across a metadata-only update_spec commit (same files,
+    same schema, different partition spec) must land a real rollback
+    commit restoring the old spec — the idempotence short-circuit
+    previously compared only schema+files and returned the NEW spec's
+    snapshot untouched (ADVICE r7)."""
+    t = HadoopTable(spark, str(tmp_path / "t_rbspec"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    v1 = t.current_version()
+    assert t.snapshot(v1).partition_cols == []
+    t.update_spec(["v"])
+    assert t.snapshot().partition_cols == ["v"]
+    snap = t.rollback(v1)
+    assert snap.version == t.current_version() > v1
+    assert snap.operation == "rollback"
+    assert snap.partition_cols == []
+    # and NOW it is idempotent: a second rollback is a no-op
+    again = t.rollback(v1)
+    assert again.version == snap.version
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]

@@ -765,7 +765,10 @@ def test_file_stats_harvested_at_stage(spark, tmp_path):
     (f,) = t.snapshot().files
     assert f.stats is not None
     assert f.stats["id"] == {"min": 1, "max": 5, "nulls": 0}
-    assert f.stats["s"] == {"min": "aa", "max": "zz", "nulls": 0}
+    # string-encoded bounds carry their type kind (str/ts/date) so the
+    # evaluator never compares across encoding domains; numeric bounds
+    # stay untagged (cross-kind compares raise TypeError -> file kept)
+    assert f.stats["s"] == {"min": "aa", "max": "zz", "nulls": 0, "kind": "str"}
     assert f.stats["x"]["nulls"] == 1 and f.stats["x"]["max"] == 2.5
     # stats survive the metadata JSON round-trip
     t2 = HadoopTable(spark, loc)
@@ -1170,3 +1173,94 @@ def test_compact_zorder_skips_on_both_columns(spark, tmp_path):
         t.compact(zorder_by=["x"])
     with pytest.raises(ValueError, match="unsupported type"):
         t.compact(zorder_by=["x", "v"])
+
+
+def test_temporal_kind_pruning_never_wrong(spark, tmp_path):
+    """Cross-type-kind metrics comparisons must not prune (ADVICE r7):
+    a date column's bound encodes as '2024-01-05' while a timestamp
+    predicate constant encodes as '2024-01-05T00:00:00.000000' — pruning
+    lexicographically across those domains dropped files whose rows
+    Spark's residual date->timestamp coercion matches. Date<->timestamp
+    now compares through the exact midnight lift; str-vs-temporal never
+    prunes."""
+    import datetime as dt
+
+    loc = str(tmp_path / "t_kind")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.date(2024, 1, 5)), (2, dt.date(2024, 1, 7))],
+            "id long, d date",
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, dt.date(2024, 2, 1)), (4, dt.date(2024, 2, 2))],
+            "id long, d date",
+        ).coalesce(1)
+    )
+    # the reproduced bug: a datetime constant against date bounds pruned
+    # the matching file (v > hi lexicographically)
+    pred = [("d", "=", dt.datetime(2024, 1, 5))]
+    assert len(t.plan_files(predicate=pred)) == 1
+    assert [r.id for r in t.read(predicate=pred).collect()] == [1]
+    # the lift is exact, so same-kind-quality pruning still works
+    assert len(t.plan_files(predicate=[("d", ">", dt.datetime(2024, 1, 31))])) == 1
+    assert len(
+        t.plan_files(predicate=[("d", "<", dt.datetime(2024, 1, 1))])
+    ) == 0
+    # date constants against date bounds: unchanged exact pruning
+    assert len(t.plan_files(predicate=[("d", "=", dt.date(2024, 2, 1))])) == 1
+
+    # timestamp COLUMN with date constant: the other lift direction
+    t2 = HadoopTable(spark, str(tmp_path / "t_kind_ts"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 5, 12)), (2, dt.datetime(2024, 1, 6))],
+            "id long, ts timestamp_ntz",
+        ).coalesce(1)
+    )
+    t2.append(
+        spark.createDataFrame(
+            [(3, dt.datetime(2024, 3, 1, 1))], "id long, ts timestamp_ntz"
+        ).coalesce(1)
+    )
+    assert len(t2.plan_files(predicate=[("ts", ">=", dt.date(2024, 2, 1))])) == 1
+    assert len(t2.plan_files(predicate=[("ts", "<", dt.date(2024, 1, 5))])) == 0
+    # a string constant against temporal bounds: never prunes (Spark's
+    # cast semantics are not ours to guess), rows still exact via the
+    # residual filter
+    assert len(t2.plan_files(predicate=[("ts", ">=", "2024-02-01")])) == 2
+    got = [r.id for r in t2.read(predicate=[("ts", ">=", "2024-02-01")]).collect()]
+    assert got == [3]
+
+    # DELETE with a datetime predicate on a date column: scope not
+    # silently narrowed by wrong pruning
+    snap = t.delete([("d", "=", dt.datetime(2024, 1, 5))])
+    assert snap is not None
+    assert sorted(r.id for r in t.read().collect()) == [2, 3, 4]
+
+
+def test_default_value_pruning_cross_kind_keeps_file(spark, tmp_path):
+    """A file predating a defaulted column evaluates predicates against
+    the default constant; a cross-kind == comparison silently returns
+    False in Python, which wrongly pruned the file — kinds must match
+    before the constant-fold decides."""
+    import datetime as dt
+
+    loc = str(tmp_path / "t_dflt_kind")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame([(1,)], "id long").coalesce(1)
+    )
+    t.add_column("day", "string", default="2024-01-05")
+    # datetime constant vs str default: incomparable kinds -> keep the
+    # file (the residual filter decides rows; here the cast of the str
+    # default is Spark's business, not the planner's)
+    assert len(
+        t.plan_files(predicate=[("day", "=", dt.datetime(2024, 1, 5))])
+    ) == 1
+    # same-kind compare still constant-folds: a non-matching string
+    # prunes, the matching one keeps
+    assert len(t.plan_files(predicate=[("day", "=", "2024-01-06")])) == 0
+    assert len(t.plan_files(predicate=[("day", "=", "2024-01-05")])) == 1
