@@ -14,7 +14,8 @@ Layout::
 
     <location>/
       data/<commit-uuid>/[col=val/...]*.parquet   # immutable once written
-      metadata/v<N>.metadata.json                 # snapshot N (FULL state)
+      metadata/manifests/m-<uuid>.json            # immutable file lists
+      metadata/v<N>.metadata.json                 # snapshot N: manifest LIST
       metadata/version-hint.text                  # advisory cache of N
 
 Commit protocol (commit-or-nothing, single atomic step):
@@ -27,7 +28,11 @@ Commit protocol (commit-or-nothing, single atomic step):
    per the operation: ``append`` keeps all parent files; ``replace``
    (dynamic partition overwrite — Iceberg ``overwritePartitions``) drops
    parent files whose partition value is present in the staged data;
-   ``overwrite_all`` drops everything.
+   ``overwrite_all`` drops everything. Parent manifests whose files all
+   survive unchanged are carried into the child's manifest list BY PATH;
+   only the delta (added/rewritten entries) is written as one new
+   immutable manifest under ``metadata/manifests/`` — commit metadata
+   cost is O(commit files), Iceberg's manifest-list shape (_publish).
 3. Write the snapshot JSON to a temp name, then promote it to
    ``v<parent+1>.metadata.json`` with ``os.link`` — POSIX hardlink
    creation is atomic and FAILS if the target exists, which is exactly
@@ -43,12 +48,14 @@ never a mix, no matter where a writer dies — proven by the kill-tests in
 tests/test_table_shim.py (SIGKILL injected at every protocol point via
 ``LPH_TABLE_FAULT``).
 
-Scale note: this shim inlines the manifest (file list) in each metadata
-version, which is O(files) JSON per commit — right for the sandbox, and the
-read path still does manifest-level partition pruning driver-side like
-Iceberg's planner (only matching files reach ``spark.read``). At 100 TB the
-real Iceberg manifest tree + metastore catalog replaces this module behind
-the same ``write_table`` call (sinks/writer.py); nothing above the sink API
+Scale note: commit metadata cost is O(commit files) via the manifest
+list (a 10,000-commit append-only table writes ~1 manifest per commit and
+each metadata version is O(manifests) JSON); scan PLANNING still loads the
+referenced manifests driver-side — O(live files), the same scope real
+Iceberg's planner reads from its manifest tree, with an in-process
+immutable-manifest cache absorbing repeat loads. At 100 TB the real
+Iceberg manifest tree + metastore catalog replaces this module behind the
+same ``write_table`` call (sinks/writer.py); nothing above the sink API
 changes.
 """
 
@@ -709,6 +716,13 @@ class Snapshot:
     # by every commit, mutated only by set/unset_properties. String
     # values only — they are configuration, not data.
     properties: dict[str, str] = field(default_factory=dict)
+    # manifest-list structure (Iceberg's manifest tree, one level): the
+    # snapshot's files grouped by the immutable manifest file each is
+    # recorded in — [(table-root-relative path, files)]. ``files`` above
+    # stays the flat concatenation in manifest order. None for legacy
+    # (inline-"files") metadata and ad-hoc in-memory snapshots; the next
+    # commit over such a parent simply writes one full manifest.
+    manifests: "list[tuple[str, tuple[DataFile, ...]]] | None" = None
 
     @property
     def spec(self) -> list[PartitionField]:
@@ -740,9 +754,14 @@ class Snapshot:
 def _snapshot_payload(snap: Snapshot) -> dict[str, Any]:
     """The metadata-file JSON for a snapshot — ONE serialization for
     every commit path, so a new snapshot field (properties, spec, ...)
-    cannot be forgotten by one of them."""
+    cannot be forgotten by one of them. The file list is NOT inlined:
+    the payload references immutable manifest files (written by
+    :meth:`HadoopTable._publish` before the promote), so a commit's
+    metadata write is O(manifests), not O(table files). Entry counters
+    are denormalized for inspection without opening the manifests."""
+    assert snap.manifests is not None, "publish composes manifests first"
     return {
-        "format_version": 1,
+        "format_version": 2,
         "version": snap.version,
         "parent": snap.parent,
         "operation": snap.operation,
@@ -752,8 +771,39 @@ def _snapshot_payload(snap: Snapshot) -> dict[str, Any]:
         "partition_spec": spec_to_json(snap.spec),
         "summary": snap.summary,
         "properties": snap.properties,
-        "files": [e.to_json() for e in snap.files],
+        "manifest_list": [
+            {
+                "path": p,
+                "n_files": len(mf),
+                "records": sum(f.records for f in mf),
+                "bytes": sum(f.bytes for f in mf),
+            }
+            for p, mf in snap.manifests
+        ],
     }
+
+
+# Manifest files are immutable once written (uuid-named, referenced only
+# by later metadata commits), so a process-wide cache by absolute path is
+# always coherent. Entries are tuples of DataFile objects that are NEVER
+# mutated in place — every commit path derives new entries via
+# dataclasses.replace — so sharing them across snapshots is safe.
+_MANIFEST_CACHE: dict[str, tuple] = {}
+_MANIFEST_CACHE_MAX = 1024
+
+
+def _load_manifest(root: str, rel: str) -> "tuple[DataFile, ...]":
+    key = os.path.join(root, rel)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(key) as f:
+        d = json.load(f)
+    mf = tuple(DataFile.from_json(x) for x in d["files"])
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[key] = mf
+    return mf
 
 
 class HadoopTable:
@@ -841,6 +891,16 @@ class HadoopTable:
                 d = json.load(f)
         except FileNotFoundError:
             raise NoSuchTable(f"{self.location}@v{v}")
+        if "manifest_list" in d:
+            manifests: list[tuple[str, tuple[DataFile, ...]]] | None = []
+            files: list[DataFile] = []
+            for ent in d["manifest_list"]:
+                mf = _load_manifest(self.root, ent["path"])
+                manifests.append((ent["path"], mf))
+                files.extend(mf)
+        else:  # legacy inline-"files" metadata: still readable forever
+            files = [DataFile.from_json(x) for x in d["files"]]
+            manifests = None
         return Snapshot(
             version=d["version"],
             parent=d["parent"],
@@ -848,10 +908,11 @@ class HadoopTable:
             timestamp_ms=d["timestamp_ms"],
             schema_json=d["schema_json"],
             partition_cols=list(d["partition_cols"]),
-            files=[DataFile.from_json(x) for x in d["files"]],
+            files=files,
             summary=dict(d.get("summary") or {}),
             partition_spec=spec_from_json(d.get("partition_spec") or []),
             properties=dict(d.get("properties") or {}),
+            manifests=manifests,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -883,6 +944,9 @@ class HadoopTable:
         ``snapshots``  — one row per snapshot: version, parent,
                          operation, committed_at, summary map, file/record
                          counts.
+        ``manifests``  — one row per manifest file in the inspected
+                         snapshot's manifest list: path, file/record/byte
+                         counts (empty for legacy inline metadata).
         ``files``      — one row per live file in the inspected snapshot:
                          content, path, partition map, records, bytes,
                          seq, equality_cols, per-column min/max/null-count
@@ -959,6 +1023,27 @@ class HadoopTable:
                 "equality_cols array<string>, lower_bounds map<string,string>, "
                 "upper_bounds map<string,string>, "
                 "null_counts map<string,bigint>",
+            )
+        if name == "manifests":
+            snap = (
+                self.snapshot(version)
+                if self.exists()
+                else Snapshot(0, None, "none", 0, "", [])
+            )
+            rows = [
+                (
+                    p,
+                    len(mf),
+                    sum(f.records for f in mf),
+                    sum(f.bytes for f in mf),
+                    sum(1 for f in mf if f.content != "data"),
+                )
+                for p, mf in (snap.manifests or [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "path string, n_files int, records bigint, bytes bigint, "
+                "delete_files int",
             )
         if name == "partitions":
             snap = (
@@ -1053,7 +1138,7 @@ class HadoopTable:
             )
         raise ValueError(
             f"unknown metadata table {name!r}; one of snapshots, files, "
-            "partitions, history, refs, schema"
+            "manifests, partitions, history, refs, schema"
         )
 
     # ------------------------------------------------------------- refs/tags
@@ -1198,9 +1283,10 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, new_version)
+                # carry: the target's own manifests match the child's
+                # file list exactly, so a rollback is metadata-only
+                self._publish(new, new_version, carry=(parent, old))
                 return new
             except CommitConflict:
                 continue
@@ -1291,9 +1377,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, new_version)
+                self._publish(new, new_version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue
@@ -1404,9 +1489,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue
@@ -1641,7 +1725,7 @@ class HadoopTable:
             )
             summary["total_records"] = new.total_records
             try:
-                self._promote(_snapshot_payload(new), version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue
@@ -1690,8 +1774,10 @@ class HadoopTable:
             summary=summary,
             properties=dict(cur.properties),
         )
-        # fail-if-exists: a racing creator loses
-        b._promote(_snapshot_payload(fork), 1)
+        # fail-if-exists: a racing creator loses. The fork carries
+        # main's manifests by path (shared metadata/manifests/ dir), so
+        # branch creation is metadata-only at any table size.
+        b._publish(fork, 1, carry=(cur,))
         return b
 
     def drop_branch(self, name: str) -> None:
@@ -1739,23 +1825,24 @@ class HadoopTable:
                     "fast_forwarded_from": int(fork),
                 }
             )
-            payload = _snapshot_payload(
-                Snapshot(
-                    version=version,
-                    parent=parent.version,
-                    operation="fast-forward",
-                    timestamp_ms=int(time.time() * 1000),
-                    schema_json=head.schema_json,
-                    partition_cols=head.partition_cols,
-                    partition_spec=head.spec,
-                    files=list(head.files),
-                    summary=summary,
-                    properties=dict(head.properties),
-                )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="fast-forward",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=head.schema_json,
+                partition_cols=head.partition_cols,
+                partition_spec=head.spec,
+                files=list(head.files),
+                summary=summary,
+                properties=dict(head.properties),
             )
-            self._promote(payload, version)  # CommitConflict propagates:
-            # a racing main commit means the fork check must re-run, and
-            # it can only fail then — no silent retry
+            # carry the branch head's manifests by path (shared
+            # metadata/manifests/ dir): publishing is metadata-only.
+            # CommitConflict propagates: a racing main commit means the
+            # fork check must re-run, and it can only fail then — no
+            # silent retry
+            self._publish(new, version, carry=(head,))
             return self.snapshot(version)
 
     def branches(self) -> list[str]:
@@ -1825,6 +1912,81 @@ class HadoopTable:
                 )
         _fault("after-stage")
         return entries
+
+    def _write_manifest(self, files: list[DataFile]) -> str:
+        """Write ONE immutable manifest file under metadata/manifests/
+        and return its table-root-relative path. uuid-named and
+        referenced only by a LATER metadata promote, so a crash (or a
+        lost commit race) leaves an unreferenced manifest for the
+        orphan GC — never a torn table. Shared table-wide (branches
+        carry main's manifests by path and vice versa)."""
+        d = os.path.join(self._main_meta_dir, "manifests")
+        os.makedirs(d, exist_ok=True)
+        name = f"m-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(d, f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump({"files": [e.to_json() for e in files]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, name))
+        return os.path.join("metadata", "manifests", name)
+
+    def _publish(
+        self, new: Snapshot, version: int, carry: tuple = ()
+    ) -> None:
+        """Compose the child snapshot's manifest list and promote its
+        metadata — the Iceberg manifest-list shape that makes commit
+        cost O(commit files), not O(table files): every manifest of a
+        ``carry`` snapshot (the parent; plus e.g. the rollback target)
+        whose files ALL survive unchanged in the child is carried into
+        the child's manifest list by path; only the leftover (added or
+        rewritten) entries are written out, as one new delta manifest.
+        An append therefore writes just its own files' JSON; a replace
+        or compaction rewrites only the manifests it actually touched
+        (exactly Iceberg's manifest-rewrite behavior).
+
+        Raises :class:`CommitConflict` exactly like :meth:`_promote`;
+        retry loops re-run the whole composition against the new
+        parent (the losing attempt's delta manifest becomes an orphan,
+        reclaimed by the GC like any dead staged file)."""
+        by_path: dict[str, DataFile] = {}
+        for f in new.files:
+            by_path[f.path] = f
+        assert len(by_path) == len(new.files), "duplicate file path in manifest"
+        carried: list[tuple[str, tuple[DataFile, ...]]] = []
+        used: set[str] = set()
+        seen_m: set[str] = set()
+        for snap in carry:
+            if snap is None or not snap.manifests:
+                continue
+            for mpath, mfiles in snap.manifests:
+                if mpath in seen_m or not mfiles:
+                    continue
+                seen_m.add(mpath)
+                ok = True
+                for f in mfiles:
+                    g = by_path.get(f.path)
+                    # identity first (kept parent entries ARE the same
+                    # objects), field equality as the general rule; a
+                    # path already covered by an earlier carried
+                    # manifest disqualifies this one (no double refs)
+                    if (g is not f and g != f) or f.path in used:
+                        ok = False
+                        break
+                if ok:
+                    carried.append((mpath, mfiles))
+                    used.update(f.path for f in mfiles)
+        delta = [f for f in new.files if f.path not in used]
+        _fault("before-manifest-write")
+        manifests = carried
+        if delta:
+            manifests = carried + [(self._write_manifest(delta), tuple(delta))]
+        _fault("after-manifest-write")
+        new.manifests = manifests
+        # flat list in manifest order, so the in-memory snapshot equals
+        # what a reader loads back from the committed metadata
+        new.files = [f for _, mf in manifests for f in mf]
+        self._promote(_snapshot_payload(new), version)
 
     def _promote(self, payload: dict[str, Any], version: int) -> None:
         """THE atomic commit step: temp JSON -> hardlink to v<version>.
@@ -2222,9 +2384,8 @@ class HadoopTable:
                 partition_spec=spec,
             )
             summary["total_records"] = snap.total_records
-            payload = _snapshot_payload(snap)
             try:
-                self._promote(payload, version)
+                self._publish(snap, version, carry=(parent,))
                 return snap
             except CommitConflict:
                 # another writer landed this version: re-read the new
@@ -3060,9 +3221,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             new.summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue  # liveness re-checks against the new parent
@@ -3152,9 +3312,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue  # higher version = higher seq; still correct
@@ -3313,9 +3472,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue  # liveness + added-rows checks re-run vs new parent
@@ -3416,9 +3574,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue  # all three checks re-run against the new parent
@@ -3728,9 +3885,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue  # re-read the new parent; the liveness check re-runs
@@ -3772,9 +3928,8 @@ class HadoopTable:
                 properties=dict(parent.properties),
             )
             summary["total_records"] = new.total_records
-            payload = _snapshot_payload(new)
             try:
-                self._promote(payload, version)
+                self._publish(new, version, carry=(parent,))
                 return new
             except CommitConflict:
                 continue
@@ -3798,14 +3953,24 @@ class HadoopTable:
         concern: a file exclusive to a branch manifest is just as live
         as one on main (Iceberg's remove_orphan_files walks all
         reachable snapshots for the same reason)."""
+        return self._live_state()[0]
+
+    def _live_state(self) -> tuple[set[str], set[str]]:
+        """(live data-file paths, live manifest paths) across every
+        retained snapshot on every chain — one walk serves both the
+        data-file GC and the manifest GC (a manifest referenced only by
+        expired metadata versions is debris exactly like a dead data
+        file)."""
         main = self._main_view()
         views = [main] + [main.branch(b) for b in main.branches()]
-        return {
-            f.path
-            for t in views
-            for v in t.versions()
-            for f in t.snapshot(v).files
-        }
+        files: set[str] = set()
+        manifests: set[str] = set()
+        for t in views:
+            for v in t.versions():
+                s = t.snapshot(v)
+                files.update(f.path for f in s.files)
+                manifests.update(p for p, _mf in (s.manifests or []))
+        return files, manifests
 
     def cleanup_orphans(
         self, older_than_sec: float | None = None
@@ -3840,7 +4005,7 @@ class HadoopTable:
         if older_than_sec is None:
             older_than_sec = float(self._prop("orphan.grace-sec", 86400.0))
         cutoff = _time.time() - older_than_sec
-        live = self._live_files()
+        live, live_manifests = self._live_state()
         # staging roots (data/<uuid>) that still host live files: their
         # _SUCCESS markers stay
         live_roots = {"/".join(p.split("/")[:2]) for p in live}
@@ -3860,6 +4025,19 @@ class HadoopTable:
                 if (name.startswith(".tmp-") or name.startswith(".hint-")) and _old(p):
                     os.unlink(p)
                     removed.append(os.path.join("metadata", name))
+        # manifest GC: manifests not referenced by any retained snapshot
+        # on any chain (a dead commit attempt's delta, or the sole
+        # references expired) are reclaimed under the same grace period
+        # — a just-written delta whose metadata promote is still in
+        # flight must survive, exactly like staged data files
+        man_dir = os.path.join(self._main_meta_dir, "manifests")
+        if os.path.isdir(man_dir):
+            for name in os.listdir(man_dir):
+                rel = os.path.join("metadata", "manifests", name)
+                p = os.path.join(man_dir, name)
+                if rel not in live_manifests and _old(p):
+                    os.unlink(p)
+                    removed.append(rel)
         data_dir = os.path.join(self.root, "data")
         if not os.path.isdir(data_dir):
             return removed

@@ -118,12 +118,14 @@ def test_inspect_refs_lists_tags_and_branches(spark, tmp_path):
 
 def test_inspect_empty_table_and_unknown_name(spark, tmp_path):
     t = HadoopTable(spark, str(tmp_path / "te"))
-    for name in ("snapshots", "files", "partitions", "history", "refs"):
+    for name in (
+        "snapshots", "files", "manifests", "partitions", "history", "refs"
+    ):
         df = t.inspect(name)
         assert df.count() == 0
         assert len(df.schema.fields) >= 3  # typed, not degenerate
     with pytest.raises(ValueError, match="unknown metadata table"):
-        t.inspect("manifests")
+        t.inspect("nope")
 
 
 def test_inspect_schema_table(spark, tmp_path):

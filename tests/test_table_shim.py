@@ -177,6 +177,8 @@ print("SURVIVED", flush=True)  # only reachable when the fault never fired
     [
         ("mid-stage", False),
         ("after-stage", False),
+        ("before-manifest-write", False),
+        ("after-manifest-write", False),
         ("after-tmp-meta", False),
         ("after-commit", True),
     ],
@@ -215,7 +217,18 @@ def test_sigkill_mid_commit_is_commit_or_nothing(spark, tmp_path, fault, committ
         t2.cleanup_orphans(older_than_sec=0)
         assert _rows(t2.read().select("sink", "id")) == before
         metas = os.listdir(os.path.join(t2.root, "metadata"))
-        assert all(m.startswith("v") or m == "version-hint.text" for m in metas)
+        assert all(
+            m.startswith("v") or m in ("version-hint.text", "manifests")
+            for m in metas
+        )
+        # the grace-waived cleanup also reclaimed any manifest the dead
+        # attempt stranded: only v1's manifest remains referenced
+        man_dir = os.path.join(t2.root, "metadata", "manifests")
+        live_manifests = {p for p, _ in (t2.snapshot().manifests or [])}
+        assert {
+            os.path.join("metadata", "manifests", m)
+            for m in os.listdir(man_dir)
+        } == live_manifests
     else:
         # the atomic step happened: v2 is fully live, stale hint is harmless
         assert t2.current_version() == 2
@@ -731,21 +744,77 @@ def test_pipeline_reads_from_snapshot_table_source(spark, tmp_path):
     assert v1.count() == half.count()
 
 
-def test_metadata_file_is_single_snapshot_json(spark, tmp_path):
-    """The committed metadata is one self-contained JSON snapshot: full
-    file list with partition values and record counts — what the manifest
-    pruning and the record-count summaries read."""
+def test_metadata_is_manifest_list_with_delta_manifests(spark, tmp_path):
+    """The committed metadata holds a MANIFEST LIST (paths to immutable
+    manifest files), not an inline file list — Iceberg's shape, making
+    commit metadata O(commit files): an append carries the parent's
+    manifests by path and writes only its own delta; a legacy inline
+    metadata file still loads."""
     loc = str(tmp_path / "t6")
     t = HadoopTable(spark, loc)
     df = spark.createDataFrame([("a", 1), ("b", 2)], "sink string, id long")
     t.append(df, partition_cols=["sink"])
     with open(os.path.join(t.root, "metadata", "v1.metadata.json")) as f:
         d = json.load(f)
-    assert d["format_version"] == 1 and d["version"] == 1
+    assert d["format_version"] == 2 and d["version"] == 1
     assert d["partition_cols"] == ["sink"]
     assert d["summary"]["total_records"] == 2
-    assert {f["partition"]["sink"] for f in d["files"]} == {"a", "b"}
-    assert all(f["records"] >= 1 and f["bytes"] > 0 for f in d["files"])
+    assert "files" not in d
+    (m1,) = d["manifest_list"]
+    assert m1["path"].startswith("metadata/manifests/m-")
+    with open(os.path.join(t.root, m1["path"])) as f:
+        man = json.load(f)
+    assert {f["partition"]["sink"] for f in man["files"]} == {"a", "b"}
+    assert all(f["records"] >= 1 and f["bytes"] > 0 for f in man["files"])
+    assert m1["n_files"] == len(man["files"]) and m1["records"] == 2
+
+    # append #2: parent manifest carried BY PATH, one new delta manifest
+    t.append(
+        spark.createDataFrame([("c", 3)], "sink string, id long"),
+        partition_cols=["sink"],
+    )
+    with open(os.path.join(t.root, "metadata", "v2.metadata.json")) as f:
+        d2 = json.load(f)
+    assert [m["path"] for m in d2["manifest_list"]][0] == m1["path"]
+    assert len(d2["manifest_list"]) == 2
+    delta = d2["manifest_list"][1]
+    assert delta["path"] != m1["path"] and delta["records"] == 1
+    # the snapshot object exposes the same structure, flat files intact
+    snap = t.snapshot()
+    assert [p for p, _ in snap.manifests] == [
+        m["path"] for m in d2["manifest_list"]
+    ]
+    assert len(snap.files) == len(snap.data_files) == 3
+    assert _rows(t.read().select("sink", "id")) == [
+        ("a", 1), ("b", 2), ("c", 3)
+    ]
+
+    # metadata-only commits (properties/DDL) write NO new manifest
+    before = set(os.listdir(os.path.join(t.root, "metadata", "manifests")))
+    t.set_properties({"history.keep-last": "5"})
+    t.rename_column("id", "num")
+    after = set(os.listdir(os.path.join(t.root, "metadata", "manifests")))
+    assert before == after
+
+    # a LEGACY inline-"files" metadata version still loads exactly
+    legacy = {k: v for k, v in d2.items() if k != "manifest_list"}
+    legacy["files"] = [f for m in d2["manifest_list"]
+                       for f in json.load(open(os.path.join(t.root, m["path"])))["files"]]
+    legacy["version"] = t.current_version() + 1
+    legacy["parent"] = t.current_version()
+    t._promote(legacy, legacy["version"])
+    s = HadoopTable(spark, loc).snapshot()
+    assert s.manifests is None and len(s.files) == 3
+    assert _rows(t.read().select("sink", "id")) == [
+        ("a", 1), ("b", 2), ("c", 3)
+    ]
+    # and the NEXT commit over a legacy parent re-manifests everything
+    t.append(
+        spark.createDataFrame([("d", 4)], "sink string, id long"),
+        partition_cols=["sink"],
+    )
+    s2 = t.snapshot()
+    assert s2.manifests is not None and len(s2.files) == 4
 
 
 # --------------------------------------------------------------- round 7
@@ -1264,3 +1333,32 @@ def test_default_value_pruning_cross_kind_keeps_file(spark, tmp_path):
     # prunes, the matching one keeps
     assert len(t.plan_files(predicate=[("day", "=", "2024-01-06")])) == 0
     assert len(t.plan_files(predicate=[("day", "=", "2024-01-05")])) == 1
+
+
+def test_manifest_gc_after_expiry_and_conflict(spark, tmp_path):
+    """Manifests are GC'd like data files: one referenced only by expired
+    metadata versions (or stranded by a dead commit attempt) is reclaimed
+    after the grace period; every manifest a retained snapshot references
+    survives, and reads stay exact throughout."""
+    loc = str(tmp_path / "t_mgc")
+    t = HadoopTable(spark, loc)
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+            .coalesce(1)
+        )
+    # compact rewrites everything into one new manifest; the four delta
+    # manifests are now referenced ONLY by snapshots 1-4
+    assert t.compact(target_file_bytes=1 << 30) is not None
+    man_dir = os.path.join(t.root, "metadata", "manifests")
+    n_before = len(os.listdir(man_dir))
+    assert n_before >= 5
+    t.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
+    live = {p for p, _ in t.snapshot().manifests}
+    on_disk = {
+        os.path.join("metadata", "manifests", m) for m in os.listdir(man_dir)
+    }
+    assert on_disk == live and len(live) >= 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    # a fresh table handle (cold manifest cache path exercised elsewhere)
+    assert HadoopTable(spark, loc).read().count() == 4
