@@ -3638,13 +3638,34 @@ class HadoopTable:
         Ranks are 16-bit linear scalings between the column's global min
         and max (one cheap agg over the rewrite scan, JVM-side bit
         interleave — no UDF). Numeric, date, and timestamp columns only;
-        nulls rank lowest. Mutually exclusive with ``sort_by``."""
+        nulls rank lowest. Mutually exclusive with ``sort_by``.
+
+        Task sizing is budgeted separately from file sizing: each rewrite
+        task's COMPRESSED input is capped at the
+        ``compaction.task-input-bytes`` property (default 256 MB), so a
+        large ``target_file_bytes`` can never hand one task a working set
+        that spills — when the cap binds, a partition simply compacts
+        into more, smaller files (still >= the bin-pack win; compaction
+        must never be the op that thrashes the cluster). The rewrite
+        trigger uses the same effective count, so re-running compact()
+        on its own output is a no-op, not a rewrite loop."""
         import math
 
         if target_file_bytes is None:
             target_file_bytes = int(
                 self._prop("write.target-file-size-bytes", 128 << 20)
             )
+        # max compressed input bytes one rewrite task may hold (its
+        # decompressed working set is a small multiple of this): the
+        # spill guard for maintenance at capacity scale
+        task_budget = max(
+            1, int(self._prop("compaction.task-input-bytes", 256 << 20))
+        )
+
+        def _n_tasks(total_bytes: int, want: int | None = None) -> int:
+            if want is None:
+                want = max(1, math.ceil(total_bytes / target_file_bytes))
+            return max(want, math.ceil(total_bytes / task_budget))
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         if zorder_by is not None and len(zorder_by) < 2:
@@ -3697,16 +3718,29 @@ class HadoopTable:
             rewrite = list(snap.data_files)
             by_part = {}  # sort/zorder mode: table-global task allocation
         for part, fs in by_part.items():
-            want = max(1, math.ceil(sum(f.bytes for f in fs) / target_file_bytes))
-            if len(fs) > want:
+            part_bytes = sum(f.bytes for f in fs)
+            by_target = max(1, math.ceil(part_bytes / target_file_bytes))
+            want = _n_tasks(part_bytes, by_target)
+            # rewrite trigger. When the task budget binds (want >
+            # by_target) the post-rewrite count is byte-derived and a
+            # compression delta shifts it slightly, so require a
+            # MATERIAL win (>= max(2, want/8) fewer files) — otherwise
+            # every maintenance pass would re-rewrite the whole
+            # partition to save one file. Unbudgeted partitions keep
+            # the exact count trigger (re-runs are no-ops either way).
+            gain = len(fs) - want
+            trigger = (
+                gain > 0
+                if want == by_target
+                else gain >= max(2, want // 8)
+            )
+            if trigger:
                 rw = fs  # bin-pack the whole partition
             else:
                 rw = [f for f in fs if f.path in affected]
                 if not rw:
                     continue
-                want = max(
-                    1, math.ceil(sum(f.bytes for f in rw) / target_file_bytes)
-                )
+                want = _n_tasks(sum(f.bytes for f in rw))
             rewrite.extend(rw)
             wants[part] = want
         if not rewrite:
@@ -3728,10 +3762,7 @@ class HadoopTable:
         # already present; _stage recomputes the same values at write)
         df = derive_partition_columns(df, snap.spec)
         if sort_by or zorder_by:
-            n_tasks = max(
-                1,
-                math.ceil(sum(f.bytes for f in rewrite) / target_file_bytes),
-            )
+            n_tasks = _n_tasks(sum(f.bytes for f in rewrite))
             if zorder_by:
                 df = df.withColumn("_lph_z", _zvalue_column(df, zorder_by))
                 keys = pcols + ["_lph_z"]
@@ -3752,10 +3783,7 @@ class HadoopTable:
             # per-old-partition wants table below cannot key them —
             # allocate table-globally over the rewrite set instead
             # (range partitioner samples the new keys, skew splits)
-            n_tasks = max(
-                1,
-                math.ceil(sum(f.bytes for f in rewrite) / target_file_bytes),
-            )
+            n_tasks = _n_tasks(sum(f.bytes for f in rewrite))
             if pcols:
                 df = df.repartitionByRange(n_tasks, *[F.col(c) for c in pcols])
             else:

@@ -1362,3 +1362,52 @@ def test_manifest_gc_after_expiry_and_conflict(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
     # a fresh table handle (cold manifest cache path exercised elsewhere)
     assert HadoopTable(spark, loc).read().count() == 4
+
+
+def test_compact_task_input_budget_bounds_working_set(spark, tmp_path):
+    """Task sizing is budgeted separately from file sizing (VERDICT r7:
+    capacity-scale compact spilled 27 GB because task count came from
+    target_file_bytes alone): with `compaction.task-input-bytes` binding,
+    a rewrite fans out into ceil(input/budget) tasks — more, smaller
+    files instead of a spilling task — and re-running compact() on that
+    output is a no-op, not a rewrite loop."""
+    import hashlib
+
+    loc = str(tmp_path / "t_budget")
+    t = HadoopTable(spark, loc)
+    # incompressible-ish payload so the post-rewrite byte total stays
+    # close to the input total (at real scale compression deltas are
+    # percent-level; tiny compressible rows would exaggerate them)
+    for i in range(8):
+        t.append(
+            spark.createDataFrame(
+                [
+                    (
+                        i * 2000 + j,
+                        hashlib.sha256(f"{i}/{j}".encode()).hexdigest(),
+                    )
+                    for j in range(2000)
+                ],
+                "id long, pad string",
+            ).coalesce(1)
+        )
+    snap = t.snapshot()
+    total = sum(f.bytes for f in snap.files)
+    assert len(snap.files) == 8
+    # budget ~ total/4: a huge file-size target must still split the
+    # rewrite into ~4 tasks (never one giant working set)
+    t.set_properties({"compaction.task-input-bytes": str(total // 4 + 1)})
+    before = _rows(t.read())
+    s2 = t.compact(target_file_bytes=1 << 30)
+    assert s2 is not None
+    n_after = len(s2.data_files)
+    assert 2 <= n_after <= 4
+    assert _rows(t.read()) == before
+    # idempotent: the trigger uses the same effective count
+    assert t.compact(target_file_bytes=1 << 30) is None
+    # with the default (non-binding) budget the same table bin-packs to 1
+    t.set_properties({"compaction.task-input-bytes": str(256 << 20)})
+    s3 = t.compact(target_file_bytes=1 << 30)
+    assert s3 is not None and len(s3.data_files) == 1
+    assert _rows(t.read()) == before
+    assert t.compact(target_file_bytes=1 << 30) is None
