@@ -210,6 +210,61 @@ def _schema_defaults(schema_json: str) -> dict[int, Any]:
     return {int(k): v for k, v in raw.items()}
 
 
+def _nested_paths(
+    fields: list[dict], prefix: str = ""
+) -> list[tuple[str, dict]]:
+    """(dotted path, field json) for every field NESTED inside a plain
+    struct, depth-first — the id-assignment order Iceberg uses. Only
+    struct nesting participates (array/map interiors are opaque to the
+    shim's evolution: no ids inside them, nested DDL refuses)."""
+    out: list[tuple[str, dict]] = []
+    for f in fields:
+        path = prefix + f["name"]
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for sub in t["fields"]:
+                out.append((path + "." + sub["name"], sub))
+            out.extend(_nested_paths(t["fields"], prefix=path + "."))
+    return out
+
+
+def _dotted_tree(fields: list[dict]) -> set[str]:
+    """Top-level column names whose struct tree contains a field name
+    with a literal '.' — dotted-path id keys would be ambiguous there,
+    so those trees keep whole-column (by-name) semantics: no nested ids
+    are minted and nested DDL refuses."""
+    out: set[str] = set()
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            tree = [(f["name"] + "." + s["name"], s) for s in t["fields"]]
+            tree += _nested_paths(t["fields"], prefix=f["name"] + ".")
+            if "." in f["name"] or any(
+                "." in sub["name"] for _p, sub in tree
+            ):
+                out.add(f["name"])
+    return out
+
+
+def _mint_nested_ids(
+    fields: list[dict], ids: dict[str, int], last: int
+) -> tuple[dict[str, int], int]:
+    """Assign fresh ids to nested struct paths missing from ``ids``
+    (stable depth-first order, past the high-water mark — existing ids,
+    top-level or nested, are never touched). Called on every schema
+    commit and on additive write evolution, so struct columns become
+    nested-DDL-capable the first time any schema event happens under
+    this code; compact() then migrates pre-existing files' manifests."""
+    skip = _dotted_tree(fields)
+    for path, _f in _nested_paths(fields):
+        if path.split(".", 1)[0] in skip:
+            continue
+        if ids.get(path) is None:
+            last += 1
+            ids[path] = last
+    return ids, last
+
+
 def _df_columns(schema) -> list[dict[str, Any]]:
     """Physical-column manifest entries for a staged DataFrame schema:
     [{"name", "type" (Spark type jsonValue), "id" (filled at commit)}].
@@ -239,6 +294,195 @@ def _columns_struct(columns: list[dict[str, Any]]):
             for c in columns
         ]
     )
+
+
+def _type_rel_paths(tjson, prefix: str = "") -> list[str]:
+    """Every dotted path RELATIVE to a column, from its type json tree
+    (struct nesting only)."""
+    out: list[str] = []
+    if isinstance(tjson, dict) and tjson.get("type") == "struct":
+        for sub in tjson["fields"]:
+            rp = prefix + sub["name"]
+            out.append(rp)
+            out.extend(_type_rel_paths(sub["type"], rp + "."))
+    return out
+
+
+def _rel_ids_under(
+    ids: dict[str, int], top: str
+) -> dict[str, int]:
+    """The dotted-id map rebased RELATIVE to one top-level column: e.g.
+    {'props.lat': 4} -> {'lat': 4} for top='props'."""
+    pre = top + "."
+    return {k[len(pre):]: v for k, v in ids.items() if k.startswith(pre)}
+
+
+def _struct_align_expr(
+    base,
+    phys_type: dict,
+    rel_ids: dict[str, int] | None,
+    cur_prefix: str,
+    cur_dt,
+    cur_ids: dict[str, int],
+    cur_defaults: dict[int, Any],
+    rel_prefix: str = "",
+):
+    """Project a physically-shaped struct Column onto the CURRENT struct
+    type by nested field id (the recursive analogue of the top-level
+    physical->current projection): renamed inner fields alias, widened
+    ones cast, dropped ones are omitted, later-added ones read their
+    default (else null), and a dropped+re-added inner name can never
+    resurrect old values (the old physical field's id left the schema).
+    ``rel_ids`` maps the FILE's inner paths (relative to the column) to
+    ids; None means the file predates nested annotation, where matching
+    by NAME is exact (nested DDL refuses while such files are live, so
+    no rename/drop can have happened during their lifetime). NULL struct
+    values stay null (a plain F.struct would fabricate a row of
+    nulls)."""
+    phys_fields = phys_type.get("fields", [])
+    id_of_phys = {}
+    if rel_ids is not None:
+        for x in phys_fields:
+            fid = rel_ids.get(rel_prefix + x["name"])
+            if fid is not None:
+                id_of_phys[fid] = x
+    inner = []
+    for g in cur_dt.fields:
+        path = f"{cur_prefix}.{g.name}"
+        gid = cur_ids.get(path)
+        if rel_ids is None:
+            x = next(
+                (p for p in phys_fields if p["name"] == g.name), None
+            )
+        else:
+            x = id_of_phys.get(gid) if gid is not None else None
+        if x is None:
+            dv = cur_defaults.get(gid) if gid is not None else None
+            inner.append(F.lit(dv).cast(g.dataType).alias(g.name))
+            continue
+        child = base.getField(x["name"])
+        from pyspark.sql.types import StructType as _St
+
+        if isinstance(g.dataType, _St) and isinstance(x["type"], dict) and (
+            x["type"].get("type") == "struct"
+        ):
+            inner.append(
+                _struct_align_expr(
+                    child,
+                    x["type"],
+                    rel_ids,
+                    path,
+                    g.dataType,
+                    cur_ids,
+                    cur_defaults,
+                    rel_prefix=rel_prefix + x["name"] + ".",
+                ).alias(g.name)
+            )
+        else:
+            inner.append(child.cast(g.dataType).alias(g.name))
+    return F.when(base.isNotNull(), F.struct(*inner)).otherwise(
+        F.lit(None)
+    ).cast(cur_dt)
+
+
+def _struct_trivial(
+    entry: dict, sf, cur_ids: dict[str, int]
+) -> bool:
+    """True when reading this file's struct column BY NAME under the
+    current schema is exactly right: the physical type matches the
+    current type AND (the file carries no nested-id map — possible only
+    if no nested DDL ever ran while it was live, where names are the
+    mapping — or every nested id agrees with the current assignment, so
+    no inner drop+re-add can be hiding behind equal names)."""
+    if entry["type"] != sf.dataType.jsonValue():
+        return False
+    rel = entry.get("ids")
+    if rel is None:
+        return True
+    for path, fid in _rel_ids_under(cur_ids, sf.name).items():
+        if rel.get(path) != fid:
+            return False
+    return True
+
+
+def _nested_spec(
+    phys_type: dict,
+    rel_ids: dict[str, int] | None,
+    cur_prefix: str,
+    cur_dt,
+    cur_ids: dict[str, int],
+    cur_defaults: dict[int, Any],
+    rel_prefix: str = "",
+) -> list[tuple]:
+    """JSON-serializable worker projection spec for one struct column —
+    the same resolution rules as :func:`_struct_align_expr`, shipped to
+    Python DataSource workers so their Arrow-side restructuring agrees
+    exactly with the native scan: ``[(current inner name, physical inner
+    name | None, default-when-absent, sub-spec | None), ...]`` in
+    current-schema field order."""
+    from pyspark.sql.types import StructType as _St
+
+    phys_fields = phys_type.get("fields", [])
+    id_of_phys: dict[int, dict] = {}
+    if rel_ids is not None:
+        for x in phys_fields:
+            fid = rel_ids.get(rel_prefix + x["name"])
+            if fid is not None:
+                id_of_phys[fid] = x
+    out: list[tuple] = []
+    for g in cur_dt.fields:
+        path = f"{cur_prefix}.{g.name}"
+        gid = cur_ids.get(path)
+        if rel_ids is None:
+            x = next(
+                (p for p in phys_fields if p["name"] == g.name), None
+            )
+        else:
+            x = id_of_phys.get(gid) if gid is not None else None
+        if x is None:
+            dv = cur_defaults.get(gid) if gid is not None else None
+            out.append((g.name, None, dv, None))
+            continue
+        sub = None
+        if isinstance(g.dataType, _St) and isinstance(x["type"], dict) and (
+            x["type"].get("type") == "struct"
+        ):
+            sub = _nested_spec(
+                x["type"],
+                rel_ids,
+                path,
+                g.dataType,
+                cur_ids,
+                cur_defaults,
+                rel_prefix=rel_prefix + x["name"] + ".",
+            )
+        out.append((g.name, x["name"], None, sub))
+    return out
+
+
+def _nested_specs(
+    f: "DataFile", cur_ids: dict[str, int], schema, cur_defaults: dict[int, Any]
+) -> dict[str, list]:
+    """Per-top-column nested projection specs a DataSource worker needs
+    for this file — only columns whose by-name read would be WRONG get
+    one (everything else stays on the plain cast path)."""
+    if f.columns is None:
+        return {}
+    from pyspark.sql.types import StructType as _St
+
+    by_id = {c["id"]: c for c in f.columns if c.get("id") is not None}
+    out: dict[str, list] = {}
+    for sf in schema.fields:
+        if not isinstance(sf.dataType, _St):
+            continue
+        c = by_id.get(cur_ids.get(sf.name))
+        if c is None or _struct_trivial(c, sf, cur_ids):
+            continue
+        out[sf.name] = _nested_spec(
+            c["type"], c.get("ids"), sf.name, sf.dataType, cur_ids,
+            cur_defaults,
+        )
+    return out
 
 
 def _physical_name(f: "DataFile", col: str, cur_ids: dict[str, int]) -> str | None:
@@ -295,7 +539,9 @@ def _file_defaults(
     return {
         name: defaults[fid]
         for name, fid in ids.items()
-        if fid in defaults and fid not in have
+        # top-level fields only: nested (dotted) defaults are applied by
+        # the struct projection, never by this flat map
+        if "." not in name and fid in defaults and fid not in have
     }
 
 
@@ -315,10 +561,12 @@ def _file_pred_match(
     terms = []
     for term in pred:  # null-check terms are 2-tuples (no value)
         col, op = term[0], term[1]
-        if cur_ids.get(col) is None:
-            # not a schema column at all (unknown name, or a derived
-            # partition value): no id to translate through — keep the
-            # term name-based, where missing stats keep the file
+        if cur_ids.get(col) is None or "." in col:
+            # unknown name, a derived partition value, or a NESTED path
+            # (nested ids exist in the map but files manifest only
+            # top-level columns — translating would misread "predates
+            # the column"): keep the term name-based, where missing
+            # stats keep the file
             terms.append(tuple(term))
             continue
         pn = _physical_name(f, col, cur_ids)
@@ -1445,6 +1693,66 @@ class HadoopTable:
                 "first"
             )
 
+    def _ddl_guard_nested(
+        self, parent: Snapshot, path: str, op_name: str
+    ) -> None:
+        """Preconditions for DDL on a NESTED (dotted) path: the top-level
+        column gets the usual protections, the tree must be dotted-name
+        unambiguous, and every live data file carrying the column must
+        record nested field ids — files staged before nested-evolution
+        metadata are readable by inner NAME only, so renaming/dropping
+        inner fields over them would corrupt reads; compact() rewrites
+        them fully annotated (the same migration contract as top-level
+        field ids)."""
+        top = path.split(".", 1)[0]
+        self._ddl_guard(parent, top, op_name)
+        d = json.loads(parent.schema_json)
+        if top in _dotted_tree(d["fields"]):
+            raise ValueError(
+                f"{op_name}: struct tree under {top!r} contains a field "
+                "name with a literal '.'; nested evolution is ambiguous "
+                "there"
+            )
+        ids, _ = _schema_ids(parent.schema_json)
+        top_id = ids.get(top)
+        if not any(k.startswith(top + ".") for k in ids):
+            # no nested ids under this column: either not a struct (the
+            # path resolver raises the precise error) or an empty tree
+            return
+        stale = 0
+        for f in parent.data_files:
+            for c in f.columns or ():
+                if c.get("id") == top_id and "ids" not in c:
+                    stale += 1
+        if stale:
+            raise ValueError(
+                f"{op_name}: {stale} live data file(s) predate nested "
+                f"field ids for {top!r}; run compact() to migrate them "
+                "first"
+            )
+
+    @staticmethod
+    def _resolve_struct_path(
+        fields: list[dict], path: str, op_name: str
+    ) -> tuple[list[dict], dict | None]:
+        """(the containing struct's field list, the leaf field json or
+        None when absent) for a dotted path — every intermediate segment
+        must be a plain struct column."""
+        parts = path.split(".")
+        cur = fields
+        for seg in parts[:-1]:
+            f = next((x for x in cur if x["name"] == seg), None)
+            if f is None:
+                raise ValueError(f"{op_name}: no column {seg!r} in {path!r}")
+            t = f["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{op_name}: {seg!r} in {path!r} is not a struct "
+                    "column (array/map interiors cannot be evolved)"
+                )
+            cur = t["fields"]
+        return cur, next((x for x in cur if x["name"] == parts[-1]), None)
+
     def _commit_schema(self, mutate, note: str) -> Snapshot:
         """Optimistic metadata-only schema commit: ``mutate(parent,
         fields, ids, last_id) -> (fields, ids, last_id)`` transforms the
@@ -1459,6 +1767,7 @@ class HadoopTable:
             defaults = _schema_defaults(parent.schema_json)
             fields = [dict(f) for f in d["fields"]]
             fields, ids, last = mutate(parent, fields, ids, last, defaults)
+            ids, last = _mint_nested_ids(fields, ids, last)
             schema_json = _ids_json(
                 {"type": "struct", "fields": fields},
                 ids,
@@ -1541,6 +1850,30 @@ class HadoopTable:
                 )
 
         def mutate(parent, fields, ids, last, defaults):
+            if "." in name:
+                # nested add: append a field INSIDE a struct column —
+                # metadata-only; files predating it read the default
+                # (else null) for the inner field via the struct
+                # projection
+                self._ddl_guard_nested(parent, name, "add_column")
+                container, leaf = self._resolve_struct_path(
+                    fields, name, "add_column"
+                )
+                if leaf is not None:
+                    raise ValueError(f"add_column: column {name!r} exists")
+                container.append(
+                    {
+                        "name": name.rsplit(".", 1)[1],
+                        "type": dt.jsonValue(),
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                )
+                last += 1
+                ids[name] = last
+                if default is not None:
+                    defaults[last] = default
+                return fields, ids, last
             if default is not None:
                 # defaults are resolved through the field-id manifests:
                 # legacy un-annotated files cannot distinguish "predates
@@ -1580,7 +1913,30 @@ class HadoopTable:
         if not new or "/" in new or "=" in new:
             raise ValueError(f"rename_column: invalid name {new!r}")
 
+        def _rekey(ids, old_path, new_path):
+            # nested descendants follow their ancestor's rename: their id
+            # KEYS are dotted paths through it (the ids themselves never
+            # change — that is the whole point of id-keyed reads)
+            ids[new_path] = ids.pop(old_path)
+            for k in [k for k in ids if k.startswith(old_path + ".")]:
+                ids[new_path + k[len(old_path):]] = ids.pop(k)
+
         def mutate(parent, fields, ids, last, defaults):
+            if "." in old:
+                self._ddl_guard_nested(parent, old, "rename_column")
+                container, leaf = self._resolve_struct_path(
+                    fields, old, "rename_column"
+                )
+                if leaf is None:
+                    raise ValueError(f"rename_column: no column {old!r}")
+                if any(x["name"] == new for x in container):
+                    raise ValueError(
+                        f"rename_column: column "
+                        f"{old.rsplit('.', 1)[0]}.{new} exists"
+                    )
+                leaf["name"] = new
+                _rekey(ids, old, old.rsplit(".", 1)[0] + "." + new)
+                return fields, ids, last
             self._ddl_guard(parent, old, "rename_column")
             if not any(f["name"] == old for f in fields):
                 raise ValueError(f"rename_column: no column {old!r}")
@@ -1597,7 +1953,7 @@ class HadoopTable:
             for f in fields:
                 if f["name"] == old:
                     f["name"] = new
-            ids[new] = ids.pop(old)
+            _rekey(ids, old, new)
             return fields, ids, last
 
         return self._commit_schema(mutate, f"rename {old} -> {new}")
@@ -1607,15 +1963,36 @@ class HadoopTable:
         the files (time travel still reads them) but no current-schema
         read can see them."""
 
+        def _pop_tree(ids, defaults, path):
+            for k in [
+                k for k in ids if k == path or k.startswith(path + ".")
+            ]:
+                defaults.pop(ids[k], None)
+                ids.pop(k)
+
         def mutate(parent, fields, ids, last, defaults):
+            if "." in name:
+                self._ddl_guard_nested(parent, name, "drop_column")
+                container, leaf = self._resolve_struct_path(
+                    fields, name, "drop_column"
+                )
+                if leaf is None:
+                    raise ValueError(f"drop_column: no column {name!r}")
+                if len(container) == 1:
+                    raise ValueError(
+                        "drop_column: cannot drop a struct's last field "
+                        "(drop the struct column instead)"
+                    )
+                container.remove(leaf)
+                _pop_tree(ids, defaults, name)
+                return fields, ids, last  # last id NEVER reused
             self._ddl_guard(parent, name, "drop_column")
             if not any(f["name"] == name for f in fields):
                 raise ValueError(f"drop_column: no column {name!r}")
             if len(fields) == 1:
                 raise ValueError("drop_column: cannot drop the last column")
             fields = [f for f in fields if f["name"] != name]
-            defaults.pop(ids.get(name), None)
-            ids.pop(name, None)
+            _pop_tree(ids, defaults, name)
             return fields, ids, last  # last id NEVER reused
 
         return self._commit_schema(mutate, f"drop {name}")
@@ -1629,10 +2006,18 @@ class HadoopTable:
         dt = self._parse_type(dtype)
 
         def mutate(parent, fields, ids, last, defaults):
-            self._ddl_guard(parent, name, "widen_column")
             from pyspark.sql.types import StructField
 
-            cur = next((f for f in fields if f["name"] == name), None)
+            if "." in name:
+                self._ddl_guard_nested(parent, name, "widen_column")
+                _container, cur = self._resolve_struct_path(
+                    fields, name, "widen_column"
+                )
+            else:
+                self._ddl_guard(parent, name, "widen_column")
+                cur = next(
+                    (f for f in fields if f["name"] == name), None
+                )
             if cur is None:
                 raise ValueError(f"widen_column: no column {name!r}")
             old_dt = StructField.fromJson(
@@ -2033,10 +2418,28 @@ class HadoopTable:
             # wins outright (the one supported way to retype a column).
             # Field ids restart: no old file survives to care.
             ids = {f.name: i + 1 for i, f in enumerate(new_schema.fields)}
-            return _ids_json(new_schema.jsonValue(), ids, len(ids))
+            sj = new_schema.jsonValue()
+            ids, last = _mint_nested_ids(sj["fields"], ids, len(ids))
+            return _ids_json(sj, ids, last)
         old = StructType.fromJson(json.loads(parent.schema_json))
         if old == new_schema:
-            return parent.schema_json
+            # identical schema passes through — unless struct columns
+            # still lack nested field ids (pre-nested-evolution
+            # metadata): minting them here is the same additive metadata
+            # top-up as appended-column ids, and makes nested DDL
+            # reachable on old tables (compact() then migrates files)
+            ids0, last0 = _schema_ids(parent.schema_json)
+            d0 = json.loads(parent.schema_json)
+            ids1, last1 = _mint_nested_ids(d0["fields"], dict(ids0), last0)
+            if ids1 == ids0:
+                return parent.schema_json
+            return _ids_json(
+                d0,
+                ids1,
+                last1,
+                _schema_defaults(parent.schema_json),
+                epoch=_schema_epoch(parent.schema_json),
+            )
         old_by = {f.name: f for f in old.fields}
         new_by = {f.name: f for f in new_schema.fields}
         for name, f in new_by.items():
@@ -2068,8 +2471,10 @@ class HadoopTable:
         for f in added:
             last += 1
             ids[f.name] = last
+        sj = StructType(merged + added).jsonValue()
+        ids, last = _mint_nested_ids(sj["fields"], ids, last)
         return _ids_json(
-            StructType(merged + added).jsonValue(),
+            sj,
             ids,
             last,
             _schema_defaults(parent.schema_json),
@@ -2129,7 +2534,37 @@ class HadoopTable:
                             f"staged column {c['name']!r} missing from "
                             "child schema"
                         )
-                cols.append({**c, "id": fid})
+                entry = {**c, "id": fid}
+                # nested field ids: stamp the id of every inner struct
+                # path this file physically holds, from the child
+                # schema's dotted map — the anchor nested renames/drops/
+                # widenings project through. A path the child schema
+                # cannot name (rebound or dropped by a concurrent nested
+                # DDL) conflicts under the same rule as a top column.
+                rels = (
+                    _type_rel_paths(c["type"])
+                    if c["name"] not in derived and fid is not None
+                    else []
+                )
+                rel_ids: dict[str, int] = {}
+                for rp in rels:
+                    full = f"{c['name']}.{rp}"
+                    nid = ids.get(full)
+                    if (
+                        conflict
+                        and scan_ids.get(full) is not None
+                        and nid != scan_ids[full]
+                    ):
+                        raise CompactionConflict(
+                            f"nested field {full!r} was renamed, dropped, "
+                            "or rebound by a concurrent schema commit; "
+                            "re-run the operation against the new schema"
+                        )
+                    if nid is not None:
+                        rel_ids[rp] = nid
+                if rel_ids:
+                    entry["ids"] = rel_ids
+                cols.append(entry)
             out.append(_dc_replace(e, columns=cols))
         return out
 
@@ -2276,6 +2711,14 @@ class HadoopTable:
                 ) or any(
                     b_ids.get(c) is not None and p_ids.get(c) != b_ids[c]
                     for c in df.columns
+                ) or any(
+                    # nested rebinds under a written struct column: a key
+                    # the base had that moved or vanished means a nested
+                    # rename/drop raced this write (parent-only keys are
+                    # benign — the one-time nested-id mint)
+                    p_ids.get(k) != v
+                    for k, v in b_ids.items()
+                    if "." in k and k.split(".", 1)[0] in df.columns
                 )
                 if stale:
                     raise CompactionConflict(
@@ -2637,6 +3080,7 @@ class HadoopTable:
             )
             s_ids, _ = _schema_ids(s.schema_json)
             name_at_s = {fid: n for n, fid in s_ids.items()}
+            s_fields = json.loads(s.schema_json)["fields"]
             have = set(df.columns)
             cols = []
             for fld in out_fields:
@@ -2644,11 +3088,49 @@ class HadoopTable:
                     src = name_at_s.get(out_ids.get(fld["name"]))
                 else:
                     src = fld["name"]
-                from pyspark.sql.types import StructField
+                from pyspark.sql.types import StructField, StructType
 
                 dt = StructField.fromJson(fld).dataType
                 if src is not None and src in have:
-                    cols.append(F.col(src).cast(dt).alias(fld["name"]))
+                    s_fld = next(
+                        (x for x in s_fields if x["name"] == src), None
+                    )
+                    needs_align = (
+                        isinstance(dt, StructType)
+                        and s_fld is not None
+                        and (
+                            s_fld["type"] != fld["type"]
+                            or (
+                                same_epoch
+                                and _rel_ids_under(s_ids, src)
+                                != _rel_ids_under(out_ids, fld["name"])
+                            )
+                        )
+                    )
+                    if needs_align:
+                        # nested evolution inside the range: project the
+                        # snapshot-shaped struct onto the out schema by
+                        # nested id (a positional cast would mis-bind
+                        # after an inner add/drop, and an inner
+                        # drop+re-add must read null, not old values)
+                        rel = (
+                            _rel_ids_under(s_ids, src)
+                            if same_epoch
+                            else None
+                        )
+                        cols.append(
+                            _struct_align_expr(
+                                F.col(src),
+                                s_fld["type"],
+                                rel,
+                                fld["name"],
+                                dt,
+                                out_ids,
+                                out_defaults,
+                            ).alias(fld["name"])
+                        )
+                    else:
+                        cols.append(F.col(src).cast(dt).alias(fld["name"]))
                 else:
                     # rows predating the column read its default (if any)
                     dv = out_defaults.get(out_ids.get(fld["name"]))
@@ -2852,6 +3334,12 @@ class HadoopTable:
                     continue
                 if c["name"] != sf.name or c["type"] != sf.dataType.jsonValue():
                     return False
+                if isinstance(sf.dataType, StructType) and not (
+                    _struct_trivial(c, sf, cur_ids)
+                ):
+                    # equal names can hide an inner drop+re-add — only
+                    # matching nested ids make a by-name read exact
+                    return False
             return True
         max_roots = int(
             snap.properties.get("read.max-union-roots", self.max_union_roots)
@@ -2884,14 +3372,14 @@ class HadoopTable:
                 # id is not the current field's id.
                 reader = self.spark.read.schema(_columns_struct(ann))
                 by_id = {
-                    c["id"]: c["name"]
+                    c["id"]: c
                     for c in ann
                     if c.get("id") is not None
                 }
                 sel = []
                 for f in schema.fields:
-                    pn = by_id.get(cur_ids.get(f.name))
-                    if pn is None:
+                    c = by_id.get(cur_ids.get(f.name))
+                    if c is None:
                         # absent from the file: the field's default when
                         # one exists (Iceberg v3 initial-default), null
                         # otherwise
@@ -2899,9 +3387,25 @@ class HadoopTable:
                         sel.append(
                             F.lit(dv).cast(f.dataType).alias(f.name)
                         )
+                    elif isinstance(f.dataType, StructType) and not (
+                        _struct_trivial(c, f, cur_ids)
+                    ):
+                        # nested evolution: rebuild the struct from the
+                        # file's physical inner fields by NESTED id
+                        sel.append(
+                            _struct_align_expr(
+                                F.col(c["name"]),
+                                c["type"],
+                                c.get("ids"),
+                                f.name,
+                                f.dataType,
+                                cur_ids,
+                                cur_defaults,
+                            ).alias(f.name)
+                        )
                     else:
                         sel.append(
-                            F.col(pn).cast(f.dataType).alias(f.name)
+                            F.col(c["name"]).cast(f.dataType).alias(f.name)
                         )
             if root_partitioned[root]:
                 reader = reader.option("basePath", root)

@@ -106,6 +106,11 @@ class TableFilePartition(InputPartition):
     # snapshot column name -> default value for columns this file
     # PREDATES (Iceberg v3 initial-default), resolved driver-side
     defaults: dict[str, Any] = field(default_factory=dict)
+    # NESTED schema evolution: snapshot column name -> recursive
+    # projection spec (hadoop_table._nested_spec) for struct columns
+    # whose by-name read would be wrong for this file (inner rename/
+    # add/drop/widen, or an inner drop+re-add that must NOT resurrect)
+    nested_specs: dict[str, Any] = field(default_factory=dict)
 
 
 def _parse_partition_value(raw: str, dtype) -> Any:
@@ -131,6 +136,39 @@ def _parse_partition_value(raw: str, dtype) -> Any:
         return datetime.datetime.fromisoformat(raw.replace(" ", "T"))
     raise ValueError(
         f"unsupported partition column type {dtype.simpleString()}"
+    )
+
+
+def _restruct(col, spec, ft):
+    """Rebuild a struct Arrow column under the snapshot's inner shape
+    per a _nested_spec: renamed inner fields re-key, widened ones cast,
+    added ones take their default (else null), dropped/stale ones are
+    never read. The parent's null mask is preserved — a null struct must
+    stay null, not become a struct of nulls."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    children = []
+    for cur_name, phys, dv, sub in spec:
+        f_t = ft.field(cur_name).type
+        if phys is None:
+            children.append(
+                pa.nulls(n, type=f_t)
+                if dv is None
+                else pa.array([dv] * n).cast(f_t)
+            )
+        else:
+            ch = col.field(phys)
+            if isinstance(ch, pa.ChunkedArray):
+                ch = ch.combine_chunks()
+            children.append(_restruct(ch, sub, f_t) if sub else ch.cast(f_t))
+    return pa.StructArray.from_arrays(
+        children,
+        fields=[ft.field(i) for i in range(ft.num_fields)],
+        mask=pc.is_null(col),
     )
 
 
@@ -220,7 +258,11 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
     arrays = []
     for sf, af in zip(schema.fields, arrow_schema):
         if sf.name in table.column_names:
-            arrays.append(table.column(sf.name).cast(af.type))
+            spec = part.nested_specs.get(sf.name)
+            col = table.column(sf.name)
+            arrays.append(
+                _restruct(col, spec, af.type) if spec else col.cast(af.type)
+            )
         elif sf.name in part_vals:
             v = _parse_partition_value(part_vals[sf.name], sf.dataType)
             arrays.append(pa.array([v] * n).cast(af.type))
@@ -267,9 +309,12 @@ def _plan_partitions(
     """Driver-side scan planning: manifest pruning via plan_files, then
     one InputPartition per surviving data file with its applicable
     delete files attached."""
+    import json
+
     from logparserhelper_spark.sinks.hadoop_table import (
         HadoopTable,
         _file_defaults,
+        _nested_specs,
         _rename_map,
         _schema_defaults,
         _schema_ids,
@@ -281,6 +326,7 @@ def _plan_partitions(
     snap = t.snapshot(version)
     cur_ids, _ = _schema_ids(snap.schema_json)
     cur_defaults = _schema_defaults(snap.schema_json)
+    snap_schema = StructType.fromJson(json.loads(snap.schema_json))
     files = t.plan_files(version, predicate=predicate or None)
     root = t.root
     pos = [
@@ -300,6 +346,9 @@ def _plan_partitions(
                 schema_json=snap.schema_json,
                 rename_map=_rename_map(f, cur_ids),
                 defaults=_file_defaults(f, cur_ids, cur_defaults),
+                nested_specs=_nested_specs(
+                    f, cur_ids, snap_schema, cur_defaults
+                ),
                 pos_delete_paths=[os.path.join(root, d.path) for d in pos],
                 eq_deletes=[
                     (
@@ -435,8 +484,11 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                     "set option skip_non_appends=true"
                 )
             base_snaps.append(s)
+        import json
+
         from logparserhelper_spark.sinks.hadoop_table import (
             _file_defaults,
+            _nested_specs,
             _rename_map,
             _schema_defaults,
             _schema_epoch,
@@ -449,6 +501,7 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         fixed_ids, _ = _schema_ids(fixed)
         fixed_defaults = _schema_defaults(fixed)
         fixed_epoch = _schema_epoch(fixed)
+        fixed_schema = StructType.fromJson(json.loads(fixed))
         parts: list[InputPartition] = []
         for s in base_snaps:
             prev = {f.path for f in t.snapshot(s.parent).files} if s.parent else set()
@@ -473,6 +526,14 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
                             ),
                             defaults=(
                                 _file_defaults(f, fixed_ids, fixed_defaults)
+                                if same_epoch
+                                else {}
+                            ),
+                            nested_specs=(
+                                _nested_specs(
+                                    f, fixed_ids, fixed_schema,
+                                    fixed_defaults,
+                                )
                                 if same_epoch
                                 else {}
                             ),

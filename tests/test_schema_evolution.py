@@ -694,9 +694,8 @@ def test_compact_target_from_property(spark, tmp_path):
 
 def test_struct_column_roundtrip_rename_and_branch_properties(spark, tmp_path):
     """Top-level STRUCT columns flow through the manifests, the id
-    projection, and the data source (nested-field DDL is out of scope —
-    renaming the top-level column is supported); branches inherit the
-    fork point's properties."""
+    projection, and the data source (nested-field DDL has its own test
+    family below); branches inherit the fork point's properties."""
     from logparserhelper_spark.sources.table_datasource import (
         register_table_source,
     )
@@ -724,3 +723,228 @@ def test_struct_column_roundtrip_rename_and_branch_properties(spark, tmp_path):
     assert b.properties()["owner"] == "corpus"
     b.set_properties({"owner": "dev-team"})
     assert t.properties()["owner"] == "corpus"  # main untouched
+
+
+# ------------------------------------------------- nested struct evolution
+def _mk_struct(spark, path):
+    t = HadoopTable(spark, str(path))
+    df = spark.createDataFrame(
+        [(1, ("alice", 30, ("x", 7))), (2, ("bob", 40, ("y", 9))),
+         (3, None)],
+        "k int, who struct<name string, age int, "
+        "inner struct<tag string, n int>>",
+    )
+    t.append(df)
+    return t
+
+
+def test_nested_rename_is_metadata_only_and_mixes_files(spark, tmp_path):
+    """rename_column('who.name', 'full_name'): metadata-only (file set
+    carried by reference), old files read under the new inner name by
+    NESTED field id, new files written post-rename mix in exactly, and a
+    NULL struct value stays null (the projection must not fabricate a
+    struct of nulls)."""
+    t = _mk_struct(spark, tmp_path / "t")
+    files_before = {f.path for f in t.snapshot().files}
+    s = t.rename_column("who.name", "full_name")
+    assert s.operation == "evolve-schema"
+    assert {f.path for f in s.files} == files_before
+    df = t.read()
+    assert "full_name" in df.schema["who"].dataType.fieldNames()
+    got = {r.k: r.who for r in df.collect()}
+    assert got[1].full_name == "alice" and got[1].age == 30
+    assert got[1].inner.tag == "x" and got[1].inner.n == 7
+    assert got[3] is None  # null struct preserved
+    # post-rename write mixes with pre-rename files
+    t.append(
+        spark.createDataFrame(
+            [(4, ("carol", 50, ("z", 1)))],
+            "k int, who struct<full_name string, age int, "
+            "inner struct<tag string, n int>>",
+        )
+    )
+    got = {r.k: r.who for r in t.read().collect()}
+    assert got[2].full_name == "bob" and got[4].full_name == "carol"
+    # time travel reads the OLD inner name exactly
+    old = t.read(version=1)
+    assert "name" in old.schema["who"].dataType.fieldNames()
+    assert {r.k: (r.who.name if r.who else None) for r in old.collect()}[
+        2
+    ] == "bob"
+    # deep nesting: rename inside the inner struct
+    t.rename_column("who.inner.tag", "label")
+    got = {r.k: r.who for r in t.read().collect()}
+    assert got[1].inner.label == "x" and got[4].inner.label == "z"
+
+
+def test_nested_add_with_default_and_drop(spark, tmp_path):
+    """add_column('who.city', default=...): old files read the default
+    for the inner field; drop_column('who.age') hides the data without
+    moving it; both metadata-only."""
+    t = _mk_struct(spark, tmp_path / "t")
+    t.add_column("who.city", "string", default="unknown")
+    got = {r.k: r.who for r in t.read().collect()}
+    assert got[1].city == "unknown" and got[2].city == "unknown"
+    assert got[3] is None
+    # a new write carries the field explicitly
+    t.append(
+        spark.createDataFrame(
+            [(5, ("dave", 60, ("w", 2), "berlin"))],
+            "k int, who struct<name string, age int, "
+            "inner struct<tag string, n int>, city string>",
+        )
+    )
+    got = {r.k: r.who for r in t.read().collect()}
+    assert got[5].city == "berlin" and got[1].city == "unknown"
+    s = t.drop_column("who.age")
+    assert "age" not in HadoopTable(spark, t.location).read().schema[
+        "who"
+    ].dataType.fieldNames()
+    # files untouched by both ops
+    assert s.summary["added_files"] == 0
+    # cannot drop a struct's last field / unknown paths raise
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("who.nope")
+    with pytest.raises(ValueError, match="not a struct"):
+        t.rename_column("k.x", "y")
+
+
+def test_nested_drop_readd_never_resurrects(spark, tmp_path):
+    t = _mk_struct(spark, tmp_path / "t")
+    t.drop_column("who.age")
+    t.add_column("who.age", "int")
+    got = {r.k: r.who for r in t.read().collect()}
+    # the re-added inner name has a FRESH id: old values stay buried
+    assert got[1].age is None and got[2].age is None
+    ids, _ = _schema_ids(t.snapshot().schema_json)
+    assert ids["who.age"] != 3  # not the original depth-first id
+    # a new write's values DO surface
+    t.append(
+        spark.createDataFrame(
+            [(6, ("eve", ("q", 5), 70))],
+            "k int, who struct<name string, "
+            "inner struct<tag string, n int>, age int>",
+        )
+    )
+    got = {r.k: r.who for r in t.read().collect()}
+    assert got[6].age == 70 and got[1].age is None
+
+
+def test_nested_widen_casts_old_files(spark, tmp_path):
+    t = _mk_struct(spark, tmp_path / "t")
+    t.widen_column("who.age", "long")
+    df = t.read()
+    assert (
+        df.schema["who"].dataType["age"].dataType.simpleString() == "bigint"
+    )
+    got = {r.k: r.who for r in df.collect()}
+    assert got[1].age == 30
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("who.full_name" if False else "who.name", "int")
+
+
+def test_nested_changelog_aligns_by_inner_id(spark, tmp_path):
+    """read_changes across an inner rename emits every row under the OUT
+    schema's inner names (a positional cast would break on inner
+    add/drop; drop+re-add must emit null)."""
+    t = _mk_struct(spark, tmp_path / "t")
+    t.rename_column("who.name", "handle")
+    t.add_column("who.score", "int", default=5)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, ("ALICE", 30, ("x", 7), 99))],
+            "k int, who struct<handle string, age int, "
+            "inner struct<tag string, n int>, score int>",
+        ),
+        key_cols=["k"],
+    )
+    ch = t.read_changes(0)
+    rows = {(r.k, r._change_type): r.who for r in ch.collect()}
+    # the v1 insert rows arrive ALIGNED: handle populated from old name,
+    # score reads its default
+    assert rows[(1, "insert")].handle in ("alice", "ALICE")
+    ins_v1 = [
+        r for r in ch.collect()
+        if r.k == 2 and r._change_type == "insert"
+    ]
+    assert ins_v1[0].who.handle == "bob" and ins_v1[0].who.score == 5
+    # the upsert emits delete(old aligned) + insert(new)
+    dels = [r for r in ch.collect() if r._change_type == "delete"]
+    assert len(dels) == 1 and dels[0].who.handle == "alice"
+
+
+def test_nested_ddl_requires_annotated_files_then_compact(spark, tmp_path):
+    """A live file whose manifest predates NESTED field ids (r7-era
+    metadata) blocks nested DDL with the compact() migration message;
+    compact() rewrites it fully annotated and the DDL then lands."""
+    t = _mk_struct(spark, tmp_path / "t")
+    # simulate an r7-era manifest: strip the nested id maps from the
+    # current snapshot's entries and publish as a legacy inline payload
+    snap = t.snapshot()
+    stripped = []
+    for f in snap.files:
+        d = f.to_json()
+        for c in d.get("columns") or []:
+            c.pop("ids", None)
+        stripped.append(d)
+    legacy = {
+        "format_version": 1,
+        "version": snap.version + 1,
+        "parent": snap.version,
+        "operation": "append",
+        "timestamp_ms": snap.timestamp_ms,
+        "schema_json": snap.schema_json,
+        "partition_cols": [],
+        "summary": {},
+        "files": stripped,
+    }
+    t._promote(legacy, snap.version + 1)
+    t2 = HadoopTable(spark, t.location)
+    with pytest.raises(ValueError, match="predate nested field ids"):
+        t2.rename_column("who.name", "nom")
+    assert t2.compact() is not None
+    t2.rename_column("who.name", "nom")
+    got = {r.k: r.who for r in t2.read().collect()}
+    assert got[1].nom == "alice" and got[3] is None
+
+
+def test_nested_evolution_datasource_parity(spark, tmp_path):
+    """The Python DataSource's Arrow-side struct restructuring agrees
+    row-for-row with the native scan across the whole nested-DDL family:
+    inner rename (deep too), add-with-default, drop, widen, and a
+    drop+re-add that must read null — with null struct values preserved."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = _mk_struct(spark, tmp_path / "t")
+    t.rename_column("who.name", "handle")
+    t.rename_column("who.inner.tag", "label")
+    t.add_column("who.city", "string", default="unknown")
+    t.widen_column("who.age", "long")
+    t.drop_column("who.inner.n")
+    t.drop_column("who.city")
+    t.add_column("who.city", "string")  # re-add: must NOT resurrect
+    t.append(
+        spark.createDataFrame(
+            [(7, ("gary", 20, ("g",), "rome"))],
+            "k int, who struct<handle string, age long, "
+            "inner struct<label string>, city string>",
+        )
+    )
+    native = t.read()
+    ds = spark.read.format("snapshot_table").load(t.location)
+    assert ds.schema == native.schema
+    n_rows = sorted((r.asDict(recursive=True) for r in native.collect()),
+                    key=lambda d: d["k"])
+    d_rows = sorted((r.asDict(recursive=True) for r in ds.collect()),
+                    key=lambda d: d["k"])
+    assert n_rows == d_rows
+    by_k = {d["k"]: d["who"] for d in n_rows}
+    assert by_k[1] == {
+        "handle": "alice", "age": 30,
+        "inner": {"label": "x"}, "city": None,
+    }
+    assert by_k[3] is None
+    assert by_k[7]["city"] == "rome" and by_k[7]["age"] == 20
