@@ -947,6 +947,25 @@ class DataFile:
         )
 
 
+def _eq_reaches(d: "DataFile", f: "DataFile") -> bool:
+    """Can equality-delete file ``d`` affect rows of data file ``f``?
+    The Iceberg older-seq rule, PLUS partition-scope skipping: a scoped
+    delete file (staged partitioned, possible whenever the delete keys
+    cover every spec source) can only hold keys whose derived partition
+    equals its own tuple, so a data file provably in a DIFFERENT
+    partition is out of reach — readers, compact()'s rewrite set, CDC
+    scopes, and the DataSource's per-file delete lists all skip it.
+    Conservative on any ambiguity (unscoped deletes, old-layout files
+    missing a key): reachable."""
+    if f.seq >= d.seq:
+        return False
+    for k, v in (d.partition or {}).items():
+        fv = f.partition.get(k)
+        if fv is not None and fv != v:
+            return False
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -2632,17 +2651,16 @@ class HadoopTable:
 
     @staticmethod
     def _drop_dead_eq_deletes(keep: list[DataFile]) -> list[DataFile]:
-        """Metadata-only hygiene: an equality-delete file applies only to
-        data files with a strictly smaller seq, so once every such file
-        has left the manifest (rewritten or dropped) it is dead weight —
-        equivalently, it is live iff min(live data seq) < its seq."""
-        data_seqs = [f.seq for f in keep if f.content == "data"]
-        min_seq = min(data_seqs) if data_seqs else None
+        """Metadata-only hygiene: an equality-delete file is live iff it
+        can still REACH some live data file (strictly smaller seq AND an
+        overlapping partition scope — :func:`_eq_reaches`); otherwise it
+        is dead weight and leaves the manifest."""
+        data = [f for f in keep if f.content == "data"]
         return [
             f
             for f in keep
             if f.content != "equality-deletes"
-            or (min_seq is not None and min_seq < f.seq)
+            or any(_eq_reaches(f, d) for d in data)
         ]
 
     def _commit(
@@ -3192,19 +3210,14 @@ class HadoopTable:
                     r[0]
                     for r in rd.select("file_path").distinct().collect()
                 }
-            max_eq_seq = max(
-                (
-                    f.seq
-                    for f in new_deletes
-                    if f.content == "equality-deletes"
-                ),
-                default=None,
-            )
+            new_eqs = [
+                f for f in new_deletes if f.content == "equality-deletes"
+            ]
             for f in prev.data_files:
                 if f.path in affected_prev:
                     continue
-                if f.path in pos_targets or (
-                    max_eq_seq is not None and f.seq < max_eq_seq
+                if f.path in pos_targets or any(
+                    _eq_reaches(d, f) for d in new_eqs
                 ):
                     affected_prev[f.path] = f
             affected_cur = [
@@ -3486,6 +3499,14 @@ class HadoopTable:
                 "left_anti",
             )
         if eqs:
+            # partition-scope fan-in cut: a delete file no scanned data
+            # file can reach (older-seq + overlapping partition) never
+            # even joins — at plan time, exactly where Iceberg skips it
+            eqs = [
+                d for d in eqs if any(_eq_reaches(d, f) for f in data_files)
+            ]
+        if eqs:
+            schema = self._empty_schema(snap)
             seq_map = self.spark.createDataFrame(
                 [(f.path, f.seq) for f in data_files],
                 "_sm_file string, _lph_seq bigint",
@@ -3501,10 +3522,28 @@ class HadoopTable:
             for cols, group in sorted(by_cols.items()):
                 dd: DataFrame | None = None
                 for f in group:
-                    part = (
-                        self.spark.read.parquet(os.path.join(self.root, f.path))
-                        .select(*cols)
-                        .withColumn("_del_seq", F.lit(f.seq).cast("bigint"))
+                    part = self.spark.read.parquet(
+                        os.path.join(self.root, f.path)
+                    )
+                    # scoped delete files store identity partition keys
+                    # in their DIRECTORY: reconstruct each as the
+                    # manifest tuple's constant, cast under the table
+                    # schema (never re-inferred)
+                    for c in cols:
+                        if c in part.columns or c not in f.partition:
+                            continue
+                        raw = f.partition[c]
+                        dt = schema[c].dataType
+                        part = part.withColumn(
+                            c,
+                            F.lit(
+                                None
+                                if raw == "__HIVE_DEFAULT_PARTITION__"
+                                else raw
+                            ).cast(dt),
+                        )
+                    part = part.select(*cols).withColumn(
+                        "_del_seq", F.lit(f.seq).cast("bigint")
                     )
                     dd = part if dd is None else dd.unionByName(part)
                 if sum(f.records for f in group) <= BCAST_ROWS:
@@ -3732,12 +3771,27 @@ class HadoopTable:
                 continue  # liveness re-checks against the new parent
 
     def _stage_delete_rows(
-        self, df: DataFrame, content: str, equality_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        content: str,
+        equality_cols: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+        spec: list[PartitionField] | None = None,
     ) -> list[DataFile]:
         """Stage delete-file rows (same protocol as data staging: files
         land at final paths, published only by the metadata swap) and tag
-        the manifest entries with their delete content type."""
-        entries = self._stage(df, [])
+        the manifest entries with their delete content type.
+
+        ``partition_cols``/``spec`` (equality deletes only): stage the
+        delete rows PARTITIONED under the table's layout, one delete
+        file per touched partition, each manifest entry stamped with its
+        tuple — Iceberg's partition-scoped delete files. Exact because
+        the same ``derive_partition_columns`` the data path uses maps
+        each delete key to the one partition its victims can live in;
+        readers then skip non-overlapping data files (:func:`_eq_reaches`).
+        Identity partition columns land in the DIRECTORY, not the file
+        bytes — consumers reconstruct them from the manifest tuple."""
+        entries = self._stage(df, partition_cols or [], spec)
         return [
             _dc_replace(
                 e,
@@ -3768,8 +3822,26 @@ class HadoopTable:
         parent on every optimistic retry (the streaming sink's replay
         guard rides here, atomic with the metadata swap)."""
         staged_data = self._stage(updates, snap.partition_cols, snap.spec)
+        # partition-scope the delete file whenever the key columns cover
+        # every spec source: each delete key's victims can only live in
+        # its own derived partition, so readers skip the rest. Identity
+        # partitioning moves those columns into the directory — at least
+        # one key column must remain IN the file bytes (parquet cannot
+        # store zero columns), else stage unscoped as before.
+        identity_names = {
+            g.name for g in snap.spec if g.transform == "identity"
+        }
+        scoped = (
+            bool(snap.partition_cols)
+            and all(g.source in keys.columns for g in snap.spec)
+            and bool(set(keys.columns) - identity_names)
+        )
         staged_del = self._stage_delete_rows(
-            keys, "equality-deletes", equality_cols=key_cols
+            keys,
+            "equality-deletes",
+            equality_cols=key_cols,
+            partition_cols=snap.partition_cols if scoped else None,
+            spec=snap.spec if scoped else None,
         )
         while True:
             parent = self.snapshot()
@@ -4195,9 +4267,13 @@ class HadoopTable:
                         os.path.join(self.root, f.path), columns=["file_path"]
                     )
                     affected.update(t.column("file_path").to_pylist())
-                else:  # equality-deletes: strictly-older data files
+                else:  # equality-deletes: reachable data files only
+                    # (strictly older seq; partition-scoped deletes skip
+                    # other partitions — a direct rewrite-set cut)
                     affected.update(
-                        d.path for d in snap.data_files if d.seq < f.seq
+                        d.path
+                        for d in snap.data_files
+                        if _eq_reaches(f, d)
                     )
         # spec evolution: a file whose partition tuple does not match the
         # CURRENT spec's field names was written under a previous layout —

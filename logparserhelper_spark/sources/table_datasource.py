@@ -235,13 +235,29 @@ def _read_file_batches(part: TableFilePartition) -> Iterator[Any]:
             return [v] * n
         return [part.defaults.get(c)] * n
 
-    for dpath, cols, dseq in part.eq_deletes:
+    for dpath, cols, dseq, dconsts in part.eq_deletes:
         if dseq <= part.seq:  # defensive; driver already filtered
             continue
-        dt = pq.read_table(dpath, columns=list(cols))
+        stored = [c for c in cols if c not in dconsts]
+        dt = pq.read_table(dpath, columns=stored or None)
+
+        def _del_vals(c: str) -> list:
+            # a partition-scoped delete file's identity keys are dir
+            # constants (shipped from its manifest tuple), parsed under
+            # the snapshot schema exactly like data-side dir values
+            if c in dconsts:
+                sf = field_by_name.get(c)
+                v = (
+                    _parse_partition_value(dconsts[c], sf.dataType)
+                    if sf is not None
+                    else dconsts[c]
+                )
+                return [v] * dt.num_rows
+            return dt.column(c).to_pylist()
+
         # to_pylist yields None for nulls on BOTH sides (never NaN), so
         # tuple hashing gives exactly the reader's eqNullSafe semantics
-        keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+        keys = set(zip(*[_del_vals(c) for c in cols]))
         if not keys:
             continue
         vals = zip(*[_key_vals(c) for c in cols])
@@ -313,6 +329,7 @@ def _plan_partitions(
 
     from logparserhelper_spark.sinks.hadoop_table import (
         HadoopTable,
+        _eq_reaches,
         _file_defaults,
         _nested_specs,
         _rename_map,
@@ -355,9 +372,17 @@ def _plan_partitions(
                         os.path.join(root, d.path),
                         tuple(d.equality_cols or ()),
                         d.seq,
+                        # identity partition keys live in the delete
+                        # file's DIRECTORY, not its bytes: ship the
+                        # manifest tuple's constants for the worker
+                        {
+                            c: d.partition[c]
+                            for c in (d.equality_cols or ())
+                            if c in d.partition
+                        },
                     )
                     for d in eqs
-                    if d.seq > f.seq
+                    if _eq_reaches(d, f)
                 ],
             )
         )

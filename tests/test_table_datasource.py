@@ -291,7 +291,7 @@ def test_eq_delete_null_keys_match_nullsafe(tmp_path):
         seq=1,
         schema_json=schema_json,
         pos_delete_paths=[pos],
-        eq_deletes=[(eq, ("k",), 2)],
+        eq_deletes=[(eq, ("k",), 2, {})],
     )
     rows = [r for b in _read_file_batches(part) for r in b.to_pylist()]
     # pos delete kills ordinal 0 (k=1); eq deletes kill k=2 AND both nulls

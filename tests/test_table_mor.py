@@ -491,3 +491,120 @@ def test_manifest_roundtrips_delete_fields(spark, tmp_path):
     assert eq[0].equality_cols == ["id"] and eq[0].seq == s.version
     assert all(f.seq >= 1 for f in s.files)
     assert _rows(fresh.read()) == _rows(t.read())
+
+
+# ----------------------------------------------- partition-scoped deletes
+def test_partition_scoped_eq_deletes_cut_fan_in(spark, tmp_path):
+    """A MoR upsert whose keys cover the spec sources stages its
+    equality-delete rows PARTITIONED (one delete file per touched
+    partition, manifest tuple stamped — Iceberg's scoped delete files):
+    data files in other partitions are provably out of reach, so the
+    DataSource ships them no delete work, compact() rewrites only the
+    touched partitions, and content is exact everywhere — including a
+    same-id row in another partition, which must SURVIVE."""
+    from logparserhelper_spark.sinks.hadoop_table import _eq_reaches
+    from logparserhelper_spark.sources.table_datasource import (
+        _plan_partitions,
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = HadoopTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, "a1"), ("a", 2, "a2"), ("b", 1, "b1"), ("b", 2, "b2"),
+             ("c", 1, "c1")],
+            "sink string, id long, v string",
+        ).coalesce(1),  # one file per partition: untouched partitions
+        # are already compact, isolating the delete-materialization set
+        partition_cols=["sink"],
+    )
+    # MoR upsert touching ONLY partition a (key covers the spec source)
+    t.upsert(
+        spark.createDataFrame([("a", 1, "A1!")], "sink string, id long, v string"),
+        key_cols=["sink", "id"],
+        mode="merge-on-read",
+    )
+    snap = t.snapshot()
+    (eq,) = [f for f in snap.files if f.content == "equality-deletes"]
+    assert eq.partition == {"sink": "a"}  # scoped, not table-wide
+    # reach: only partition-a data files with older seq
+    older_a = [f for f in snap.data_files
+               if f.partition.get("sink") == "a" and f.seq < eq.seq]
+    other = [f for f in snap.data_files if f.partition.get("sink") != "a"]
+    assert older_a and all(_eq_reaches(eq, f) for f in older_a)
+    assert other and not any(_eq_reaches(eq, f) for f in other)
+    # DataSource fan-in: untouched partitions ship ZERO delete work
+    parts = _plan_partitions(t.location, None, None, [])
+    by_part = {}
+    for p in parts:
+        by_part.setdefault(p.partition.get("sink"), []).append(p)
+    assert all(not p.eq_deletes for p in by_part["b"] + by_part["c"])
+    assert any(p.eq_deletes for p in by_part["a"])
+    # content exact on BOTH read paths: b/c untouched, (b,1) survives
+    # despite sharing id=1 with the deleted (a,1)
+    expect = [("a", 1, "A1!"), ("a", 2, "a2"), ("b", 1, "b1"),
+              ("b", 2, "b2"), ("c", 1, "c1")]
+    native = sorted(tuple(r) for r in t.read().select("sink", "id", "v").collect())
+    assert native == expect
+    ds = spark.read.format("snapshot_table").load(t.location)
+    assert sorted(tuple(r) for r in ds.select("sink", "id", "v").collect()) == expect
+    # compact(): only partition a's files (plus the upsert's own new
+    # file, which shares the partition) join the rewrite set
+    before_other = {f.path for f in snap.data_files
+                    if f.partition.get("sink") != "a"}
+    new = t.compact(target_file_bytes=1 << 30)
+    assert new is not None
+    after_other = {f.path for f in new.data_files
+                   if f.partition.get("sink") != "a"}
+    assert before_other == after_other  # untouched partitions byte-identical
+    assert not [f for f in new.files if f.content != "data"]  # delete retired
+    native2 = sorted(tuple(r) for r in t.read().select("sink", "id", "v").collect())
+    assert native2 == expect
+
+
+def test_scoped_eq_delete_hidden_partitioning_and_unscoped_fallback(
+    spark, tmp_path
+):
+    """Scoping composes with hidden partitioning (bucket transform: the
+    key column stays in the delete file bytes, the derived value scopes
+    the directory); a key set NOT covering the spec sources stages the
+    old table-wide delete file."""
+    t = HadoopTable(spark, str(tmp_path / "tb"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ),
+        partition_cols=["bucket(4, id)"],
+    )
+    t.upsert(
+        spark.createDataFrame([(7, "V7!")], "id long, v string"),
+        key_cols=["id"],
+        mode="merge-on-read",
+    )
+    snap = t.snapshot()
+    (eq,) = [f for f in snap.files if f.content == "equality-deletes"]
+    assert set(eq.partition) == {"id_bucket"}  # scoped to 7's bucket
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[7] == "V7!" and got[6] == "v6" and len(got) == 20
+    # unscoped fallback: keys missing the spec source
+    t2 = HadoopTable(spark, str(tmp_path / "tu"))
+    t2.append(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, "y")], "sink string, k long, v string"
+        ),
+        partition_cols=["sink"],
+    )
+    t2.upsert(
+        spark.createDataFrame([(2, "Y!")], "k long, v string").withColumn(
+            "sink", F.lit("b")
+        ).select("sink", "k", "v"),
+        key_cols=["k"],  # does not cover source 'sink'
+        mode="merge-on-read",
+    )
+    (eq2,) = [
+        f for f in t2.snapshot().files if f.content == "equality-deletes"
+    ]
+    assert eq2.partition == {}  # table-wide, the pre-scoping behavior
+    got2 = sorted(tuple(r) for r in t2.read().select("sink", "k", "v").collect())
+    assert got2 == [("a", 1, "x"), ("b", 2, "Y!")]
