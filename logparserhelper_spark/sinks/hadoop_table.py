@@ -71,7 +71,7 @@ from datetime import datetime, timezone
 from typing import Any
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .partition_spec import (
@@ -131,7 +131,7 @@ def _local_path(location: str) -> str:
 
 
 _STATS_MAX_STR = 64  # longer string bounds are dropped, not truncated
-_PRED_OPS = {"=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null"}
+_PRED_OPS = {"=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null"}
 
 # ------------------------------------------------------------ field IDs
 # Schema evolution beyond column ADDS needs a name-independent column
@@ -581,6 +581,17 @@ def _file_pred_match(
                 return False
             if op == "is_not_null":
                 continue
+            if op == "in":
+                vals = term[2]
+                if any(_stat_kind(m) != _stat_kind(dv) for m in vals):
+                    continue  # cross-kind member: keep the file
+                try:
+                    hold = any(dv == m for m in vals)
+                except TypeError:
+                    continue  # incomparable types: keep the file
+                if not hold:
+                    return False  # incl. the empty IN list: never true
+                continue
             v = term[2]
             if _stat_kind(dv) != _stat_kind(v):
                 # cross-kind compare (a == between them silently returns
@@ -789,13 +800,54 @@ def _zvalue_column(df: DataFrame, cols: list[str]) -> Any:
 
 
 def _check_predicate(pred) -> list[tuple]:
-    terms = [tuple(t) for t in pred]
-    for t in terms:
+    terms = []
+    for t in pred:
+        t = tuple(t)
         if len(t) < 2 or t[1] not in _PRED_OPS:
             raise ValueError(f"bad predicate term {t!r}; ops: {sorted(_PRED_OPS)}")
         if t[1] not in ("is_null", "is_not_null") and len(t) != 3:
             raise ValueError(f"predicate term {t!r} needs a value")
+        if t[1] == "in":
+            if not isinstance(t[2], (list, tuple, set, frozenset)):
+                raise ValueError(
+                    f"predicate term {t!r}: 'in' needs a list/tuple of values"
+                )
+            # NULL members can never make `col IN (...)` TRUE (only
+            # UNKNOWN, which reads and deletes both treat as non-match),
+            # so drop them; an empty remainder is a provably-false term
+            # that every evaluator short-circuits on.
+            t = (t[0], "in", tuple(v for v in t[2] if v is not None))
+        terms.append(t)
     return terms
+
+
+def _in_member_may_match(raw: Any, st: dict, lo: Any, hi: Any) -> bool:
+    """Could ``col = raw`` hold for some row given the file's bounds?
+    The single-member equality check of :func:`_file_may_match`'s ``=``
+    path (same encoding, kind-tagging, and date<->timestamp lift rules),
+    used per-member by the ``in`` disjunction. True on any ambiguity."""
+    ok_v, v = _stat_value(raw)
+    if not ok_v:
+        return True
+    vk = _stat_kind(raw)
+    if vk in ("str", "ts", "date"):
+        sk = st.get("kind")
+        if sk != vk:
+            if {sk, vk} == {"date", "ts"}:
+                if vk == "date":
+                    v = _lift_date(v)
+                else:
+                    lo, hi = _lift_date(lo), _lift_date(hi)
+            elif vk == "str" and sk is None:
+                pass  # legacy untagged bound: numeric raises below (kept)
+            else:
+                return True  # incomparable encodings: never prune
+    try:
+        return not (
+            (lo is not None and v < lo) or (hi is not None and v > hi)
+        )
+    except TypeError:
+        return True  # stat/constant types don't compare: keep the file
 
 
 def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
@@ -804,6 +856,8 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
     unknown bounds, missing stats, or incomparable types keep the file."""
     for term in pred:
         col, op = term[0], term[1]
+        if op == "in" and not term[2]:
+            return False  # empty IN list: provably false for every row
         st = (f.stats or {}).get(col)
         if st is None:
             continue
@@ -819,6 +873,15 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
             continue
         if all_null:
             return False  # any comparison against only-null values is never true
+        if op == "in":
+            # disjunction of equalities: prune only when EVERY member is
+            # provably outside the file's bounds; any undecidable member
+            # keeps the file (the same conservative contract as below)
+            if any(
+                _in_member_may_match(m, st, lo, hi) for m in term[2]
+            ):
+                continue
+            return False
         ok_v, v = _stat_value(term[2])
         if not ok_v:
             continue
@@ -877,7 +940,11 @@ def _pred_expr(pred: list[tuple]):
             e = c.isNotNull()
         else:
             v = term[2]
-            if op in ("=", "=="):
+            if op == "in":
+                # NULL members were already stripped by _check_predicate;
+                # an empty list is the provably-false term
+                e = c.isin(list(v)) if v else F.lit(False)
+            elif op in ("=", "=="):
                 e = c == v
             elif op == "<":
                 e = c < v
@@ -2981,7 +3048,8 @@ class HadoopTable:
         prunes at the MANIFEST level — non-matching files never reach the
         scan, the shim-scale analogue of Iceberg's planner pruning.
         ``predicate`` — conjunctive ``(col, op, value)`` terms, ops ``=
-        < <= > >= is_null is_not_null`` — additionally skips files by
+        < <= > >= in is_null is_not_null`` (``in`` takes a list/tuple of
+        values) — additionally skips files by
         their footer metrics (Iceberg's min/max file skipping) AND is
         applied to the returned rows, so the result is exactly the
         filtered table no matter how much pruning achieved. Row-level
@@ -3972,15 +4040,132 @@ class HadoopTable:
             ~F.coalesce(expr, F.lit(False))
         )
         staged = self._stage(survivors, snap.partition_cols, snap.spec)
-        replaced = {f.path for f in touched}
+        return self._commit_cow_rewrite(
+            snap,
+            pred,
+            expr,
+            cur_ids,
+            dfl,
+            staged,
+            {f.path for f in touched},
+            "delete",
+            {"deleted_records": deleted},
+        )
+
+    def update(
+        self, predicate: list[tuple], assignments: dict[str, Any]
+    ) -> Snapshot | None:
+        """Row-level ``UPDATE ... SET col = value WHERE ...``
+        (copy-on-write). ``predicate`` is the same conjunctive ``(col,
+        op, value)`` form :meth:`read` and :meth:`delete` accept;
+        ``assignments`` maps column name -> new value (a Python literal,
+        cast to the column's type, or a pyspark ``Column`` expression).
+
+        Same three-stage narrowing as :meth:`delete`: footer metrics
+        skip provably-unmatchable files, one delete-applied scan finds
+        the files holding a LIVE matching row, and only those files
+        rewrite — matching rows take the assigned values (predicate
+        NULL rows keep their old values, SQL UPDATE changes TRUE rows
+        only), everything else is carried byte-for-byte. Updating a
+        partition SOURCE column is allowed: the rewrite re-derives the
+        partition layout from the new values, so rows move to their
+        correct partition (Iceberg's hidden-partitioning contract).
+
+        Isolation: serializable, identical conflict rules to
+        :meth:`delete` (the shared :meth:`_commit_cow_rewrite` loop).
+        Returns the new snapshot, or None when nothing matched.
+        Changelog readers see the rewrite as delete+insert pairs via
+        :meth:`read_changes`' scoped state diff."""
+        snap = self.snapshot()
+        pred = _check_predicate(predicate)
+        if not pred:
+            raise ValueError("update needs a predicate (use overwrite_all "
+                             "to rewrite the table)")
+        if not assignments:
+            raise ValueError("update needs at least one SET assignment")
+        schema = self._empty_schema(snap)
+        names = set(schema.fieldNames())
+        for c in assignments:
+            if c not in names:
+                raise ValueError(
+                    f"unknown SET column {c!r}; columns: {sorted(names)}"
+                )
+        expr = _pred_expr(pred)
+        cur_ids, _ = _schema_ids(snap.schema_json)
+        dfl = _schema_defaults(snap.schema_json)
+        candidates = [
+            f
+            for f in snap.data_files
+            if _file_pred_match(f, pred, cur_ids, dfl)
+        ]
+        if not candidates:
+            return None
+        hits = (
+            self._scan(snap, candidates, with_meta=True)
+            .filter(expr)
+            .groupBy(F.col("_lph_file").alias("f"))
+            .count()
+            .collect()
+        )
+        hit_files = {r.f for r in hits}
+        updated = sum(r["count"] for r in hits)
+        touched = [f for f in candidates if f.path in hit_files]
+        if not touched:
+            return None
+        cond = F.coalesce(expr, F.lit(False))
+        cols = []
+        for fld in schema.fields:
+            if fld.name in assignments:
+                v = assignments[fld.name]
+                new_v = v if isinstance(v, Column) else F.lit(v).cast(
+                    fld.dataType
+                )
+                cols.append(
+                    F.when(cond, new_v).otherwise(F.col(fld.name))
+                    .alias(fld.name)
+                )
+            else:
+                cols.append(F.col(fld.name))
+        rewritten = self._scan(snap, touched).select(*cols)
+        staged = self._stage(rewritten, snap.partition_cols, snap.spec)
+        return self._commit_cow_rewrite(
+            snap,
+            pred,
+            expr,
+            cur_ids,
+            dfl,
+            staged,
+            {f.path for f in touched},
+            "update",
+            {"updated_records": updated},
+        )
+
+    def _commit_cow_rewrite(
+        self,
+        snap: Snapshot,
+        pred: list[tuple],
+        expr,
+        cur_ids: dict[str, int],
+        dfl: dict[int, Any],
+        staged: list[DataFile],
+        replaced: set[str],
+        operation: str,
+        extra_summary: dict[str, Any],
+    ) -> Snapshot:
+        """Shared serializable commit loop for the copy-on-write
+        row-mutation ops (:meth:`delete`, :meth:`update`): swap the
+        ``replaced`` files for ``staged`` rewrites, conflicting when a
+        concurrent commit replaced a source file, added a row-level
+        delete file, or added rows matching ``pred`` since ``snap``."""
         base_paths = {f.path for f in snap.files}
         while True:
             parent = self.snapshot()
             live = {f.path for f in parent.files}
             if not replaced <= live:
                 raise CompactionConflict(
-                    f"{len(replaced - live)} delete source file(s) were "
-                    "replaced by a concurrent commit; re-run delete()"
+                    f"{len(replaced - live)} {operation} source file(s) "
+                    f"were replaced by a concurrent commit; re-run "
+                    f"{operation}()"
                 )
             if any(
                 f.content != "data" and f.path not in base_paths
@@ -3988,7 +4173,7 @@ class HadoopTable:
             ):
                 raise CompactionConflict(
                     "a concurrent commit added row-level delete file(s); "
-                    "re-run delete()"
+                    f"re-run {operation}()"
                 )
             added_since = [
                 f
@@ -4010,7 +4195,7 @@ class HadoopTable:
                 if n_hits:
                     raise CompactionConflict(
                         "a concurrent commit added row(s) matching the "
-                        "delete predicate; re-run delete()"
+                        f"{operation} predicate; re-run {operation}()"
                     )
             keep = [f for f in parent.files if f.path not in replaced]
             if any(f.content == "position-deletes" for f in keep):
@@ -4032,13 +4217,13 @@ class HadoopTable:
                     "rewritten_files": len(replaced),
                     "added_files": len(staged),
                     "kept_files": len(keep),
-                    "deleted_records": deleted,
                 }
             )
+            summary.update(extra_summary)
             new = Snapshot(
                 version=version,
                 parent=parent.version,
-                operation="delete",
+                operation=operation,
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=parent.schema_json,
                 partition_cols=snap.partition_cols,

@@ -293,6 +293,25 @@ def _typed_cmp(pv: str, lit: Any, op: str) -> bool | None:
     return None
 
 
+def _in_member_hits(f: PartitionField, pv: str, raw: Any) -> bool:
+    """Could ``source = raw`` hold for a row in partition value ``pv``?
+    The single-member equality projection used per-member by the ``in``
+    disjunction — True on any ambiguity (unprojectable literal), exact
+    equality otherwise, for every transform (equality projects through
+    bucket too, unlike range predicates)."""
+    t = f.py_value(raw)
+    if t is None:
+        return True  # literal not projectable — keep
+    if f.transform == "identity":
+        return _typed_cmp(pv, raw, "=") is not False
+    if f.transform == "truncate" and isinstance(raw, int):
+        try:
+            return int(pv) == int(t)
+        except ValueError:
+            return True
+    return pv == t
+
+
 def partition_may_match(
     partition: dict[str, str],
     spec: list[PartitionField],
@@ -342,6 +361,15 @@ def partition_may_match(
                 continue
             if is_null_dir:
                 return False  # only null-source rows; no comparison matches
+            if op == "in":
+                # disjunction of equalities: prune only when EVERY member
+                # provably misses this file's partition value (an
+                # unprojectable member keeps the file)
+                if any(
+                    _in_member_hits(f, pv, raw) for raw in lit
+                ):
+                    continue
+                return False  # incl. the empty IN list: never true
             t = f.py_value(lit)
             if t is None:
                 continue  # literal not projectable — keep

@@ -15,6 +15,8 @@ statement, one atomic commit, same semantics as calling the method:
     table_sql(spark, "ALTER TABLE '/data/t' SET TBLPROPERTIES ('history.keep-last'='3')")
     table_sql(spark, "ALTER TABLE '/data/t' UNSET TBLPROPERTIES ('owner')")
     table_sql(spark, "DELETE FROM '/data/t' WHERE k = 3 AND v IS NOT NULL")
+    table_sql(spark, "DELETE FROM '/data/t' WHERE k IN (3, 5, 8)")
+    table_sql(spark, "UPDATE '/data/t' SET v = 'x', n = 0 WHERE k IN (1, 2)")
     table_sql(spark, "CALL compact('/data/t')")
     table_sql(spark, "CALL expire_snapshots('/data/t', keep_last => 2)")
     table_sql(spark, "CALL maintain('/data/t')")
@@ -22,9 +24,11 @@ statement, one atomic commit, same semantics as calling the method:
 
 The grammar is deliberately small and STRICT: anything outside it raises
 ``ValueError`` with the supported shapes, never a silent partial parse.
-``DELETE`` predicates are the same conjunctive ``col op literal`` /
-``col IS [NOT] NULL`` terms the table's ``read``/``delete`` accept —
-exactly what manifests can plan. Queries (SELECT) are not routed here:
+``DELETE``/``UPDATE`` predicates are the same conjunctive ``col op
+literal`` / ``col IN (lit, ...)`` / ``col IS [NOT] NULL`` terms the
+table's ``read``/``delete``/``update`` accept — exactly what manifests
+can plan. ``UPDATE`` maps onto :meth:`HadoopTable.update` (copy-on-write
+row rewrite, serializable). Queries (SELECT) are not routed here:
 ``spark.read.format("snapshot_table")`` already gives full Spark SQL
 over table reads.
 
@@ -64,6 +68,25 @@ def _literal(tok: str) -> Any:
     raise ValueError(f"unsupported literal {tok!r}")
 
 
+def _parse_literal_list(text: str) -> list:
+    """A comma-separated literal list (the body of ``IN (...)``) —
+    quote-aware, so string literals may contain commas; STRICT (trailing
+    commas, empty slots, and junk all raise)."""
+    toks: list = []
+    pat = re.compile(rf"\s*((?:{_QSTR})|[^,']+?)\s*(,|$)")
+    pos, tail_comma = 0, False
+    while pos < len(text):
+        m = pat.match(text, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"bad literal list {text!r}")
+        toks.append(_literal(m.group(1)))
+        tail_comma = m.group(2) == ","
+        pos = m.end()
+    if not toks or tail_comma:
+        raise ValueError(f"bad literal list {text!r}")
+    return toks
+
+
 def _parse_predicate(text: str) -> list[tuple]:
     """Conjunctive WHERE clause -> the shim's (col, op, value) terms."""
     terms: list[tuple] = []
@@ -79,6 +102,14 @@ def _parse_predicate(text: str) -> list[tuple]:
             terms.append((m.group(1), "is_null", None))
             continue
         m = re.fullmatch(
+            rf"({_IDENT})\s+IN\s*\((?P<vals>.*)\)", part.strip(), re.I
+        )
+        if m:
+            terms.append(
+                (m.group(1), "in", tuple(_parse_literal_list(m.group("vals"))))
+            )
+            continue
+        m = re.fullmatch(
             rf"({_IDENT})\s*(==|<=|>=|=|<|>)\s*(\S.*)", part.strip()
         )
         if m:
@@ -86,10 +117,56 @@ def _parse_predicate(text: str) -> list[tuple]:
             continue
         raise ValueError(
             f"unsupported predicate term {part.strip()!r}; terms are "
-            "'col <op> literal' (= < <= > >=) or 'col IS [NOT] NULL', "
-            "joined by AND"
+            "'col <op> literal' (= < <= > >=), 'col IN (lit, ...)', or "
+            "'col IS [NOT] NULL', joined by AND"
         )
     return terms
+
+
+def _split_where(text: str) -> tuple[str, str]:
+    """Split ``<head> WHERE <pred>`` at the first WHERE keyword OUTSIDE
+    string literals (a ``SET v = ' where '`` assignment must not split
+    there)."""
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            m = re.match(_QSTR, text[i:])
+            if not m:
+                raise ValueError(f"unterminated string literal in {text!r}")
+            i += m.end()
+            continue
+        m = re.match(r"(?i)\s+WHERE\s+", text[i:])
+        if m:
+            return text[:i], text[i + m.end():]
+        i += 1
+    raise ValueError("statement needs a WHERE clause")
+
+
+def _parse_assignments(text: str) -> dict:
+    """``SET col = literal [, col = literal ...]`` — quote-aware comma
+    split; STRICT (duplicates, trailing commas, and junk all raise)."""
+    out: dict = {}
+    pat = re.compile(
+        rf"\s*({_IDENT})\s*=\s*((?:{_QSTR})|[^,']+?)\s*(,|$)"
+    )
+    pos, tail_comma = 0, False
+    while pos < len(text):
+        m = pat.match(text, pos)
+        if not m or m.end() == pos:
+            raise ValueError(
+                f"bad SET clause {text!r}; use col = literal, joined by commas"
+            )
+        col = m.group(1)
+        if col in out:
+            raise ValueError(f"duplicate SET column {col!r}")
+        out[col] = _literal(m.group(2))
+        tail_comma = m.group(3) == ","
+        pos = m.end()
+    if not out or tail_comma:
+        raise ValueError(
+            f"bad SET clause {text!r}; use col = literal, joined by commas"
+        )
+    return out
 
 
 _QSTR = r"'(?:[^']|'')*'"
@@ -190,6 +267,14 @@ def table_sql(spark, statement: str) -> Any:
         return t.delete(_parse_predicate(m.group("pred")))
 
     m = re.fullmatch(
+        rf"(?i)UPDATE\s+{_LOC}\s+SET\s+(?P<rest>.+)", stmt, re.S
+    )
+    if m:
+        sets, pred = _split_where(m.group("rest"))
+        t = HadoopTable(spark, m.group("loc"))
+        return t.update(_parse_predicate(pred), _parse_assignments(sets))
+
+    m = re.fullmatch(
         rf"(?i)CALL\s+(?:system\s*\.\s*)?(?P<proc>{_IDENT})\s*"
         rf"\(\s*{_LOC}\s*(?P<args>(?:,[^)]*)?)\)",
         stmt,
@@ -245,5 +330,6 @@ def table_sql(spark, statement: str) -> Any:
         "RENAME COLUMN a TO b | ADD COLUMN x <type> [DEFAULT lit] | "
         "DROP COLUMN x | ALTER COLUMN x TYPE <type> | SET/UNSET "
         "TBLPROPERTIES (...); DELETE FROM '<loc>' WHERE ...; "
+        "UPDATE '<loc>' SET col = lit [, ...] WHERE ...; "
         "CALL <proc>('<loc>' [, name => value ...]); VACUUM '<loc>'"
     )

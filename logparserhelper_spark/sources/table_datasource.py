@@ -48,6 +48,17 @@ identity partition columns are reconstructed from hive directory values
 and cast under the SNAPSHOT schema, never re-inferred, so a string
 partition value "00" stays "00".
 
+WHICH READ PATH TO USE: this DataSource is the COMPATIBILITY surface —
+it exists so `spark.read.format(...)` / `readStream` / third-party code
+that only speaks the DataFrame reader API can reach snapshot tables.
+Its scan runs in Python workers (pyarrow, Arrow-vectorized, one
+partition per file). Bulk jobs and pipelines should prefer the NATIVE
+path — ``HadoopTable.read()`` / ``read_incremental()`` / the pipeline's
+``table:`` source — which plans the same manifest subset but scans
+through Spark's JVM parquet reader (whole-stage codegen, vectorized
+column batches, no Python worker hop). Same rows either way; the native
+path is the 100-TB-performance surface.
+
 Reference parity note: the reference app (MaksimBrezho/logparserhelper)
 reads whole files into a Tkinter widget (gui/app_window.py:37-51); this
 module is the Spark-first replacement surface for table-backed corpora.
@@ -69,6 +80,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
@@ -312,6 +324,17 @@ def _filters_to_predicate(filters: list[Filter]) -> list[tuple]:
                 v, "isoformat"
             ):
                 out.append((f.attribute[0], op, v))
+        elif isinstance(f, In) and len(f.attribute) == 1:
+            # NULL members never satisfy IN (they only yield UNKNOWN,
+            # which Spark's re-applied filter drops), so strip them —
+            # members of unsupported types make the term unpushable
+            vals = [v for v in f.value if v is not None]
+            if all(
+                isinstance(v, (str, int, float, bool))
+                or hasattr(v, "isoformat")
+                for v in vals
+            ):
+                out.append((f.attribute[0], "in", tuple(vals)))
         elif isinstance(f, IsNull) and len(f.attribute) == 1:
             out.append((f.attribute[0], "is_null", None))
         elif isinstance(f, IsNotNull) and len(f.attribute) == 1:

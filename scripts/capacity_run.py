@@ -154,6 +154,18 @@ def main() -> None:
 
         t = HadoopTable(spark, os.path.join(out_dir, "routed_table"))
         meta_sizes = {v: os.path.getsize(t._meta_path(v)) for v in t.versions()}
+        # manifest-list layout (round 8): commit cost = the version JSON
+        # (tiny, O(1)) + that commit's DELTA manifest; report both so the
+        # O(commit files) claim is measured, not asserted
+        man_dir = os.path.join(t.location, "metadata", "manifests")
+        manifest_sizes = (
+            sorted(
+                os.path.getsize(os.path.join(man_dir, f))
+                for f in os.listdir(man_dir)
+            )
+            if os.path.isdir(man_dir)
+            else []
+        )
         rows_before = t.snapshot().total_records
         files_before = len(t.snapshot().files)
         tc = time.monotonic()
@@ -169,6 +181,9 @@ def main() -> None:
             "routed_files_after_compact": len(t.snapshot().files),
             "meta_bytes_final": max(meta_sizes.values()),
             "meta_versions": len(meta_sizes),
+            "manifest_files": len(manifest_sizes),
+            "manifest_bytes_total": sum(manifest_sizes),
+            "manifest_bytes_max": max(manifest_sizes, default=0),
             "compact_sec": round(compact_sec, 1),
             "expired_versions": len(expired),
             "expire_sec": round(expire_sec, 1),

@@ -389,3 +389,36 @@ def test_legacy_manifest_without_spec_reads_as_identity(spark, tmp_path):
     # appends continue to work against the legacy manifest
     t2.append(spark.createDataFrame([(100, "1")], "id long, b string"))
     assert HadoopTable(spark, t.location).read().count() == 13
+
+
+def test_in_predicate_projects_onto_transforms(hidden_table, spark, tmp_path):
+    """``in`` projects onto partition values member-by-member: equality
+    projects through EVERY transform (bucket included), the file prunes
+    only when all members miss, and results stay exact."""
+    t, df = hidden_table
+    n_all = len(t.plan_files())
+    # bucket: two users hash to <= 2 buckets of 4
+    pb = t.plan_files(predicate=[("user", "in", ("u3", "u7"))])
+    assert 0 < len(pb) < n_all
+    assert (
+        t.read(predicate=[("user", "in", ("u3", "u7"))]).count()
+        == df.filter("user in ('u3','u7')").count()
+    )
+    # day transform: two specific days
+    days = (datetime(2026, 1, 5, 12, 0), datetime(2026, 1, 20, 3, 0))
+    pd_ = t.plan_files(predicate=[("ts", "in", days)])
+    assert 0 < len(pd_) < n_all
+    assert (
+        t.read(predicate=[("ts", "in", days)]).count()
+        == df.filter(F.col("ts").isin(list(days))).count()
+    )
+    # identity partitioning: one member hits, others prune
+    ti = HadoopTable(spark, str(tmp_path / "t_ident"))
+    ti.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "sink string, k int"
+        ),
+        partition_cols=["sink"],
+    )
+    assert len(ti.plan_files(predicate=[("sink", "in", ("a", "z"))])) == 1
+    assert len(ti.plan_files(predicate=[("sink", "in", ("x", "z"))])) == 0

@@ -565,3 +565,41 @@ def test_batch_read_pins_load_time_snapshot(registered, tmp_path):
     df2 = spark.read.format("snapshot_table").load(t.location)
     assert df2.columns == ["id", "w"]
     assert _rows(df2) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_in_filter_pushdown(registered, tmp_path):
+    """Spark's In filter pushes down as the shim's ``in`` predicate and
+    prunes planned partitions; NULL members strip; results stay exact."""
+    from pyspark.sql.datasource import In
+
+    from logparserhelper_spark.sources.table_datasource import (
+        _filters_to_predicate,
+    )
+
+    assert _filters_to_predicate([In(("id",), (1, None, 3))]) == [
+        ("id", "in", (1, 3))
+    ]
+    assert _filters_to_predicate([In(("id",), (object(),))]) == []
+
+    spark = registered
+    loc = str(tmp_path / "t_in_ds")
+    t = HadoopTable(spark, loc)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    r = _SnapshotTableReader({"path": loc, "prune_files": "true"})
+    list(r.pushFilters([In(("id",), (5, 7))]))
+    assert len(r.partitions()) == 1
+    got = sorted(
+        r.id
+        for r in spark.read.format("snapshot_table")
+        .option("prune_files", "true")
+        .load(loc)
+        .filter(F.col("id").isin(5, 7, 205))
+        .collect()
+    )
+    assert got == [5, 7, 205]

@@ -1411,3 +1411,38 @@ def test_compact_task_input_budget_bounds_working_set(spark, tmp_path):
     assert s3 is not None and len(s3.data_files) == 1
     assert _rows(t.read()) == before
     assert t.compact(target_file_bytes=1 << 30) is None
+
+
+def test_predicate_in_list_skipping(spark, tmp_path):
+    """The ``in`` op (disjunction of equalities): files prune only when
+    EVERY member is provably outside their bounds; rows stay exact; an
+    empty IN list (or all-NULL members) plans zero files and reads zero
+    rows; update()/delete() accept it."""
+    loc = str(tmp_path / "t_in")
+    t = HadoopTable(spark, loc)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    assert len(t.plan_files(predicate=[("id", "in", (5, 7))])) == 1
+    assert len(t.plan_files(predicate=[("id", "in", (5, 205))])) == 2
+    assert len(t.plan_files(predicate=[("id", "in", (50, 150, 250))])) == 0
+    # NULL members strip (they can never make IN true); empty -> nothing
+    assert len(t.plan_files(predicate=[("id", "in", (None, 5))])) == 1
+    assert len(t.plan_files(predicate=[("id", "in", ())])) == 0
+    assert t.read(predicate=[("id", "in", [None])]).count() == 0
+    got = sorted(
+        r.id for r in t.read(predicate=[("id", "in", [3, 105, 999])]).collect()
+    )
+    assert got == [3, 105]
+    # malformed: scalar value refused
+    with pytest.raises(ValueError, match="'in' needs a list"):
+        t.plan_files(predicate=[("id", "in", 5)])
+    # delete via IN rewrites only the files holding members
+    s = t.delete([("id", "in", (3, 205))])
+    assert s.summary["deleted_records"] == 2
+    assert s.summary["rewritten_files"] == 2
+    assert t.read(predicate=[("id", "in", (3, 205))]).count() == 0

@@ -135,3 +135,97 @@ def test_review_hardening(spark, tmp_path):
             spark,
             f"CALL rollback_to_snapshot('{loc}', version => 1, oops => 2)",
         )
+
+
+# ------------------------------------------------- IN lists + UPDATE ... SET
+def test_delete_in_list(spark, tmp_path):
+    loc = str(tmp_path / "t_in")
+    t = _mk(spark, loc)
+    s = table_sql(spark, f"DELETE FROM '{loc}' WHERE k IN (1, 3, 7)")
+    assert s.summary["deleted_records"] == 3
+    assert sorted(r.k for r in t.read().collect()) == [0, 2, 4, 5, 6, 8, 9]
+    # string members may contain commas and escaped quotes
+    t2 = HadoopTable(spark, str(tmp_path / "t_in2"))
+    t2.append(
+        spark.createDataFrame(
+            [("a,b", 1), ("it's", 2), ("c", 3)], "name string, k int"
+        )
+    )
+    table_sql(
+        spark,
+        f"DELETE FROM '{t2.location}' WHERE name IN ('a,b', 'it''s')",
+    )
+    assert [r.name for r in t2.read().collect()] == ["c"]
+
+
+def test_update_statement_roundtrips_vs_api(spark, tmp_path):
+    loc = str(tmp_path / "t_upd")
+    t = _mk(spark, loc)
+    s = table_sql(
+        spark,
+        f"UPDATE '{loc}' SET v = -1, name = 'x, where y' WHERE k IN (2, 5)",
+    )
+    assert s.operation == "update" and s.summary["updated_records"] == 2
+    got = {r.k: (r.v, r.name) for r in t.read().collect()}
+    assert got[2] == (-1, "x, where y") and got[5] == (-1, "x, where y")
+    assert got[3] == (6, "u3")  # untouched row intact
+    assert t.snapshot().total_records == 10
+    # identical to the API call on a twin table
+    t2 = _mk(spark, str(tmp_path / "t_upd_api"))
+    t2.update([("k", "in", (2, 5))], {"v": -1, "name": "x, where y"})
+    assert sorted(map(tuple, t2.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    # no-match UPDATE is a no-op, not a commit
+    v = t.current_version()
+    assert table_sql(spark, f"UPDATE '{loc}' SET v = 0 WHERE k = 99") is None
+    assert t.current_version() == v
+
+
+def test_update_null_predicate_rows_keep_values(spark, tmp_path):
+    t = HadoopTable(spark, str(tmp_path / "t_null"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k int, v int"
+        )
+    )
+    # v > 5 is NULL for k=2: SQL UPDATE changes TRUE rows only
+    t.update([("v", ">", 5)], {"v": 0})
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: 0, 2: None, 3: 0}
+
+
+def test_update_partition_source_moves_rows(spark, tmp_path):
+    t = HadoopTable(spark, str(tmp_path / "t_part"))
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "sink string, k int"
+        ),
+        partition_cols=["sink"],
+    )
+    t.update([("k", "=", 2)], {"sink": "b"})
+    snap = t.snapshot()
+    assert sorted(
+        (r.sink, r.k) for r in t.read().collect()
+    ) == [("a", 1), ("b", 2), ("b", 3)]
+    # the moved row's file lives under its NEW partition directory
+    moved = [f for f in snap.data_files if f.seq == snap.version]
+    assert moved and all(f.partition == {"sink": "b"} for f in moved)
+
+
+def test_in_and_update_strict_grammar(spark, tmp_path):
+    loc = str(tmp_path / "t_strict")
+    _mk(spark, loc)
+    for bad in [
+        f"DELETE FROM '{loc}' WHERE k IN ()",
+        f"DELETE FROM '{loc}' WHERE k IN (1,)",
+        f"DELETE FROM '{loc}' WHERE k IN (1,,2)",
+        f"UPDATE '{loc}' SET WHERE k = 1",
+        f"UPDATE '{loc}' SET v = 1",  # no WHERE
+        f"UPDATE '{loc}' SET v = 1, v = 2 WHERE k = 1",  # duplicate col
+        f"UPDATE '{loc}' SET v = 1 + 2 WHERE k = 1",  # not a literal
+    ]:
+        with pytest.raises(ValueError):
+            table_sql(spark, bad)
+    with pytest.raises(ValueError):  # unknown SET column refused by update()
+        table_sql(spark, f"UPDATE '{loc}' SET nope = 1 WHERE k = 1")
