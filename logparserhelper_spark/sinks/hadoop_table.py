@@ -821,6 +821,25 @@ def _check_predicate(pred) -> list[tuple]:
     return terms
 
 
+def _assigned_cols(schema, assignments: dict[str, Any], cond=None) -> list:
+    """The full-schema select list applying ``assignments``: each assigned
+    column takes its new value (a literal cast to the column type, or a
+    pyspark Column as-is) — conditionally under ``cond`` (copy-on-write:
+    non-matching rows keep their values) or unconditionally when ``cond``
+    is None (merge-on-read: the input is already only matched rows)."""
+    cols = []
+    for fld in schema.fields:
+        if fld.name in assignments:
+            v = assignments[fld.name]
+            new_v = v if isinstance(v, Column) else F.lit(v).cast(fld.dataType)
+            if cond is not None:
+                new_v = F.when(cond, new_v).otherwise(F.col(fld.name))
+            cols.append(new_v.alias(fld.name))
+        else:
+            cols.append(F.col(fld.name))
+    return cols
+
+
 def _in_member_may_match(raw: Any, st: dict, lo: Any, hi: Any) -> bool:
     """Could ``col = raw`` hold for some row given the file's bounds?
     The single-member equality check of :func:`_file_may_match`'s ``=``
@@ -3635,7 +3654,7 @@ class HadoopTable:
         updates: DataFrame,
         key_cols: list[str],
         broadcast_key_limit: int = 2_000_000,
-        mode: str = "copy-on-write",
+        mode: str | None = None,
         summary_extra: dict[str, Any] | None = None,
         precondition=None,
     ) -> Snapshot:
@@ -3680,6 +3699,8 @@ class HadoopTable:
         snap = self.snapshot()
         if not key_cols:
             raise ValueError("upsert needs key columns")
+        if mode is None:  # Iceberg's write.merge.mode table property
+            mode = snap.properties.get("write.merge.mode", "copy-on-write")
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown upsert mode {mode!r}")
         keys = updates.select(*key_cols).dropDuplicates(key_cols)
@@ -3964,12 +3985,15 @@ class HadoopTable:
 
     # --------------------------------------------------------------- delete
     def delete(
-        self, predicate: list[tuple], mode: str = "copy-on-write"
+        self, predicate: list[tuple], mode: str | None = None
     ) -> Snapshot | None:
         """Row-level ``DELETE FROM ... WHERE``. ``predicate`` is the same
         conjunctive ``(col, op, value)`` form :meth:`read` accepts.
 
-        ``mode="copy-on-write"`` (default) rewrites the touched files.
+        ``mode=None`` resolves the table's ``write.delete.mode``
+        property (Iceberg's knob), default copy-on-write.
+
+        ``mode="copy-on-write"`` rewrites the touched files.
         Three-stage narrowing, so only files that genuinely hold a
         matching row are rewritten: (1) manifest metrics skip files whose
         footer bounds prove no row can match (no scan at all); (2) one
@@ -4000,6 +4024,8 @@ class HadoopTable:
         if not pred:
             raise ValueError("delete needs a predicate (use overwrite_all "
                              "to clear the table)")
+        if mode is None:  # Iceberg's write.delete.mode table property
+            mode = snap.properties.get("write.delete.mode", "copy-on-write")
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown delete mode {mode!r}")
         expr = _pred_expr(pred)
@@ -4053,28 +4079,43 @@ class HadoopTable:
         )
 
     def update(
-        self, predicate: list[tuple], assignments: dict[str, Any]
+        self,
+        predicate: list[tuple],
+        assignments: dict[str, Any],
+        mode: str | None = None,
     ) -> Snapshot | None:
-        """Row-level ``UPDATE ... SET col = value WHERE ...``
-        (copy-on-write). ``predicate`` is the same conjunctive ``(col,
-        op, value)`` form :meth:`read` and :meth:`delete` accept;
-        ``assignments`` maps column name -> new value (a Python literal,
-        cast to the column's type, or a pyspark ``Column`` expression).
+        """Row-level ``UPDATE ... SET col = value WHERE ...``.
+        ``predicate`` is the same conjunctive ``(col, op, value)`` form
+        :meth:`read` and :meth:`delete` accept; ``assignments`` maps
+        column name -> new value (a Python literal, cast to the
+        column's type, or a pyspark ``Column`` expression).
 
-        Same three-stage narrowing as :meth:`delete`: footer metrics
-        skip provably-unmatchable files, one delete-applied scan finds
-        the files holding a LIVE matching row, and only those files
-        rewrite — matching rows take the assigned values (predicate
-        NULL rows keep their old values, SQL UPDATE changes TRUE rows
-        only), everything else is carried byte-for-byte. Updating a
-        partition SOURCE column is allowed: the rewrite re-derives the
-        partition layout from the new values, so rows move to their
-        correct partition (Iceberg's hidden-partitioning contract).
+        ``mode=None`` resolves the table's ``write.update.mode``
+        property (Iceberg's knob), default copy-on-write.
+
+        ``mode="copy-on-write"``: same three-stage narrowing
+        as :meth:`delete` — footer metrics skip provably-unmatchable
+        files, one delete-applied scan finds the files holding a LIVE
+        matching row, and only those files rewrite — matching rows take
+        the assigned values (predicate NULL rows keep their old values,
+        SQL UPDATE changes TRUE rows only), everything else is carried
+        byte-for-byte.
+
+        ``mode="merge-on-read"`` rewrites NOTHING: one commit adds a
+        POSITION-DELETE file naming the matched live rows' coordinates
+        plus a data file holding those rows with the assignments
+        applied — Iceberg's MoR update shape, write cost O(matches)
+        instead of O(touched-file bytes), the 100-TB form for small
+        updates over huge files. :meth:`compact` materializes later.
+
+        Updating a partition SOURCE column is allowed in both modes:
+        the staged rows re-derive the partition layout from the new
+        values, so rows move to their correct partition (Iceberg's
+        hidden-partitioning contract).
 
         Isolation: serializable, identical conflict rules to
-        :meth:`delete` (the shared :meth:`_commit_cow_rewrite` loop).
-        Returns the new snapshot, or None when nothing matched.
-        Changelog readers see the rewrite as delete+insert pairs via
+        :meth:`delete`. Returns the new snapshot, or None when nothing
+        matched. Changelog readers see delete+insert pairs via
         :meth:`read_changes`' scoped state diff."""
         snap = self.snapshot()
         pred = _check_predicate(predicate)
@@ -4083,6 +4124,10 @@ class HadoopTable:
                              "to rewrite the table)")
         if not assignments:
             raise ValueError("update needs at least one SET assignment")
+        if mode is None:  # Iceberg's write.update.mode table property
+            mode = snap.properties.get("write.update.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update mode {mode!r}")
         schema = self._empty_schema(snap)
         names = set(schema.fieldNames())
         for c in assignments:
@@ -4100,6 +4145,11 @@ class HadoopTable:
         ]
         if not candidates:
             return None
+        if mode == "merge-on-read":
+            return self._update_mor(
+                snap, candidates, pred, expr, assignments, schema,
+                cur_ids, dfl,
+            )
         hits = (
             self._scan(snap, candidates, with_meta=True)
             .filter(expr)
@@ -4113,20 +4163,9 @@ class HadoopTable:
         if not touched:
             return None
         cond = F.coalesce(expr, F.lit(False))
-        cols = []
-        for fld in schema.fields:
-            if fld.name in assignments:
-                v = assignments[fld.name]
-                new_v = v if isinstance(v, Column) else F.lit(v).cast(
-                    fld.dataType
-                )
-                cols.append(
-                    F.when(cond, new_v).otherwise(F.col(fld.name))
-                    .alias(fld.name)
-                )
-            else:
-                cols.append(F.col(fld.name))
-        rewritten = self._scan(snap, touched).select(*cols)
+        rewritten = self._scan(snap, touched).select(
+            *_assigned_cols(schema, assignments, cond)
+        )
         staged = self._stage(rewritten, snap.partition_cols, snap.spec)
         return self._commit_cow_rewrite(
             snap,
@@ -4238,6 +4277,117 @@ class HadoopTable:
                 return new
             except CommitConflict:
                 continue  # liveness + added-rows checks re-run vs new parent
+
+    def _update_mor(
+        self,
+        snap: Snapshot,
+        candidates: list[DataFile],
+        pred: list[tuple],
+        expr,
+        assignments: dict[str, Any],
+        schema,
+        cur_ids: dict[str, int],
+        dfl: dict[int, Any],
+    ) -> Snapshot | None:
+        """Merge-on-read update body (see :meth:`update`): ONE commit
+        adds a position-delete file naming the matched live rows plus a
+        data file holding those rows with the assignments applied —
+        write cost O(matches). Position deletes name (file, pos)
+        coordinates explicitly, so they can never reach the new data
+        file. Same conflict rules as :meth:`_delete_mor`."""
+        matched = self._scan(snap, candidates, with_meta=True).filter(expr)
+        pos_rows = matched.select(
+            F.col("_lph_file").alias("file_path"),
+            F.col("_lph_pos").alias("pos"),
+        ).sort("file_path", "pos")
+        staged_del = self._stage_delete_rows(pos_rows, "position-deletes")
+        n_updated = sum(e.records for e in staged_del)
+        if n_updated == 0:
+            return None
+        updated = matched.select(*_assigned_cols(schema, assignments))
+        staged_data = self._stage(updated, snap.partition_cols, snap.spec)
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        for e in staged_del:
+            t = pq.read_table(
+                os.path.join(self.root, e.path), columns=["file_path"]
+            )
+            referenced.update(t.column("file_path").to_pylist())
+        base_paths = {f.path for f in snap.files}
+        while True:
+            parent = self.snapshot()
+            live_data = {f.path for f in parent.data_files}
+            if not referenced <= live_data:
+                raise CompactionConflict(
+                    f"{len(referenced - live_data)} file(s) this update "
+                    "references were rewritten by a concurrent commit; "
+                    "re-run update()"
+                )
+            if any(
+                f.content != "data" and f.path not in base_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s); "
+                    "re-run update()"
+                )
+            added_since = [
+                f
+                for f in parent.files
+                if f.path not in base_paths and f.content == "data"
+            ]
+            check = [
+                f
+                for f in added_since
+                if _file_pred_match(f, pred, cur_ids, dfl)
+            ]
+            if check:
+                n_hits = (
+                    self._read_files(parent, check).filter(expr).limit(1).count()
+                )
+                if n_hits:
+                    raise CompactionConflict(
+                        "a concurrent commit added row(s) matching the "
+                        "update predicate; re-run update()"
+                    )
+            version = parent.version + 1
+            staged_del_v = [_dc_replace(e, seq=version) for e in staged_del]
+            staged_data_v = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged_data],
+                parent.schema_json,
+                snap.spec,
+                conflict=True,
+                scan_schema_json=snap.schema_json,
+            )
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "mode": "merge-on-read",
+                    "added_files": len(staged_data_v),
+                    "position_delete_files": len(staged_del_v),
+                    "updated_records": n_updated,
+                    "kept_files": len(parent.files),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="update",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
+                files=list(parent.files) + staged_del_v + staged_data_v,
+                summary=summary,
+                properties=dict(parent.properties),
+            )
+            summary["total_records"] = new.total_records
+            try:
+                self._publish(new, version, carry=(parent,))
+                return new
+            except CommitConflict:
+                continue  # all three checks re-run against the new parent
 
     def _delete_mor(
         self, snap: Snapshot, candidates: list[DataFile], pred: list[tuple], expr
@@ -4403,25 +4553,54 @@ class HadoopTable:
 
         Task sizing is budgeted separately from file sizing: each rewrite
         task's COMPRESSED input is capped at the
-        ``compaction.task-input-bytes`` property (default 256 MB), so a
+        ``compaction.task-input-bytes`` property — by default DERIVED
+        from the runtime memory model (0.6*heap/slots * 0.5 /
+        ``compaction.expansion-factor``, default 6x decompression), so a
         large ``target_file_bytes`` can never hand one task a working set
-        that spills — when the cap binds, a partition simply compacts
-        into more, smaller files (still >= the bin-pack win; compaction
-        must never be the op that thrashes the cluster). The rewrite
-        trigger uses the same effective count, so re-running compact()
-        on its own output is a no-op, not a rewrite loop."""
+        that spills in the partition writer's sort — when the cap binds,
+        a partition simply compacts into more, smaller files (still >=
+        the bin-pack win; compaction must never be the op that thrashes
+        the cluster). The rewrite trigger uses the same effective count,
+        so re-running compact() on its own output is a no-op, not a
+        rewrite loop."""
         import math
 
         if target_file_bytes is None:
             target_file_bytes = int(
                 self._prop("write.target-file-size-bytes", 128 << 20)
             )
-        # max compressed input bytes one rewrite task may hold (its
-        # decompressed working set is a small multiple of this): the
-        # spill guard for maintenance at capacity scale
-        task_budget = max(
-            1, int(self._prop("compaction.task-input-bytes", 256 << 20))
-        )
+        # max compressed input bytes one rewrite task may hold: the spill
+        # guard for maintenance at capacity scale. The spiller is the
+        # dynamic-partition writer's sort, which buffers the task's WHOLE
+        # working set decompressed (~5-6x parquet bytes for text-heavy
+        # data — measured 5.4x at the 100M-turn capacity run), so the
+        # default budget is derived from the memory actually available
+        # per task slot rather than a flat constant: with H bytes of
+        # heap and C concurrent tasks, unified execution memory is
+        # ~0.6*H and a task can safely sort ~half its slot's share —
+        # budget = 0.6*H/C * 0.5 / expansion. A flat default either
+        # spills on big boxes' data (256 MB compressed ~= 1.4 GB sorted)
+        # or wastes file size on small ones; deriving it makes compact()
+        # spill-free by construction at ANY heap/core ratio, at the cost
+        # of more, smaller files when memory per slot is tight — the
+        # documented trade (compaction must never thrash the cluster).
+        task_budget = self._prop("compaction.task-input-bytes", None)
+        if task_budget is None:
+            expansion = float(
+                self._prop("compaction.expansion-factor", 6.0)
+            )
+            try:
+                heap = int(
+                    self.spark.sparkContext._jvm.java.lang.Runtime
+                    .getRuntime().maxMemory()
+                )
+                slots = max(1, self.spark.sparkContext.defaultParallelism)
+                task_budget = max(
+                    16 << 20, int(0.6 * heap / slots * 0.5 / expansion)
+                )
+            except Exception:
+                task_budget = 64 << 20  # conservative static fallback
+        task_budget = max(1, int(task_budget))
 
         def _n_tasks(total_bytes: int, want: int | None = None) -> int:
             if want is None:

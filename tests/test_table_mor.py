@@ -608,3 +608,115 @@ def test_scoped_eq_delete_hidden_partitioning_and_unscoped_fallback(
     assert eq2.partition == {}  # table-wide, the pre-scoping behavior
     got2 = sorted(tuple(r) for r in t2.read().select("sink", "k", "v").collect())
     assert got2 == [("a", 1, "x"), ("b", 2, "Y!")]
+
+
+# ------------------------------------------------------ merge-on-read UPDATE
+def test_update_mor_rewrites_nothing(spark, tmp_path):
+    """MoR update: ONE commit = a position-delete file (matched rows'
+    coordinates) + a data file (those rows with assignments applied);
+    every pre-existing data file is carried untouched; both read paths
+    agree with the CoW result; compact() materializes."""
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    rows = [(i, f"v{i}", i % 3) for i in range(30)]
+    t = HadoopTable(spark, str(tmp_path / "mor"))
+    t.append(
+        spark.createDataFrame(rows, "id long, v string, g int").coalesce(3)
+    )
+    before = {f.path for f in t.snapshot().data_files}
+    s = t.update(
+        [("g", "=", 1)], {"v": "UP"}, mode="merge-on-read"
+    )
+    assert s.operation == "update"
+    assert s.summary["updated_records"] == 10
+    # nothing rewritten: old data files all carried
+    assert before <= {f.path for f in s.data_files}
+    kinds = {f.content for f in s.files}
+    assert "position-deletes" in kinds
+    expect = sorted(
+        (i, "UP" if i % 3 == 1 else f"v{i}", i % 3) for i in range(30)
+    )
+    assert sorted(tuple(r) for r in t.read().collect()) == expect
+    ds = spark.read.format("snapshot_table").load(t.location)
+    assert sorted(tuple(r) for r in ds.collect()) == expect
+    assert s.total_records == 30
+    # CoW twin produces identical content
+    t2 = HadoopTable(spark, str(tmp_path / "cow"))
+    t2.append(
+        spark.createDataFrame(rows, "id long, v string, g int").coalesce(3)
+    )
+    t2.update([("g", "=", 1)], {"v": "UP"}, mode="copy-on-write")
+    assert sorted(tuple(r) for r in t2.read().collect()) == expect
+    # compact materializes: deletes retired, content unchanged
+    t.compact(target_file_bytes=1 << 30)
+    assert not [f for f in t.snapshot().files if f.content != "data"]
+    assert sorted(tuple(r) for r in t.read().collect()) == expect
+
+
+def test_update_mor_moves_partition_and_changelog(spark, tmp_path):
+    """MoR update of a partition-source column lands the updated rows in
+    their re-derived partition; the changelog replays to the final
+    state; a no-match update is a no-op."""
+    t = HadoopTable(spark, str(tmp_path / "mv"))
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "sink string, k int"
+        ),
+        partition_cols=["sink"],
+    )
+    s = t.update([("k", "=", 2)], {"sink": "b"}, mode="merge-on-read")
+    new_data = [f for f in s.data_files if f.seq == s.version]
+    assert new_data and all(f.partition == {"sink": "b"} for f in new_data)
+    assert sorted((r.sink, r.k) for r in t.read().collect()) == [
+        ("a", 1), ("b", 2), ("b", 3)
+    ]
+    assert t.update([("k", "=", 99)], {"sink": "z"},
+                    mode="merge-on-read") is None
+    # changelog replay-from-empty reproduces the final table
+    ch = t.read_changes(0).collect()
+    ins = [(r.sink, r.k) for r in ch if r._change_type == "insert"]
+    dels = [(r.sink, r.k) for r in ch if r._change_type == "delete"]
+    state: dict = {}
+    for x in ins:
+        state[x] = state.get(x, 0) + 1
+    for x in dels:
+        state[x] -= 1
+    final = sorted(k for k, n in state.items() for _ in range(n))
+    assert final == [("a", 1), ("b", 2), ("b", 3)]
+
+
+def test_write_mode_table_properties(spark, tmp_path):
+    """mode=None resolves Iceberg's write.update.mode /
+    write.delete.mode / write.merge.mode table properties (explicit arg
+    still wins); bad property values raise rather than half-apply."""
+    t = HadoopTable(spark, str(tmp_path / "props"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1)
+    )
+    t.set_properties({
+        "write.update.mode": "merge-on-read",
+        "write.delete.mode": "merge-on-read",
+        "write.merge.mode": "merge-on-read",
+    })
+    s = t.update([("id", "=", 3)], {"v": "X"})
+    assert s.summary["mode"] == "merge-on-read"
+    s = t.delete([("id", "=", 4)])
+    assert s.summary["mode"] == "merge-on-read"
+    s = t.upsert(
+        spark.createDataFrame([(5, "Y")], "id long, v string"),
+        key_cols=["id"],
+    )
+    assert any(f.content == "equality-deletes" for f in s.files)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == "X" and got[5] == "Y" and 4 not in got and len(got) == 9
+    # explicit arg overrides the property
+    s = t.update([("id", "=", 6)], {"v": "Z"}, mode="copy-on-write")
+    assert "position_delete_files" not in s.summary
+    t.set_properties({"write.update.mode": "bogus"})
+    with pytest.raises(ValueError, match="unknown update mode"):
+        t.update([("id", "=", 7)], {"v": "W"})
