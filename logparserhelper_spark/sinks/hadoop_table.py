@@ -2350,6 +2350,7 @@ class HadoopTable:
         df: DataFrame,
         partition_cols: list[str],
         spec: list[PartitionField] | None = None,
+        concurrent_writers: int | None = None,
     ) -> list[DataFile]:
         """Write df's parquet under data/<uuid>/ and return the manifest
         entries. Files land at their FINAL paths (never moved — Iceberg
@@ -2358,7 +2359,18 @@ class HadoopTable:
         value columns before the write; ``partitionBy`` then excludes
         exactly those derived columns from the data files, so the files
         hold only source columns and the layout stays invisible to
-        readers."""
+        readers.
+
+        ``concurrent_writers``: set Spark's
+        ``spark.sql.maxConcurrentOutputFileWriters`` for this write (and
+        restore after). With it, the dynamic-partition write STREAMS rows
+        to up to N open writers per task instead of first sorting the
+        task's whole working set — the sort is the one op that buffers a
+        task's full DECOMPRESSED data and spills at capacity scale. Only
+        safe when tasks are already clustered to a handful of partition
+        values each (compact()'s salted repartition: ~1 group per task),
+        because each open parquet writer buffers its own row group;
+        Spark falls back to sorting the remainder beyond N."""
         if spec:
             assert partition_cols == [f.name for f in spec]
             df = derive_partition_columns(df, spec)
@@ -2374,7 +2386,19 @@ class HadoopTable:
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(stage_abs)
+        _CW = "spark.sql.maxConcurrentOutputFileWriters"
+        if concurrent_writers and partition_cols:
+            prev = self.spark.conf.get(_CW, None)
+            self.spark.conf.set(_CW, str(concurrent_writers))
+            try:
+                w.parquet(stage_abs)
+            finally:
+                if prev is None:
+                    self.spark.conf.unset(_CW)
+                else:
+                    self.spark.conf.set(_CW, prev)
+        else:
+            w.parquet(stage_abs)
         entries: list[DataFile] = []
         import pyarrow.parquet as pq
 
@@ -4732,7 +4756,7 @@ class HadoopTable:
                 df = df.repartitionByRange(n_tasks, *[F.col(c) for c in pcols])
             else:
                 df = df.repartition(n_tasks)
-            staged = self._stage(df, pcols, snap.spec)
+            staged = self._stage(df, pcols, snap.spec, concurrent_writers=16)
             return self._commit_compaction(snap, rewrite, staged, pcols)
         n_tasks = sum(wants.values())
         if pcols:
@@ -4785,7 +4809,10 @@ class HadoopTable:
             )
         else:
             df = df.repartition(n_tasks)
-        staged = self._stage(df, pcols, snap.spec)
+        # tasks are clustered to ~one (partition, salt) group each, so
+        # the write streams through concurrent writers instead of
+        # sort-buffering the task's whole decompressed working set
+        staged = self._stage(df, pcols, snap.spec, concurrent_writers=16)
         return self._commit_compaction(snap, rewrite, staged, pcols)
 
     def _commit_compaction(

@@ -243,8 +243,8 @@ def test_compact_conflicts_with_concurrent_mor_delete(spark, tmp_path):
     orig_stage = HadoopTable._stage
     state = {"fired": False}
 
-    def racing_stage(self, df, pcols, spec=None):
-        out = orig_stage(self, df, pcols, spec)
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
         if not state["fired"]:
             state["fired"] = True
             racer = HadoopTable(spark, t.location)
@@ -269,8 +269,8 @@ def test_cow_upsert_conflicts_with_concurrent_mor_delete(spark, tmp_path):
     orig_stage = HadoopTable._stage
     state = {"fired": False}
 
-    def racing_stage(self, df, pcols, spec=None):
-        out = orig_stage(self, df, pcols, spec)
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
         if not state["fired"]:
             state["fired"] = True
             HadoopTable(spark, t.location).delete(
@@ -305,8 +305,8 @@ def test_mor_delete_conflicts_when_referenced_file_compacted(spark, tmp_path):
     orig_stage = HadoopTable._stage
     state = {"fired": False}
 
-    def racing_stage(self, df, pcols, spec=None):
-        out = orig_stage(self, df, pcols, spec)
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
         if not state["fired"]:
             state["fired"] = True
             HadoopTable(spark, t.location).compact(target_file_bytes=1 << 30)

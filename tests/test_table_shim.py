@@ -416,7 +416,7 @@ def test_compact_conflict_detection(spark, tmp_path):
     # its source files, by interposing on _stage
     orig_stage = t._stage
 
-    def racing_stage(df, pcols, spec=None):
+    def racing_stage(df, pcols, spec=None, **kw):
         staged = orig_stage(df, pcols, spec)
         HadoopTable(spark, loc).replace_partitions(
             spark.createDataFrame([("a", 999)], "sink string, id long")
@@ -568,7 +568,7 @@ def test_upsert_copy_on_write(spark, tmp_path):
 
     orig_stage = t._stage
 
-    def racing_stage(df, pcols, spec=None):
+    def racing_stage(df, pcols, spec=None, **kw):
         staged = orig_stage(df, pcols, spec)
         HadoopTable(spark, loc).overwrite_all(
             spark.createDataFrame([(0, "wiped")], "id long, v string")
