@@ -2399,31 +2399,43 @@ class HadoopTable:
                     self.spark.conf.set(_CW, prev)
         else:
             w.parquet(stage_abs)
-        entries: list[DataFile] = []
         import pyarrow.parquet as pq
 
+        todo: list[tuple[str, dict[str, str]]] = []
         for dirpath, _dirs, names in os.walk(stage_abs):
+            part: dict[str, str] = {}
+            for comp in os.path.relpath(dirpath, stage_abs).split(os.sep):
+                if "=" in comp:
+                    k, _, val = comp.partition("=")
+                    part[k] = unquote(val)
             for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                abs_p = os.path.join(dirpath, name)
-                rel_p = os.path.relpath(abs_p, self.root)
-                part: dict[str, str] = {}
-                for comp in os.path.relpath(dirpath, stage_abs).split(os.sep):
-                    if "=" in comp:
-                        k, _, val = comp.partition("=")
-                        part[k] = unquote(val)
-                pf = pq.ParquetFile(abs_p)
-                entries.append(
-                    DataFile(
-                        path=rel_p,
-                        partition=part,
-                        records=pf.metadata.num_rows,
-                        bytes=os.path.getsize(abs_p),
-                        stats=_collect_stats(pf, self.stats_columns),
-                        columns=[dict(c) for c in phys_columns],
-                    )
-                )
+                if name.endswith(".parquet"):
+                    todo.append((os.path.join(dirpath, name), part))
+
+        def harvest(item: tuple[str, dict[str, str]]) -> DataFile:
+            abs_p, part = item
+            pf = pq.ParquetFile(abs_p)
+            return DataFile(
+                path=os.path.relpath(abs_p, self.root),
+                partition=part,
+                records=pf.metadata.num_rows,
+                bytes=os.path.getsize(abs_p),
+                stats=_collect_stats(pf, self.stats_columns),
+                columns=[dict(c) for c in phys_columns],
+            )
+
+        # footer harvest is driver-side I/O over O(staged files) — at
+        # capacity scale (1000+ files/commit) doing it serially costs
+        # tens of seconds of commit wall, so fan out on threads (pyarrow
+        # releases the GIL on reads). Order restored by input order so
+        # manifests stay deterministic.
+        if len(todo) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                entries = list(pool.map(harvest, todo))
+        else:
+            entries = [harvest(x) for x in todo]
         _fault("after-stage")
         return entries
 
