@@ -3142,7 +3142,8 @@ class HadoopTable:
             # unchanged): an append range spanning them still has
             # well-defined added rows
             if op not in (
-                "append", "update-spec", "evolve-schema", "set-properties"
+                "append", "update-spec", "evolve-schema", "set-properties",
+                "rewrite-manifests"
             ):
                 raise ValueError(
                     f"incremental scan range contains a non-append snapshot "
@@ -3308,7 +3309,8 @@ class HadoopTable:
                     )
                 continue
             if cur.operation in (
-                "compact", "update-spec", "evolve-schema", "set-properties"
+                "compact", "update-spec", "evolve-schema", "set-properties",
+                "rewrite-manifests"
             ):
                 continue  # data-preserving: zero row-level changes
             removed_data = [
@@ -5114,6 +5116,59 @@ class HadoopTable:
         self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
         return drop
 
+    def rewrite_manifests(self, min_count: int | None = None) -> Snapshot | None:
+        """Consolidate the snapshot's manifest list into ONE manifest
+        (Iceberg's ``rewrite_manifests``): a metadata-only commit — file
+        set, schema, spec, and properties all unchanged, zero data
+        movement. The delta-manifest commit model writes one manifest
+        per commit, so a long-lived table accretes O(commits) manifest
+        files and snapshot loads pay one JSON read each; this op
+        amortizes them back to one. No-op (returns None) below
+        ``min_count`` manifests (default: the
+        ``commit.manifest.min-count-to-merge`` property, 16) or on
+        legacy inline-files metadata. Serializable via the normal CAS —
+        losing a race re-composes against the new parent; the replaced
+        manifests stay referenced by OLDER snapshot versions until
+        expiry, then the orphan GC reclaims them."""
+        while True:
+            parent = self.snapshot()
+            threshold = (
+                min_count
+                if min_count is not None
+                else int(self._prop("commit.manifest.min-count-to-merge", 16))
+            )
+            if not parent.manifests or len(parent.manifests) < max(2, threshold):
+                return None
+            version = parent.version + 1
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_manifests": len(parent.manifests),
+                    "kept_files": len(parent.files),
+                    "added_files": 0,
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="rewrite-manifests",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
+                files=list(parent.files),
+                summary=summary,
+                properties=dict(parent.properties),
+            )
+            summary["total_records"] = new.total_records
+            try:
+                # carry NOTHING: _publish then writes the entire file set
+                # as one fresh manifest — the consolidation
+                self._publish(new, version, carry=())
+                return new
+            except CommitConflict:
+                continue  # re-compose against the new parent
+
     def maintain(
         self,
         target_file_bytes: int | None = None,
@@ -5143,6 +5198,8 @@ class HadoopTable:
         out: dict[str, Any] = {}
         snap = self.compact(target_file_bytes=target_file_bytes)
         out["compacted_version"] = snap.version if snap is not None else None
+        rm = self.rewrite_manifests()
+        out["rewrote_manifests_version"] = rm.version if rm is not None else None
         out["expired_versions"] = self.expire_snapshots(
             keep_last=keep_last,
             cleanup_older_than_sec=orphan_grace_sec,

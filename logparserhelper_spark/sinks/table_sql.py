@@ -296,6 +296,7 @@ def table_sql(spark, statement: str) -> Any:
         procs = {
             # the Iceberg procedure names AND the shim's own
             "rewrite_data_files": t.compact,
+            "rewrite_manifests": t.rewrite_manifests,
             "compact": t.compact,
             "expire_snapshots": t.expire_snapshots,
             "remove_orphan_files": t.cleanup_orphans,

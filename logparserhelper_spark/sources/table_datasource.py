@@ -520,7 +520,8 @@ class _SnapshotTableStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             s = t.snapshot(v)
             if s.operation in (
-                "update-spec", "evolve-schema", "set-properties"
+                "update-spec", "evolve-schema", "set-properties",
+                "rewrite-manifests"
             ):
                 continue  # metadata-only: no files added, always safe
             if s.operation != "append":

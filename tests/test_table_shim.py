@@ -1446,3 +1446,55 @@ def test_predicate_in_list_skipping(spark, tmp_path):
     assert s.summary["deleted_records"] == 2
     assert s.summary["rewritten_files"] == 2
     assert t.read(predicate=[("id", "in", (3, 205))]).count() == 0
+
+
+def test_rewrite_manifests_consolidates_metadata(spark, tmp_path):
+    """rewrite_manifests(): metadata-only consolidation of the
+    O(commits) delta manifests into one — file set/rows/schema
+    unchanged, time travel intact, incremental + changelog ranges treat
+    it as data-preserving, maintain() runs it when the property
+    threshold binds, and orphan GC reclaims the replaced manifests once
+    no retained version references them."""
+    t = HadoopTable(spark, str(tmp_path / "t_rm"))
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        )
+    snap = t.snapshot()
+    assert len(snap.manifests) == 5  # one delta manifest per commit
+    before = _rows(t.read())
+    assert t.rewrite_manifests(min_count=99) is None  # below threshold
+    s = t.rewrite_manifests(min_count=2)
+    assert s is not None and s.operation == "rewrite-manifests"
+    assert len(s.manifests) == 1
+    assert {f.path for f in s.files} == {f.path for f in snap.files}
+    assert _rows(t.read()) == before
+    assert _rows(t.read(version=snap.version)) == before  # time travel
+    # data-preserving for range readers
+    assert t.read_incremental(snap.version).count() == 0
+    assert t.read_changes(snap.version).count() == 0
+    inc = t.read_incremental(2)  # range crosses the rewrite
+    assert inc.count() == 3
+    # next append carries the ONE manifest + its own delta
+    t.append(spark.createDataFrame([(9, "x")], "id long, v string"))
+    assert len(t.snapshot().manifests) == 2
+    # maintain() triggers it via the property
+    # one partition per append: compact() has nothing to bin-pack, so
+    # the delta manifests survive into maintain()'s rewrite step
+    t2 = HadoopTable(spark, str(tmp_path / "t_rm2"))
+    for i in range(4):
+        t2.append(
+            spark.createDataFrame([(i, f"p{i}")], "id long, p string"),
+            partition_cols=["p"],
+        )
+    t2.set_properties({"commit.manifest.min-count-to-merge": "3"})
+    out = t2.maintain()
+    assert out["rewrote_manifests_version"] is not None
+    assert len(t2.snapshot().manifests) == 1
+    assert t2.read().count() == 4
+    # expiry + GC reclaim the replaced delta manifests from disk
+    man_dir = os.path.join(t2.location, "metadata", "manifests")
+    n_disk_before = len(os.listdir(man_dir))
+    t2.expire_snapshots(keep_last=1, cleanup_older_than_sec=0)
+    assert len(os.listdir(man_dir)) < n_disk_before
+    assert t2.read().count() == 4
