@@ -3810,7 +3810,37 @@ class HadoopTable:
             else survivors.unionByName(updates, allowMissingColumns=True)
         )
         staged = self._stage(rewrite_df, snap.partition_cols, snap.spec)
-        replaced = {f.path for f in touched}
+        return self._commit_key_merge(
+            snap,
+            rewrite_df,
+            staged,
+            {f.path for f in touched},
+            keys,
+            key_cols,
+            _maybe_bcast,
+            "upsert",
+        )
+
+    def _commit_key_merge(
+        self,
+        snap: Snapshot,
+        rewrite_df: DataFrame,
+        staged: list[DataFile],
+        replaced: set[str],
+        keys: DataFrame,
+        key_cols: list[str],
+        _maybe_bcast,
+        operation: str,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Shared serializable commit loop for the key-addressed
+        copy-on-write merges (:meth:`upsert`, :meth:`merge`): swap the
+        ``replaced`` files for the ``staged`` rewrite, conflicting when a
+        concurrent commit replaced a source file, added a row-level
+        delete file, or added rows carrying a merged key since ``snap``
+        (keeping those while also landing the merge rows would commit
+        duplicate keys — the serializable-isolation validation Iceberg
+        MERGE performs)."""
         base_paths = {f.path for f in snap.files}
         while True:
             parent = self.snapshot()
@@ -3818,7 +3848,7 @@ class HadoopTable:
             if not replaced <= live:
                 raise CompactionConflict(
                     f"{len(replaced - live)} merged source file(s) were "
-                    "replaced by a concurrent commit; re-run upsert()"
+                    f"replaced by a concurrent commit; re-run {operation}()"
                 )
             # serializable-isolation check: concurrently ADDED files that
             # contain a matched key would survive alongside the staged
@@ -3837,7 +3867,7 @@ class HadoopTable:
             ):
                 raise CompactionConflict(
                     "a concurrent commit added row-level delete file(s); "
-                    "re-run upsert()"
+                    f"re-run {operation}()"
                 )
             if added_since:
                 n_hits = (
@@ -3848,7 +3878,7 @@ class HadoopTable:
                 if n_hits:
                     raise CompactionConflict(
                         f"a concurrent commit added {n_hits} row(s) with "
-                        "merged key(s); re-run upsert()"
+                        f"merged key(s); re-run {operation}()"
                     )
             keep = [f for f in parent.files if f.path not in replaced]
             if replaced and any(
@@ -3860,7 +3890,7 @@ class HadoopTable:
             if replaced:
                 keep = self._drop_dead_eq_deletes(keep)
             version = parent.version + 1
-            child_schema = self._evolve_schema(parent, rewrite_df, "upsert")
+            child_schema = self._evolve_schema(parent, rewrite_df, operation)
             # conflict=True: a schema commit racing between the merge
             # scan and this promote invalidates the staged rewrite
             staged = self._annotate_ids(
@@ -3878,10 +3908,12 @@ class HadoopTable:
                     "kept_files": len(keep),
                 }
             )
+            if extra_summary:
+                summary.update(extra_summary)
             new = Snapshot(
                 version=version,
                 parent=parent.version,
-                operation="upsert",
+                operation=operation,
                 timestamp_ms=int(time.time() * 1000),
                 schema_json=child_schema,
                 partition_cols=snap.partition_cols,
@@ -3896,6 +3928,232 @@ class HadoopTable:
                 return new
             except CommitConflict:
                 continue  # liveness re-checks against the new parent
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when: list[tuple],
+        broadcast_key_limit: int = 2_000_000,
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> Snapshot | None:
+        """General ``MERGE INTO`` with ordered WHEN clauses — the full
+        Iceberg/ANSI shape of which :meth:`upsert` is the common special
+        case (``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+        INSERT *``). ``on`` is the list of join key columns; ``when`` is
+        the ordered clause list, each a ``(kind, condition, payload)``
+        tuple:
+
+        - ``("matched_update", cond, assignments)`` — matched rows where
+          ``cond`` holds take the assigned values; ``assignments`` maps
+          target column -> SQL expression string (may reference both
+          aliases, e.g. ``"t.n + s.n"``), or the string ``"*"`` meaning
+          every source column overwrites its same-named target column.
+        - ``("matched_delete", cond, None)`` — matched rows where
+          ``cond`` holds are removed.
+        - ``("not_matched_insert", cond, values)`` — source rows that
+          matched no target row and satisfy ``cond`` insert; ``values``
+          maps target column -> SQL expression over the source alias, or
+          ``"*"`` meaning the source row inserts by name (columns the
+          source lacks land NULL; NEW source columns evolve the schema
+          additively, same rule as append/upsert).
+
+        ``cond`` is a SQL boolean string over ``t.``/``s.`` (or the
+        given aliases), or None for unconditional. Per ANSI/Iceberg,
+        clauses apply FIRST-MATCH-WINS in list order within their family;
+        only the LAST clause of each family (matched / not-matched) may
+        omit its condition — an unconditional clause followed by another
+        of the same family would make it unreachable, so that raises.
+        Matched target rows claimed by no clause are carried unchanged;
+        unmatched source rows claimed by no clause are discarded.
+
+        Execution is the Delta/Iceberg copy-on-write plan: one
+        delete-applied scan semi-joined against the (broadcast when
+        small) source key set finds the files holding a matched key; a
+        FULL OUTER join between just THOSE files' rows and the source
+        applies the clause logic row-wise; only touched files rewrite,
+        everything else is carried by reference. A source key matching
+        no target row anywhere is globally unmatched (its file would
+        have been touched otherwise), so the outer join sees every
+        not-matched insert. Duplicate keys within the source raise
+        (ANSI MERGE's multiple-matches rule). Isolation: serializable,
+        same rules as :meth:`upsert` (shared commit loop). Returns the
+        new snapshot, or None when no clause changed anything.
+
+        Reference parity note: the reference app has no table mutations
+        at all (state is whole-file JSON overwrite,
+        utils/json_utils.py:21-27); this is part of the Spark-first
+        table surface replacing it."""
+        snap = self.snapshot()
+        if not on:
+            raise ValueError("merge needs join key columns")
+        if not when:
+            raise ValueError("merge needs at least one WHEN clause")
+        schema = self._empty_schema(snap)
+        tcols = list(schema.fieldNames())
+        scols = list(source.columns)
+        for k in on:
+            if k not in tcols or k not in scols:
+                raise ValueError(
+                    f"join key {k!r} must exist in both target and source"
+                )
+        kinds = {"matched_update", "matched_delete", "not_matched_insert"}
+        star = any(
+            p == "*" for _, _, p in when if isinstance(p, str)
+        )
+        out_cols = tcols + [c for c in scols if c not in tcols] if star \
+            else list(tcols)
+        last_of = {}
+        for i, (kind, cond, payload) in enumerate(when):
+            if kind not in kinds:
+                raise ValueError(
+                    f"unknown clause kind {kind!r}; one of {sorted(kinds)}"
+                )
+            fam = "m" if kind.startswith("matched") else "n"
+            last_of[fam] = i
+        for i, (kind, cond, payload) in enumerate(when):
+            fam = "m" if kind.startswith("matched") else "n"
+            if cond is None and i != last_of[fam]:
+                raise ValueError(
+                    "only the last clause of each family may omit its "
+                    f"condition (clause {i} shadows a later one)"
+                )
+            if kind == "matched_delete":
+                if payload is not None:
+                    raise ValueError("matched_delete takes no payload")
+            elif payload != "*":
+                if not isinstance(payload, dict) or not payload:
+                    raise ValueError(
+                        f"clause {i} payload must be '*' or a non-empty "
+                        "dict of column -> SQL expression"
+                    )
+                bad = [c for c in payload if c not in out_cols]
+                if bad:
+                    raise ValueError(
+                        f"clause {i} assigns unknown column(s) {bad}; "
+                        f"target columns: {sorted(tcols)}"
+                    )
+        for marker in ("_lph_mrg_t", "_lph_mrg_s"):
+            if marker in tcols or marker in scols:
+                raise ValueError(f"column name {marker!r} is reserved")
+        # same one-job key validation as upsert: ANSI multiple-matches
+        # rule + the key-set size that decides broadcast strategy
+        keys = source.select(*on).dropDuplicates(on)
+        kstats = (
+            source.groupBy(*on)
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("count").alias("max_dup"),
+            )
+            .first()
+        )
+        if (kstats["max_dup"] or 0) > 1:
+            raise ValueError(
+                "source contains duplicate keys — MERGE requires one "
+                "source row per key (dedupe upstream)"
+            )
+        n_keys = kstats["n_keys"] or 0
+        _maybe_bcast = (
+            F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
+        )
+        ta, sa = target_alias, source_alias
+        # pass 1 (metadata-cheap): which files hold a matched key — the
+        # only full-table scan, and it reads just the key columns
+        full = self._scan(snap, snap.data_files, with_meta=True)
+        hit_files = {
+            r.f
+            for r in full.join(_maybe_bcast(keys), on, "left_semi")
+            .select(F.col("_lph_file").alias("f"))
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in snap.data_files if f.path in hit_files]
+        has_insert = any(k == "not_matched_insert" for k, _, _ in when)
+        if not touched and not has_insert:
+            return None  # no key matched and nothing to insert
+        # pass 2: clause logic over touched-rows FULL OUTER JOIN source
+        tgt = (
+            self._scan(snap, touched)
+            .withColumn("_lph_mrg_t", F.lit(True))
+            .alias(ta)
+        )
+        src = source.withColumn("_lph_mrg_s", F.lit(True)).alias(sa)
+        jcond = None
+        for k in on:
+            # plain equality: NULL keys never match (ANSI MERGE)
+            eq = F.col(f"{ta}.`{k}`") == F.col(f"{sa}.`{k}`")
+            jcond = eq if jcond is None else jcond & eq
+        # a full-outer join cannot broadcast-build either side (Spark
+        # rejects the hint); the left-outer no-insert path can
+        joined = tgt.join(
+            src if has_insert else _maybe_bcast(src),
+            jcond,
+            "full_outer" if has_insert else "left_outer",
+        )
+        tflag = F.col("_lph_mrg_t").isNotNull()
+        sflag = F.col("_lph_mrg_s").isNotNull()
+        matched = tflag & sflag
+        # first-match-wins clause index, NULL when no clause claims the row
+        applied = F.lit(None).cast("int")
+        chain = None
+        for i, (kind, cond, payload) in enumerate(when):
+            base = matched if kind.startswith("matched") else (sflag & ~tflag)
+            c = base if cond is None else base & F.expr(cond)
+            chain = F.when(c, F.lit(i)) if chain is None else \
+                chain.when(c, F.lit(i))
+        applied = chain
+        drop_idxs = [
+            i for i, (k, _, _) in enumerate(when) if k == "matched_delete"
+        ]
+        keep_row = F.when(applied.isNull(), tflag).otherwise(
+            ~applied.isin(drop_idxs) if drop_idxs else F.lit(True)
+        )
+
+        def _clause_value(i: int, kind: str, payload, c: str):
+            if kind == "matched_update":
+                if payload == "*":
+                    return F.col(f"{sa}.`{c}`") if c in scols \
+                        else F.col(f"{ta}.`{c}`")
+                return F.expr(payload[c]) if c in payload \
+                    else (F.col(f"{ta}.`{c}`") if c in tcols
+                          else F.lit(None))
+            # not_matched_insert
+            if payload == "*":
+                return F.col(f"{sa}.`{c}`") if c in scols else F.lit(None)
+            return F.expr(payload[c]) if c in payload else F.lit(None)
+
+        out = []
+        for c in out_cols:
+            # fallback: unchanged target value (NULL for new source cols)
+            val = F.col(f"{ta}.`{c}`") if c in tcols else \
+                F.lit(None).cast(dict(zip(scols, source.schema))[c].dataType)
+            vchain = None
+            for i, (kind, cond, payload) in enumerate(when):
+                if kind == "matched_delete":
+                    continue  # deleted rows never reach the select
+                v = _clause_value(i, kind, payload, c)
+                vchain = F.when(applied == i, v) if vchain is None else \
+                    vchain.when(applied == i, v)
+            out.append(
+                (vchain.otherwise(val) if vchain is not None else val)
+                .alias(c)
+            )
+        rewrite_df = joined.filter(keep_row).select(*out)
+        staged = self._stage(rewrite_df, snap.partition_cols, snap.spec)
+        if not touched and not staged:
+            return None  # insert clauses claimed no source row
+        return self._commit_key_merge(
+            snap,
+            rewrite_df,
+            staged,
+            {f.path for f in touched},
+            keys,
+            on,
+            _maybe_bcast,
+            "merge",
+        )
 
     def _stage_delete_rows(
         self,

@@ -17,6 +17,12 @@ statement, one atomic commit, same semantics as calling the method:
     table_sql(spark, "DELETE FROM '/data/t' WHERE k = 3 AND v IS NOT NULL")
     table_sql(spark, "DELETE FROM '/data/t' WHERE k IN (3, 5, 8)")
     table_sql(spark, "UPDATE '/data/t' SET v = 'x', n = 0 WHERE k IN (1, 2)")
+    table_sql(spark, '''
+        MERGE INTO '/data/t' t USING updates_view s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + 1
+        WHEN NOT MATCHED THEN INSERT *
+    ''')
     table_sql(spark, "CALL compact('/data/t')")
     table_sql(spark, "CALL expire_snapshots('/data/t', keep_last => 2)")
     table_sql(spark, "CALL maintain('/data/t')")
@@ -187,6 +193,201 @@ def _parse_prop_pairs(text: str) -> dict[str, str]:
     }
 
 
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 and outside string literals —
+    a SET/VALUES list whose expressions contain ``f(a, b)`` calls or
+    quoted commas must not split inside them. STRICT: unbalanced parens
+    and unterminated strings raise."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = re.match(_QSTR, text[i:])
+            if not m:
+                raise ValueError(f"unterminated string literal in {text!r}")
+            buf.append(text[i:i + m.end()])
+            i += m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parentheses in {text!r}")
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parentheses in {text!r}")
+    parts.append("".join(buf))
+    return parts
+
+
+def _find_keyword(text: str, word: str, start: int = 0) -> int:
+    """Index of the first occurrence of keyword ``word`` at paren depth 0
+    and outside string literals, or -1."""
+    pat = re.compile(rf"(?i)\b{word}\b")
+    i, depth, n = start, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = re.match(_QSTR, text[i:])
+            if not m:
+                raise ValueError(f"unterminated string literal in {text!r}")
+            i += m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if depth == 0:
+            m = pat.match(text, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _parse_merge(spark, stmt: str):
+    """``MERGE INTO '<loc>' [AS] t USING <view> [AS] s ON t.k = s.k [AND
+    ...] WHEN ...`` — maps onto :meth:`HadoopTable.merge`. The source is
+    a registered temp view (register the DataFrame first); conditions
+    and SET/VALUES expressions are passed through to Spark SQL, so they
+    may be any expression over the two aliases."""
+    m = re.match(
+        rf"(?is)MERGE\s+INTO\s+{_LOC}\s+(?:AS\s+)?(?P<ta>{_IDENT})\s+"
+        rf"USING\s+(?P<view>{_IDENT}(?:\.{_IDENT})*)\s+"
+        rf"(?:AS\s+)?(?P<sa>{_IDENT})\s+ON\s+",
+        stmt,
+    )
+    if not m:
+        raise ValueError(
+            "MERGE shape: MERGE INTO '<loc>' [AS] t USING <view> [AS] s "
+            "ON t.k = s.k [AND ...] WHEN ..."
+        )
+    ta, sa, view = m.group("ta"), m.group("sa"), m.group("view")
+    rest = stmt[m.end():]
+    w = _find_keyword(rest, "WHEN")
+    if w < 0:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on_text, clause_text = rest[:w], rest[w:]
+    on: list[str] = []
+    for term in re.split(r"(?i)\s+AND\s+", on_text.strip()):
+        tm = re.fullmatch(
+            rf"({_IDENT})\s*\.\s*({_IDENT})\s*=\s*"
+            rf"({_IDENT})\s*\.\s*({_IDENT})",
+            term.strip(),
+        )
+        ok = tm and {tm.group(1), tm.group(3)} == {ta, sa} and (
+            tm.group(2) == tm.group(4)
+        )
+        if not ok:
+            raise ValueError(
+                f"unsupported ON term {term.strip()!r}; MERGE keys are "
+                f"equi-join terms {ta}.col = {sa}.col on the SAME column "
+                "name, joined by AND"
+            )
+        on.append(tm.group(2))
+    when: list[tuple] = []
+    # split the clause tail into WHEN ... chunks at depth 0
+    bounds = []
+    pos = 0
+    while True:
+        nxt = _find_keyword(clause_text, "WHEN", pos)
+        if nxt < 0:
+            break
+        bounds.append(nxt)
+        pos = nxt + 4
+    chunks = [
+        clause_text[b:e].strip()
+        for b, e in zip(bounds, bounds[1:] + [len(clause_text)])
+    ]
+    for chunk in chunks:
+        cm = re.match(
+            r"(?is)WHEN\s+(?P<neg>NOT\s+)?MATCHED\s*(?P<tail>.*)", chunk
+        )
+        if not cm:
+            raise ValueError(f"bad WHEN clause {chunk!r}")
+        not_matched = bool(cm.group("neg"))
+        tail = cm.group("tail").strip()
+        cond = None
+        am = re.match(r"(?is)AND\s+(?P<rest>.+)", tail)
+        if am:
+            t = _find_keyword(am.group("rest"), "THEN")
+            if t < 0:
+                raise ValueError(f"WHEN clause missing THEN: {chunk!r}")
+            cond = am.group("rest")[:t].strip()
+            tail = am.group("rest")[t:].strip()
+        if not re.match(r"(?i)THEN\b", tail):
+            raise ValueError(f"WHEN clause missing THEN: {chunk!r}")
+        action = tail[4:].strip()
+        if not_matched:
+            im = re.fullmatch(r"(?is)INSERT\s+\*", action)
+            if im:
+                when.append(("not_matched_insert", cond, "*"))
+                continue
+            im = re.fullmatch(
+                r"(?is)INSERT\s*\((?P<cols>[^)]*)\)\s*"
+                r"VALUES\s*\((?P<vals>.*)\)",
+                action,
+            )
+            if not im:
+                raise ValueError(
+                    "NOT MATCHED action is INSERT * or "
+                    f"INSERT (cols) VALUES (exprs), got {action!r}"
+                )
+            cols = [c.strip() for c in im.group("cols").split(",")]
+            vals = [v.strip() for v in _split_top_level(im.group("vals"))]
+            if len(cols) != len(vals) or not all(
+                re.fullmatch(_IDENT, c) for c in cols
+            ) or not all(vals):
+                raise ValueError(
+                    f"INSERT column/value lists do not line up in {action!r}"
+                )
+            if len(set(cols)) != len(cols):
+                raise ValueError(f"duplicate INSERT column in {action!r}")
+            when.append(("not_matched_insert", cond, dict(zip(cols, vals))))
+            continue
+        if re.fullmatch(r"(?i)DELETE", action):
+            when.append(("matched_delete", cond, None))
+            continue
+        um = re.match(r"(?is)UPDATE\s+SET\s+(?P<sets>.+)", action)
+        if not um:
+            raise ValueError(
+                "MATCHED action is UPDATE SET ... or DELETE, "
+                f"got {action!r}"
+            )
+        sets = um.group("sets").strip()
+        if sets == "*":
+            when.append(("matched_update", cond, "*"))
+            continue
+        assigns: dict[str, str] = {}
+        for part in _split_top_level(sets):
+            pm = re.fullmatch(
+                rf"(?s)\s*({_IDENT})\s*=\s*(\S.*?)\s*", part
+            )
+            if not pm:
+                raise ValueError(
+                    f"bad SET assignment {part.strip()!r}; use "
+                    "col = <expr>, joined by commas"
+                )
+            col = pm.group(1)
+            if col in assigns:
+                raise ValueError(f"duplicate SET column {col!r}")
+            assigns[col] = pm.group(2)
+        if not assigns:
+            raise ValueError("UPDATE SET needs at least one assignment")
+        when.append(("matched_update", cond, assigns))
+    loc = re.search(_LOC, stmt).group("loc")
+    t = HadoopTable(spark, loc)
+    return t.merge(
+        spark.table(view), on, when, target_alias=ta, source_alias=sa
+    )
+
+
 def table_sql(spark, statement: str) -> Any:
     """Execute one statement against a path-addressed snapshot table.
     Returns whatever the underlying API returns (a Snapshot for commits,
@@ -274,6 +475,9 @@ def table_sql(spark, statement: str) -> Any:
         t = HadoopTable(spark, m.group("loc"))
         return t.update(_parse_predicate(pred), _parse_assignments(sets))
 
+    if re.match(r"(?i)MERGE\s+INTO\b", stmt):
+        return _parse_merge(spark, stmt)
+
     m = re.fullmatch(
         rf"(?i)CALL\s+(?:system\s*\.\s*)?(?P<proc>{_IDENT})\s*"
         rf"\(\s*{_LOC}\s*(?P<args>(?:,[^)]*)?)\)",
@@ -332,5 +536,6 @@ def table_sql(spark, statement: str) -> Any:
         "DROP COLUMN x | ALTER COLUMN x TYPE <type> | SET/UNSET "
         "TBLPROPERTIES (...); DELETE FROM '<loc>' WHERE ...; "
         "UPDATE '<loc>' SET col = lit [, ...] WHERE ...; "
+        "MERGE INTO '<loc>' t USING <view> s ON t.k = s.k WHEN ...; "
         "CALL <proc>('<loc>' [, name => value ...]); VACUUM '<loc>'"
     )

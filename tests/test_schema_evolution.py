@@ -547,7 +547,7 @@ def test_stream_spans_rename_binds_current_names(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     got = {(r.k, r.value) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 10), (2, 20)}
 

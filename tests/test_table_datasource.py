@@ -196,7 +196,7 @@ def test_streaming_incremental_versions(registered, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish"
 
     run_once()
     assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2]
@@ -432,7 +432,7 @@ def test_stream_writer_exactly_once(registered, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish"
 
     run_once()
     t = HadoopTable(spark, loc)
@@ -479,7 +479,7 @@ def test_stream_writer_complete_mode_truncates_per_batch(registered, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish"
 
     run_once()
     t = HadoopTable(spark, loc)

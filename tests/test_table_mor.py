@@ -390,7 +390,9 @@ def test_streaming_upsert_sink_exactly_once_latest_wins(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a loaded box can exceed a short timeout — a partial run here is a
+    # spurious failure, not an exactly-once violation
+    assert q.awaitTermination(600), "availableNow stream did not finish"
     t = HadoopTable(spark, loc)
     got = {r["key"]: r["val"] for r in t.read().collect()}
     assert got == {"k1": 2, "k2": 2, "k3": 1, "k4": 1}

@@ -492,7 +492,7 @@ def test_streaming_table_batch_sink_exactly_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish"
     t = HadoopTable(spark, loc)
     assert t.read().count() == 6
     assert last_streaming_batch(t) == 2
