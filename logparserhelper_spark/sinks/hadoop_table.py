@@ -3937,6 +3937,7 @@ class HadoopTable:
         broadcast_key_limit: int = 2_000_000,
         target_alias: str = "t",
         source_alias: str = "s",
+        mode: str | None = None,
     ) -> Snapshot | None:
         """General ``MERGE INTO`` with ordered WHEN clauses — the full
         Iceberg/ANSI shape of which :meth:`upsert` is the common special
@@ -3968,24 +3969,46 @@ class HadoopTable:
         Matched target rows claimed by no clause are carried unchanged;
         unmatched source rows claimed by no clause are discarded.
 
-        Execution is the Delta/Iceberg copy-on-write plan: one
-        delete-applied scan semi-joined against the (broadcast when
-        small) source key set finds the files holding a matched key; a
-        FULL OUTER join between just THOSE files' rows and the source
-        applies the clause logic row-wise; only touched files rewrite,
-        everything else is carried by reference. A source key matching
-        no target row anywhere is globally unmatched (its file would
-        have been touched otherwise), so the outer join sees every
-        not-matched insert. Duplicate keys within the source raise
-        (ANSI MERGE's multiple-matches rule). Isolation: serializable,
-        same rules as :meth:`upsert` (shared commit loop). Returns the
-        new snapshot, or None when no clause changed anything.
+        Execution (``mode="copy-on-write"``, the default) is the
+        Delta/Iceberg copy-on-write plan: one delete-applied scan
+        semi-joined against the (broadcast when small) source key set
+        finds the files holding a matched key; a FULL OUTER join between
+        just THOSE files' rows and the source applies the clause logic
+        row-wise; only touched files rewrite, everything else is carried
+        by reference. A source key matching no target row anywhere is
+        globally unmatched (its file would have been touched otherwise),
+        so the outer join sees every not-matched insert. Duplicate keys
+        within the source raise (ANSI MERGE's multiple-matches rule).
+        Isolation: serializable, same rules as :meth:`upsert` (shared
+        commit loop). Returns the new snapshot, or None when no clause
+        changed anything.
+
+        ``mode="merge-on-read"`` rewrites NO existing file: the same
+        join computes which live rows each clause claims, then ONE
+        commit adds a POSITION-DELETE file naming the claimed rows'
+        (file, pos) coordinates plus a data file holding the
+        update-clause rows with their new values and the insert-clause
+        rows — Iceberg's MoR merge shape (``write.merge.mode``), write
+        cost O(claimed rows) instead of O(touched-file bytes). Old row
+        versions die at read time through the position-delete anti-join;
+        :meth:`compact` materializes later. Unlike :meth:`upsert`'s
+        equality-delete MoR path, a general MERGE must still SCAN the
+        touched files (clause conditions and assignments reference
+        target values), so the saving is on the write side only.
+        ``mode=None`` resolves the table's ``write.merge.mode``
+        property, default copy-on-write — identical semantics either
+        way (a pytest pins CoW/MoR read equivalence clause-for-clause).
 
         Reference parity note: the reference app has no table mutations
         at all (state is whole-file JSON overwrite,
         utils/json_utils.py:21-27); this is part of the Spark-first
         table surface replacing it."""
         snap = self.snapshot()
+        if mode is None:  # Iceberg's write.merge.mode table property
+            mode = snap.properties.get("write.merge.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        mor = mode == "merge-on-read"
         if not on:
             raise ValueError("merge needs join key columns")
         if not when:
@@ -4073,9 +4096,11 @@ class HadoopTable:
         has_insert = any(k == "not_matched_insert" for k, _, _ in when)
         if not touched and not has_insert:
             return None  # no key matched and nothing to insert
-        # pass 2: clause logic over touched-rows FULL OUTER JOIN source
+        # pass 2: clause logic over touched-rows FULL OUTER JOIN source.
+        # MoR keeps the (file, pos) coordinates: claimed rows become
+        # position deletes instead of driving a file rewrite.
         tgt = (
-            self._scan(snap, touched)
+            self._scan(snap, touched, with_meta=mor)
             .withColumn("_lph_mrg_t", F.lit(True))
             .alias(ta)
         )
@@ -4140,6 +4165,27 @@ class HadoopTable:
                 (vchain.otherwise(val) if vchain is not None else val)
                 .alias(c)
             )
+        if mor:
+            claimed = applied.isNotNull()
+            write_idxs = [
+                i
+                for i, (k, _, _) in enumerate(when)
+                if k != "matched_delete"
+            ]
+            insert_df = joined.filter(
+                claimed & applied.isin(write_idxs)
+            ).select(*out)
+            pos_rows = (
+                joined.filter(claimed & tflag)
+                .select(
+                    F.col(f"{ta}.`_lph_file`").alias("file_path"),
+                    F.col(f"{ta}.`_lph_pos`").alias("pos"),
+                )
+                .sort("file_path", "pos")
+            )
+            return self._merge_mor_commit(
+                snap, insert_df, pos_rows, keys, on, _maybe_bcast
+            )
         rewrite_df = joined.filter(keep_row).select(*out)
         staged = self._stage(rewrite_df, snap.partition_cols, snap.spec)
         if not touched and not staged:
@@ -4154,6 +4200,116 @@ class HadoopTable:
             _maybe_bcast,
             "merge",
         )
+
+    def _merge_mor_commit(
+        self,
+        snap: Snapshot,
+        insert_df: DataFrame,
+        pos_rows: DataFrame,
+        keys: DataFrame,
+        key_cols: list[str],
+        _maybe_bcast,
+    ) -> Snapshot | None:
+        """Merge-on-read MERGE body (see :meth:`merge`): ONE commit adds
+        a position-delete file naming every clause-claimed live row plus
+        a data file holding the update/insert clause outputs. Conflict
+        rules combine :meth:`_update_mor`'s (referenced data files must
+        stay live; no concurrent delete files) with
+        :meth:`_commit_key_merge`'s serializable added-key check (rows a
+        concurrent commit appended carrying a merged key would dodge the
+        clause logic -> duplicate keys / missed matches)."""
+        staged_del = [
+            e
+            for e in self._stage_delete_rows(pos_rows, "position-deletes")
+            if e.records  # insert-only merges claim no target row
+        ]
+        n_claimed = sum(e.records for e in staged_del)
+        staged_data = [
+            e
+            for e in self._stage(insert_df, snap.partition_cols, snap.spec)
+            if e.records  # delete-only merges write no data rows
+        ]
+        if n_claimed == 0 and not staged_data:
+            return None  # no clause claimed any row
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        for e in staged_del:
+            t = pq.read_table(
+                os.path.join(self.root, e.path), columns=["file_path"]
+            )
+            referenced.update(t.column("file_path").to_pylist())
+        base_paths = {f.path for f in snap.files}
+        while True:
+            parent = self.snapshot()
+            live_data = {f.path for f in parent.data_files}
+            if not referenced <= live_data:
+                raise CompactionConflict(
+                    f"{len(referenced - live_data)} file(s) this merge "
+                    "references were rewritten by a concurrent commit; "
+                    "re-run merge()"
+                )
+            if any(
+                f.content != "data" and f.path not in base_paths
+                for f in parent.files
+            ):
+                raise CompactionConflict(
+                    "a concurrent commit added row-level delete file(s); "
+                    "re-run merge()"
+                )
+            added_since = [
+                f
+                for f in parent.files
+                if f.path not in base_paths and f.content == "data"
+            ]
+            if added_since:
+                n_hits = (
+                    self._read_files(parent, added_since)
+                    .join(_maybe_bcast(keys), key_cols, "left_semi")
+                    .count()
+                )
+                if n_hits:
+                    raise CompactionConflict(
+                        f"a concurrent commit added {n_hits} row(s) with "
+                        "merged key(s); re-run merge()"
+                    )
+            version = parent.version + 1
+            child_schema = self._evolve_schema(parent, insert_df, "merge")
+            staged = self._annotate_ids(
+                [_dc_replace(e, seq=version) for e in staged_data],
+                child_schema,
+                snap.spec,
+                conflict=True,
+                scan_schema_json=snap.schema_json,
+            ) + [_dc_replace(e, seq=version) for e in staged_del]
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "mode": "merge-on-read",
+                    "added_files": len(staged_data),
+                    "position_delete_files": len(staged_del),
+                    "claimed_records": n_claimed,
+                    "kept_files": len(parent.files),
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="merge",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=child_schema,
+                partition_cols=snap.partition_cols,
+                partition_spec=snap.spec,
+                files=list(parent.files) + staged,
+                summary=summary,
+                properties=dict(parent.properties),
+            )
+            summary["total_records"] = new.total_records
+            try:
+                self._publish(new, version, carry=(parent,))
+                return new
+            except CommitConflict:
+                continue  # all checks re-run against the new parent
 
     def _stage_delete_rows(
         self,

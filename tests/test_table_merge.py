@@ -384,3 +384,240 @@ def test_merge_partitioned_table_rows_land_in_partitions(spark, tmp_path):
         (2, "Y", "b"),
         (3, "z", "c"),
     ]
+
+
+# ---------------------------------------------------------------- MoR mode
+
+_CLAUSES = [
+    ("matched_delete", "s.op = 'del'", None),
+    ("matched_update", "s.op = 'upd'", {"v": "upper(s.op)", "n": "t.n + 1"}),
+    ("not_matched_insert", "s.op = 'ins'", "*"),
+]
+
+
+def _mor_src(spark):
+    return spark.createDataFrame(
+        [(1, "del", 0), (2, "upd", 0), (3, "noop", 0), (5, "ins", 50)],
+        "k long, op string, n long",
+    )
+
+
+def test_merge_mor_matches_cow_clause_for_clause(spark, tmp_path):
+    """mode='merge-on-read' produces the exact same table content as
+    copy-on-write for the same clause list, while rewriting NOTHING:
+    every pre-merge file is carried and the commit adds only a
+    position-delete file plus the update/insert data file."""
+    loc_c, tc = _base(spark, tmp_path, "cow")
+    loc_m, tm = _base(spark, tmp_path, "mor")
+    # clause payloads referencing t.* and s.* must behave identically
+    src = _mor_src(spark)
+    when = [
+        ("matched_delete", "s.op = 'del'", None),
+        ("matched_update", "s.op = 'upd'", {"v": "concat(t.v, s.op)"}),
+        ("not_matched_insert", "s.op = 'ins'", "*"),
+    ]
+    sc = tc.merge(src, ["k"], when, mode="copy-on-write")
+    before = {f.path for f in tm.snapshot().data_files}
+    sm = tm.merge(src, ["k"], when, mode="merge-on-read")
+    assert _rows(tm.read()) == _rows(tc.read())
+    assert sm.summary["mode"] == "merge-on-read"
+    # no rewrite: every old data file survives in the MoR snapshot
+    assert before <= {f.path for f in sm.data_files}
+    assert sm.summary["position_delete_files"] == 1
+    # claimed = the deleted row + the updated row (insert has no coords)
+    assert sm.summary["claimed_records"] == 2
+    # CoW did rewrite (different mechanics, same answer)
+    assert sc.summary["rewritten_files"] >= 1
+
+
+def test_merge_mor_write_mode_property_resolves(spark, tmp_path):
+    """mode=None resolves write.merge.mode (Iceberg's knob); an explicit
+    argument overrides it; a bogus value refuses."""
+    loc, t = _base(spark, tmp_path)
+    t.set_properties({"write.merge.mode": "merge-on-read"})
+    s = t.merge(
+        _mor_src(spark).filter("op = 'upd'"),
+        ["k"],
+        [("matched_update", None, {"n": "t.n + 100"})],
+    )
+    assert s.summary["mode"] == "merge-on-read"
+    assert {r["n"] for r in t.read().filter("k = 2").collect()} == {120}
+    s2 = t.merge(
+        _mor_src(spark).filter("op = 'ins'"),
+        ["k"],
+        [("not_matched_insert", None, "*")],
+        mode="copy-on-write",
+    )
+    assert "position_delete_files" not in s2.summary
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        t.merge(
+            _mor_src(spark), ["k"],
+            [("matched_update", None, "*")], mode="bogus",
+        )
+
+
+def test_merge_mor_compact_materializes(spark, tmp_path):
+    """compact() after a MoR merge materializes the position deletes:
+    content unchanged, delete files retired."""
+    loc, t = _base(spark, tmp_path)
+    t.merge(_mor_src(spark), ["k"], _CLAUSES, mode="merge-on-read")
+    want = _rows(t.read())
+    assert any(f.content != "data" for f in t.snapshot().files)
+    t.compact()
+    assert not any(f.content != "data" for f in t.snapshot().files)
+    assert _rows(t.read()) == want
+
+
+def test_merge_mor_dead_rows_insert_fresh(spark, tmp_path):
+    """A row killed by an earlier MoR delete is unmatched for a MoR
+    merge too (the touched-file scan is delete-applied), so its key
+    inserts fresh rather than resurrecting."""
+    loc, t = _base(spark, tmp_path)
+    t.delete([("k", "=", 2)], mode="merge-on-read")
+    src = spark.createDataFrame(
+        [(2, "NEW", 2000)], "k long, v string, n long"
+    )
+    t.merge(
+        src,
+        ["k"],
+        [
+            ("matched_update", None, "*"),
+            ("not_matched_insert", None, "*"),
+        ],
+        mode="merge-on-read",
+    )
+    assert _rows(t.read()) == [
+        (1, "a", 10),
+        (2, "NEW", 2000),
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+
+def test_merge_mor_delete_only_and_insert_only(spark, tmp_path):
+    """Degenerate clause lists stage only what they need: delete-only
+    adds no data file, insert-only adds no position-delete file, and a
+    no-claim merge is a no-op returning None."""
+    loc, t = _base(spark, tmp_path)
+    s = t.merge(
+        _mor_src(spark),
+        ["k"],
+        [("matched_delete", "s.op = 'del'", None)],
+        mode="merge-on-read",
+    )
+    assert s.summary["added_files"] == 0
+    assert s.summary["position_delete_files"] == 1
+    assert _rows(t.read().select("k")) == [(2,), (3,), (4,)]
+    s = t.merge(
+        _mor_src(spark),
+        ["k"],
+        [("not_matched_insert", "s.op = 'ins'", "*")],
+        mode="merge-on-read",
+    )
+    assert s.summary["position_delete_files"] == 0
+    assert s.summary["added_files"] == 1
+    assert _rows(t.read().select("k")) == [(2,), (3,), (4,), (5,)]
+    assert (
+        t.merge(
+            _mor_src(spark).filter("op = 'noop'"),
+            ["k"],
+            [("matched_update", "s.op = 'never'", "*")],
+            mode="merge-on-read",
+        )
+        is None
+    )
+
+
+def test_merge_mor_changelog_replay_reproduces_table(spark, tmp_path):
+    """read_changes treats a MoR merge like any mutation snapshot:
+    replaying from empty reproduces the post-merge table."""
+    loc, t = _base(spark, tmp_path)
+    t.merge(_mor_src(spark), ["k"], _CLAUSES, mode="merge-on-read")
+    ch = t.read_changes(0)
+    cols = [c for c in ch.columns if not c.startswith("_")]
+    state: dict[tuple, int] = {}
+    for r in ch.collect():
+        key = tuple(r[c] for c in cols)
+        if r["_change_type"] == "insert":
+            state[key] = state.get(key, 0) + 1
+        else:
+            state[key] -= 1
+            if not state[key]:
+                del state[key]
+    replayed = sorted(
+        (k for k, n in state.items() for _ in range(n)),
+        key=lambda t_: tuple((x is None, x) for x in t_),
+    )
+    assert replayed == _rows(t.read().select(*cols))
+
+
+def test_merge_mor_concurrent_added_key_conflicts(spark, tmp_path):
+    """Serializable isolation holds in MoR mode too: rows a concurrent
+    commit appends carrying a merged key abort the merge (they dodged
+    the clause logic)."""
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    loc, t = _base(spark, tmp_path)
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            racer = HadoopTable(spark, loc)
+            HadoopTable._stage = orig_stage
+            try:
+                racer.append(
+                    spark.createDataFrame(
+                        [(2, "raced", 999)], "k long, v string, n long"
+                    )
+                )
+            finally:
+                HadoopTable._stage = racing_stage
+        return out
+
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="merged key"):
+            t.merge(
+                _mor_src(spark).filter("op = 'upd'"),
+                ["k"],
+                [("matched_update", None, {"n": "t.n + 1"})],
+                mode="merge-on-read",
+            )
+    finally:
+        HadoopTable._stage = orig_stage
+    # the racer's row is intact and unmodified
+    assert (2, "raced", 999) in _rows(t.read())
+
+
+def test_merge_mor_partitioned_rows_move_and_prune(spark, tmp_path):
+    """MoR merge over a partitioned table: insert/update rows restage
+    under the table's layout and pruned reads still plan them."""
+    loc = str(tmp_path / "tmp_mor_part")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b")], "k long, v string, p string"
+        ),
+        partition_cols=["p"],
+    )
+    src = spark.createDataFrame(
+        [(2, "Y", "c"), (3, "z", "c")], "k long, v string, p string"
+    )
+    t.merge(
+        src,
+        ["k"],
+        [
+            ("matched_update", None, "*"),
+            ("not_matched_insert", None, "*"),
+        ],
+        mode="merge-on-read",
+    )
+    # k=2 moved partitions b -> c via the update's new partition value
+    assert _rows(t.read(predicate=[("p", "=", "c")])) == [
+        (2, "Y", "c"),
+        (3, "z", "c"),
+    ]
+    assert _rows(t.read()) == [(1, "x", "a"), (2, "Y", "c"), (3, "z", "c")]

@@ -372,12 +372,16 @@ def test_streaming_upsert_sink_exactly_once_latest_wins(spark, tmp_path):
         [("k2", 2), ("k4", 1)],
     ]
     for i, rows in enumerate(batches):
+        p = os.path.join(sdir, f"f{i}.parquet")
         pq.write_table(
             pa.table(
                 {"key": [r[0] for r in rows], "val": [r[1] for r in rows]}
             ),
-            os.path.join(sdir, f"f{i}.parquet"),
+            p,
         )
+        # the file source orders micro-batches by mtime in MILLISECONDS;
+        # three sub-ms writes tie and make "latest wins" nondeterministic
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
     loc = str(tmp_path / "tu")
     stream = (
         spark.readStream.schema("key string, val long")
