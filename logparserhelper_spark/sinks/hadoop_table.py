@@ -869,6 +869,108 @@ def _in_member_may_match(raw: Any, st: dict, lo: Any, hi: Any) -> bool:
         return True  # stat/constant types don't compare: keep the file
 
 
+def _bloom_key(v: Any) -> tuple[str, bytes] | None:
+    """Canonical (kind, bytes) encoding a bloom filter hashes — the ONE
+    domain both the writer's column values and the reader's predicate
+    constants map through, so membership is decidable exactly when the
+    kinds match. Only equality-stable types participate: the int family
+    (one textual form per value), strings, dates, and timestamps (their
+    fixed-precision ISO forms, the same encodings :func:`_stat_value`
+    uses). float/Decimal/bytes return None — float equality predicates
+    are rounding-fragile and a wrong byte form would silently prune."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None  # 2-value domain: bounds already decide it
+    if isinstance(v, int):
+        return ("int", str(v).encode())
+    if isinstance(v, str):
+        return ("str", v.encode("utf-8"))
+    if isinstance(v, _dt.datetime):  # before date (datetime is a date)
+        return ("ts", v.strftime("%Y-%m-%dT%H:%M:%S.%f").encode())
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat().encode())
+    return None
+
+
+def _bloom_hashes(data: bytes, k: int, m: int) -> list[int]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing over one
+    blake2b digest: position_i = (h1 + i*h2) mod m."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full period mod m
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m_bits: int) -> dict[str, Any] | None:
+    """Build one column's bloom filter over its DISTINCT non-null
+    values. Returns None when the column's type doesn't participate,
+    the values' kinds are mixed (never expected from one parquet
+    column, but conservative), or the filter would saturate
+    (ndv > m_bits: FPR -> 1, pure metadata weight). k is the optimal
+    (m/n)·ln2 clamped to [1, 8]."""
+    import base64
+    import math
+
+    keys = []
+    kind = None
+    for v in values:
+        if v is None:
+            continue
+        bk = _bloom_key(v)
+        if bk is None:
+            return None
+        if kind is None:
+            kind = bk[0]
+        elif kind != bk[0]:
+            return None
+        keys.append(bk[1])
+    n = len(keys)
+    if n == 0 or n > m_bits:
+        return None
+    m = int(m_bits)
+    k = max(1, min(8, round(m / n * math.log(2))))
+    bits = bytearray((m + 7) // 8)
+    for data in keys:
+        for pos in _bloom_hashes(data, k, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "kind": kind,
+        "m": m,
+        "k": k,
+        "b": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_absent(bloom: dict[str, Any] | None, raw: Any) -> bool:
+    """True only when the bloom filter PROVES ``col = raw`` matches no
+    row of the file (all k bits clear). False on any ambiguity: no
+    bloom, kind mismatch (a datetime constant must not consult a date
+    column's bloom — different byte forms), or a set bit (possible
+    member). Same conservative contract as the bounds evaluator — a
+    bloom can only ever shrink the plan, never the answer."""
+    if not bloom:
+        return False
+    bk = _bloom_key(raw)
+    if bk is None or bk[0] != bloom.get("kind"):
+        return False
+    import base64
+
+    try:
+        bits = base64.b64decode(bloom["b"])
+        m, k = int(bloom["m"]), int(bloom["k"])
+    except (KeyError, ValueError, TypeError):
+        return False
+    if m <= 0 or k <= 0 or len(bits) * 8 < m:
+        return False
+    return any(
+        not (bits[pos >> 3] >> (pos & 7)) & 1
+        for pos in _bloom_hashes(bk[1], k, m)
+    )
+
+
 def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
     """Metrics-based file skipping (Iceberg planner's evaluator): False
     only when some conjunct is PROVABLY false for every row in the file —
@@ -878,7 +980,17 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
         if op == "in" and not term[2]:
             return False  # empty IN list: provably false for every row
         st = (f.stats or {}).get(col)
+        bl = (f.blooms or {}).get(col) if op in ("=", "==", "in") else None
         if st is None:
+            if bl is None:
+                continue
+            # bloom-only decision (no usable footer stats for the col)
+            if op == "in":
+                if all(_bloom_absent(bl, m) for m in term[2]):
+                    return False
+                continue
+            if _bloom_absent(bl, term[2]):
+                return False
             continue
         lo, hi, nulls = st.get("min"), st.get("max"), st.get("nulls")
         all_null = f.records > 0 and nulls == f.records
@@ -894,13 +1006,18 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
             return False  # any comparison against only-null values is never true
         if op == "in":
             # disjunction of equalities: prune only when EVERY member is
-            # provably outside the file's bounds; any undecidable member
-            # keeps the file (the same conservative contract as below)
+            # provably outside the file — by its bounds OR its bloom
+            # filter; any undecidable member keeps the file (the same
+            # conservative contract as below)
             if any(
-                _in_member_may_match(m, st, lo, hi) for m in term[2]
+                _in_member_may_match(m, st, lo, hi)
+                and not _bloom_absent(bl, m)
+                for m in term[2]
             ):
                 continue
             return False
+        if op in ("=", "==") and _bloom_absent(bl, term[2]):
+            return False  # inside the bounds but provably not a member
         ok_v, v = _stat_value(term[2])
         if not ok_v:
             continue
@@ -1002,6 +1119,11 @@ class DataFile:
     # WRITTEN, ids assigned at commit) — the schema-evolution anchor.
     # None = legacy entry (pre-field-id metadata): readable by name only.
     columns: list[dict[str, Any]] | None = None
+    # per-column bloom filters over the file's distinct values
+    # ({"kind","m","k","b"} per column, see _bloom_build), harvested at
+    # stage time for write.metadata.bloom-filter-columns — plan-time
+    # point-lookup skipping where min/max bounds can't bite.
+    blooms: dict[str, dict[str, Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -1019,6 +1141,8 @@ class DataFile:
             d["equality_cols"] = list(self.equality_cols)
         if self.columns is not None:
             d["columns"] = self.columns
+        if self.blooms is not None:
+            d["blooms"] = self.blooms
         return d
 
     @staticmethod
@@ -1030,6 +1154,7 @@ class DataFile:
             seq=d.get("seq", 0),
             equality_cols=d.get("equality_cols"),
             columns=d.get("columns"),
+            blooms=d.get("blooms"),
         )
 
 
@@ -2167,6 +2292,22 @@ class HadoopTable:
             return default
         return type(default)(v) if default is not None else v
 
+    def _bloom_config(self) -> tuple[list[str], int]:
+        """Resolve the bloom-filter write properties:
+        ``write.metadata.bloom-filter-columns`` (comma-separated column
+        names; empty = feature off, the default) and
+        ``write.metadata.bloom-filter-bits`` (per-file per-column bit
+        budget, default 16384 = 2 KB of manifest weight). The Iceberg
+        analogue is ``write.parquet.bloom-filter-enabled.column.<col>``;
+        here the filter lives in the manifest entry so the DRIVER skips
+        whole files at plan time instead of the reader skipping row
+        groups after scheduling."""
+        cols = self._prop("write.metadata.bloom-filter-columns", "")
+        return (
+            [c.strip() for c in cols.split(",") if c.strip()],
+            self._prop("write.metadata.bloom-filter-bits", 16384),
+        )
+
     def set_properties(self, props: dict[str, Any]) -> Snapshot:
         """Set table properties — a metadata-only commit under the same
         optimistic protocol as everything else, so two concurrent
@@ -2412,9 +2553,26 @@ class HadoopTable:
                 if name.endswith(".parquet"):
                     todo.append((os.path.join(dirpath, name), part))
 
+        bloom_cols, bloom_bits = self._bloom_config()
+
         def harvest(item: tuple[str, dict[str, str]]) -> DataFile:
             abs_p, part = item
             pf = pq.ParquetFile(abs_p)
+            blooms: dict[str, dict[str, Any]] = {}
+            for c in bloom_cols:
+                # identity-partition columns live in the directory, not
+                # the file bytes; unknown names are a no-op (Iceberg's
+                # property is advisory the same way)
+                if c not in pf.schema_arrow.names:
+                    continue
+                import pyarrow.compute as pc
+
+                uniq = pc.unique(
+                    pf.read(columns=[c]).column(0).combine_chunks()
+                )
+                b = _bloom_build(uniq.to_pylist(), bloom_bits)
+                if b is not None:
+                    blooms[c] = b
             return DataFile(
                 path=os.path.relpath(abs_p, self.root),
                 partition=part,
@@ -2422,6 +2580,7 @@ class HadoopTable:
                 bytes=os.path.getsize(abs_p),
                 stats=_collect_stats(pf, self.stats_columns),
                 columns=[dict(c) for c in phys_columns],
+                blooms=blooms or None,
             )
 
         # footer harvest is driver-side I/O over O(staged files) — at
@@ -4339,6 +4498,7 @@ class HadoopTable:
                 content=content,
                 equality_cols=list(equality_cols) if equality_cols else None,
                 stats=None,  # delete files carry no prunable table stats
+                blooms=None,
                 # delete-file columns are contract names (file_path/pos,
                 # the equality key set), never schema-evolved
                 columns=None,
