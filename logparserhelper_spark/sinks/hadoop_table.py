@@ -5928,3 +5928,102 @@ def table_upsert_sink(
             return  # replay after failure: this batch is already committed
 
     return write
+
+
+def table_cdc_sink(
+    table_loc: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    partition_cols: list[str] | None = None,
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_ops: tuple[str, ...] = ("D",),
+):
+    """Exactly-once Structured Streaming CDC sink: a change stream whose
+    rows carry an ``op_col`` marker (``I``/``U`` insert-or-update,
+    ``D`` delete — debezium-style) applies to the snapshot table as ONE
+    merge-on-read commit per micro-batch: an equality-delete file on
+    ALL changed keys (a ``D`` key's old row simply dies; an ``I``/``U``
+    key's old row dies and its new row lands in the same commit's data
+    files, which the strictly-smaller-seq rule protects), so the table
+    always reads as "current row per key, deletes applied" with
+    O(batch) write cost — the full Flink-CDC / Iceberg upsert-with-
+    deletes shape that :func:`table_upsert_sink` covers only the
+    I/U half of. Use ``foreachBatch(table_cdc_sink(...))``.
+
+    Exactly-once: same replay protocol as :func:`table_batch_sink`
+    (batch id stamped in the snapshot summary, the guard a commit
+    PRECONDITION atomic with the metadata swap). Batch contract: one
+    change per key per micro-batch (the MERGE multiple-matches rule) —
+    collapse to the LAST change per key upstream when the source can
+    emit several. Unknown op values raise rather than guess. Deleting
+    a key the table never held is a no-op, per CDC convention. Run
+    :meth:`HadoopTable.compact` on a maintenance cadence to
+    materialize the accreted delete files."""
+    ops_all = tuple(upsert_ops) + tuple(delete_ops)
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        if op_col not in df.columns:
+            raise ValueError(f"CDC batch lacks the op column {op_col!r}")
+        for k in key_cols:
+            if k == op_col:
+                raise ValueError("op_col cannot be a key column")
+        t = HadoopTable(df.sparkSession, table_loc)
+        not_yet_committed = _batch_guard(t, batch_id)
+        # one validation job: op domain + the one-change-per-key rule
+        vstats = (
+            df.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    (~F.col(op_col).isin(*ops_all)).cast("int")
+                ).alias("bad"),
+            )
+            .agg(F.max("n").alias("max_dup"), F.max("bad").alias("any_bad"))
+            .first()
+        )
+        if vstats["max_dup"] is None:
+            return  # empty delivery: nothing to commit
+        if vstats["any_bad"]:
+            raise ValueError(
+                f"CDC batch contains op values outside {sorted(ops_all)}"
+            )
+        if (vstats["max_dup"] or 0) > 1:
+            raise ValueError(
+                "CDC batch contains several changes for one key — collapse "
+                "to the last change per key upstream"
+            )
+        iu = df.filter(F.col(op_col).isin(*upsert_ops)).drop(op_col)
+        if not t.exists():
+            # first batch creates the table from its I/U rows (deletes
+            # of never-held keys are no-ops); the precondition still
+            # guards a concurrent first delivery
+            pcols, spec = t._resolve_pcols(list(partition_cols or []))
+            try:
+                t._commit(
+                    t._stage(iu, pcols, spec),
+                    iu,
+                    "append",
+                    pcols,
+                    summary_extra={"streaming_batch_id": int(batch_id)},
+                    precondition=not_yet_committed,
+                    spec=spec,
+                )
+            except PreconditionFailed:
+                pass
+            return
+        if not not_yet_committed(t.snapshot()):
+            return  # cheap pre-check; the precondition is the guarantee
+        keys = df.select(*key_cols).dropDuplicates(key_cols)
+        try:
+            t._upsert_mor(
+                t.snapshot(),
+                iu,
+                keys,
+                list(key_cols),
+                summary_extra={"streaming_batch_id": int(batch_id)},
+                precondition=not_yet_committed,
+            )
+        except PreconditionFailed:
+            return  # replay after failure: this batch is already committed
+
+    return write

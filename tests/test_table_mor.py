@@ -726,3 +726,140 @@ def test_write_mode_table_properties(spark, tmp_path):
     t.set_properties({"write.update.mode": "bogus"})
     with pytest.raises(ValueError, match="unknown update mode"):
         t.update([("id", "=", 7)], {"v": "W"})
+
+
+# ------------------------------------------------------------- CDC sink
+
+def _cdc_write(spark, loc, rows, batch_id, **kw):
+    from logparserhelper_spark.sinks.hadoop_table import table_cdc_sink
+
+    sink = table_cdc_sink(loc, ["key"], **kw)
+    sink(
+        spark.createDataFrame(rows, "key string, val long, op string"),
+        batch_id,
+    )
+
+
+def test_cdc_sink_applies_inserts_updates_deletes(spark, tmp_path):
+    """Each batch = ONE MoR commit: D keys die, I/U keys replace, all
+    atomically; the table reads as current-row-per-key."""
+    loc = str(tmp_path / "cdc")
+    _cdc_write(
+        spark, loc,
+        [("k1", 1, "I"), ("k2", 1, "I"), ("k9", 0, "D")], 0,
+    )
+    t = HadoopTable(spark, loc)
+    # first batch: D of a never-held key is a no-op, I rows create
+    assert {r["key"]: r["val"] for r in t.read().collect()} == {
+        "k1": 1, "k2": 1,
+    }
+    _cdc_write(
+        spark, loc,
+        [("k1", 2, "U"), ("k2", 0, "D"), ("k3", 1, "I")], 1,
+    )
+    assert {r["key"]: r["val"] for r in t.read().collect()} == {
+        "k1": 2, "k3": 1,
+    }
+    s = t.snapshot()
+    assert s.summary["mode"] == "merge-on-read"
+    assert s.summary["streaming_batch_id"] == 1
+    # no rewrite happened: batch-0 data files all still present
+    v1_files = {f.path for f in t.snapshot(s.parent).data_files}
+    assert v1_files <= {f.path for f in s.data_files}
+
+
+def test_cdc_sink_replay_is_noop(spark, tmp_path):
+    loc = str(tmp_path / "cdcr")
+    _cdc_write(spark, loc, [("k1", 1, "I")], 0)
+    _cdc_write(spark, loc, [("k1", 2, "U"), ("k2", 1, "I")], 1)
+    t = HadoopTable(spark, loc)
+    v = t.current_version()
+    want = _rows(t.read())
+    # redelivery of BOTH batches: no new commit, content unchanged
+    _cdc_write(spark, loc, [("k1", 1, "I")], 0)
+    _cdc_write(spark, loc, [("k1", 2, "U"), ("k2", 1, "I")], 1)
+    assert t.current_version() == v
+    assert _rows(t.read()) == want
+
+
+def test_cdc_sink_validation(spark, tmp_path):
+    loc = str(tmp_path / "cdcv")
+    with pytest.raises(ValueError, match="op values outside"):
+        _cdc_write(spark, loc, [("k1", 1, "X")], 0)
+    with pytest.raises(ValueError, match="several changes"):
+        _cdc_write(spark, loc, [("k1", 1, "I"), ("k1", 2, "U")], 0)
+    # nothing landed
+    assert not HadoopTable(spark, loc).exists()
+    # empty delivery commits nothing even on an existing table
+    _cdc_write(spark, loc, [("k1", 1, "I")], 0)
+    t = HadoopTable(spark, loc)
+    v = t.current_version()
+    _cdc_write(spark, loc, [], 1)
+    assert t.current_version() == v
+
+
+def test_cdc_sink_delete_only_batch_and_compact(spark, tmp_path):
+    loc = str(tmp_path / "cdcd")
+    _cdc_write(
+        spark, loc, [("k1", 1, "I"), ("k2", 1, "I"), ("k3", 1, "I")], 0
+    )
+    _cdc_write(spark, loc, [("k1", 0, "D"), ("k3", 0, "D")], 1)
+    t = HadoopTable(spark, loc)
+    assert {r["key"] for r in t.read().collect()} == {"k2"}
+    t.compact()
+    assert not any(f.content != "data" for f in t.snapshot().files)
+    assert {r["key"] for r in t.read().collect()} == {"k2"}
+
+
+def test_cdc_sink_streaming_end_to_end(spark, tmp_path):
+    """A real file-source change stream through foreachBatch: final
+    state is the ops applied in batch order, and a full checkpointed
+    re-run replays as no-ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.sinks.hadoop_table import table_cdc_sink
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    batches = [
+        [("k1", 1, "I"), ("k2", 1, "I")],
+        [("k1", 2, "U"), ("k3", 1, "I")],
+        [("k2", 0, "D"), ("k4", 1, "I")],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(sdir, f"f{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "key": [r[0] for r in rows],
+                    "val": [r[1] for r in rows],
+                    "op": [r[2] for r in rows],
+                }
+            ),
+            p,
+        )
+        # distinct mtimes: the file source orders batches by mtime (ms)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    loc = str(tmp_path / "cdct")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("key string, val long, op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+            .writeStream.foreachBatch(table_cdc_sink(loc, ["key"]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not finish"
+
+    run_once()
+    t = HadoopTable(spark, loc)
+    assert {r["key"]: r["val"] for r in t.read().collect()} == {
+        "k1": 2, "k3": 1, "k4": 1,
+    }
+    v = t.current_version()
+    run_once()  # checkpoint replay: nothing new
+    assert t.current_version() == v
