@@ -3302,7 +3302,7 @@ class HadoopTable:
             # well-defined added rows
             if op not in (
                 "append", "update-spec", "evolve-schema", "set-properties",
-                "rewrite-manifests"
+                "rewrite-manifests", "rewrite-deletes"
             ):
                 raise ValueError(
                     f"incremental scan range contains a non-append snapshot "
@@ -3469,7 +3469,7 @@ class HadoopTable:
                 continue
             if cur.operation in (
                 "compact", "update-spec", "evolve-schema", "set-properties",
-                "rewrite-manifests"
+                "rewrite-manifests", "rewrite-deletes"
             ):
                 continue  # data-preserving: zero row-level changes
             removed_data = [
@@ -5689,6 +5689,120 @@ class HadoopTable:
             os.unlink(self._meta_path(v))
         self.cleanup_orphans(older_than_sec=cleanup_older_than_sec)
         return drop
+
+    def rewrite_delete_files(self, min_count: int = 2) -> Snapshot | None:
+        """Consolidate the snapshot's row-level delete files into ONE
+        position-delete file WITHOUT rewriting any data (Iceberg's
+        ``rewrite_position_delete_files`` — the minor compaction a
+        CDC-fed table needs between full :meth:`compact` passes): every
+        streaming upsert/CDC micro-batch accretes one equality-delete
+        file, and each one costs readers an eqNullSafe anti-join, so a
+        1000-batch table pays 1000 join sides per scan. This op scans
+        just the data files the delete files can still REACH, resolves
+        the currently-dead rows to explicit (file, pos) coordinates,
+        and swaps every delete file for one consolidated position-delete
+        file — after which every scan pays a single coordinate
+        anti-join. Exact by immutability: data files never change, so
+        "dead now" is "dead forever"; rows appended later carry higher
+        sequence numbers the replaced equality deletes never reached
+        anyway. Dangling entries (coordinates of data files a rewrite
+        already removed) drop out in the same pass.
+
+        Data-preserving: live rows are untouched, so the changelog
+        treats it like compact/rewrite-manifests (zero row-level
+        changes) and incremental append scans pass over it (it adds no
+        data files). No-op below ``min_count`` delete files. Conflicts
+        (serializable): any concurrent commit that removed a data file
+        or touched the delete-file set since the scan aborts — plain
+        appends compose fine and merely retry the CAS."""
+        snap = self.snapshot()
+        dels = snap.delete_files
+        if len(dels) < max(1, min_count):
+            return None
+        pos = [f for f in dels if f.content == "position-deletes"]
+        targets: set[str] = set()
+        if pos:
+            rd = self.spark.read.schema(
+                "file_path string, pos bigint"
+            ).parquet(*[os.path.join(self.root, f.path) for f in pos])
+            targets = {
+                r["file_path"]
+                for r in rd.select("file_path").distinct().collect()
+            }
+        eqs = [f for f in dels if f.content == "equality-deletes"]
+        affected = [
+            f
+            for f in snap.data_files
+            if f.path in targets or any(_eq_reaches(d, f) for d in eqs)
+        ]
+        staged_del: list[DataFile] = []
+        if affected:
+            everything = self._read_files(snap, affected, with_meta=True)
+            live = self._apply_deletes(snap, everything, affected)
+            dead = (
+                everything.select(
+                    F.col("_lph_file").alias("file_path"),
+                    F.col("_lph_pos").alias("pos"),
+                )
+                .exceptAll(
+                    live.select(
+                        F.col("_lph_file").alias("file_path"),
+                        F.col("_lph_pos").alias("pos"),
+                    )
+                )
+                .sort("file_path", "pos")
+            )
+            staged_del = [
+                e
+                for e in self._stage_delete_rows(dead, "position-deletes")
+                if e.records
+            ]
+        replaced = {f.path for f in dels}
+        base_data = {f.path for f in snap.data_files}
+        n_dead = sum(e.records for e in staged_del)
+        while True:
+            parent = self.snapshot()
+            if {f.path for f in parent.delete_files} != replaced:
+                raise CompactionConflict(
+                    "the delete-file set changed under a concurrent "
+                    "commit; re-run rewrite_delete_files()"
+                )
+            if not base_data <= {p.path for p in parent.data_files}:
+                raise CompactionConflict(
+                    "a concurrent commit removed data file(s) this "
+                    "rewrite scanned; re-run rewrite_delete_files()"
+                )
+            version = parent.version + 1
+            keep = [f for f in parent.files if f.path not in replaced]
+            staged = [_dc_replace(e, seq=version) for e in staged_del]
+            summary = self._inherited_summary(parent, None)
+            summary.update(
+                {
+                    "rewritten_delete_files": len(dels),
+                    "position_delete_files": len(staged),
+                    "dead_records": n_dead,
+                    "kept_files": len(keep),
+                    "added_files": 0,
+                }
+            )
+            new = Snapshot(
+                version=version,
+                parent=parent.version,
+                operation="rewrite-deletes",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=parent.schema_json,
+                partition_cols=parent.partition_cols,
+                partition_spec=parent.spec,
+                files=keep + staged,
+                summary=summary,
+                properties=dict(parent.properties),
+            )
+            summary["total_records"] = new.total_records
+            try:
+                self._publish(new, version, carry=(parent,))
+                return new
+            except CommitConflict:
+                continue  # both checks re-run against the new parent
 
     def rewrite_manifests(self, min_count: int | None = None) -> Snapshot | None:
         """Consolidate the snapshot's manifest list into ONE manifest

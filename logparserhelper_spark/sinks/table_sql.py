@@ -501,6 +501,8 @@ def table_sql(spark, statement: str) -> Any:
             # the Iceberg procedure names AND the shim's own
             "rewrite_data_files": t.compact,
             "rewrite_manifests": t.rewrite_manifests,
+            "rewrite_position_delete_files": t.rewrite_delete_files,
+            "rewrite_delete_files": t.rewrite_delete_files,
             "compact": t.compact,
             "expire_snapshots": t.expire_snapshots,
             "remove_orphan_files": t.cleanup_orphans,

@@ -863,3 +863,152 @@ def test_cdc_sink_streaming_end_to_end(spark, tmp_path):
     v = t.current_version()
     run_once()  # checkpoint replay: nothing new
     assert t.current_version() == v
+
+
+# -------------------------------------------------- rewrite_delete_files
+
+def test_rewrite_delete_files_consolidates_cdc_backlog(spark, tmp_path):
+    """N CDC batches accrete N equality-delete files; one
+    rewrite_delete_files pass swaps them ALL for a single consolidated
+    position-delete file — content identical, data files untouched."""
+    loc = str(tmp_path / "rdf")
+    _cdc_write(spark, loc, [(f"k{i}", 1, "I") for i in range(6)], 0)
+    for b in range(1, 5):
+        _cdc_write(
+            spark, loc,
+            [(f"k{b}", b * 10, "U"), (f"k{5 - b}", 0, "D")][: 2 if b < 3 else 1],
+            b,
+        )
+    t = HadoopTable(spark, loc)
+    before = _rows(t.read())
+    data_before = {f.path for f in t.snapshot().data_files}
+    n_dels = len(t.snapshot().delete_files)
+    assert n_dels >= 4
+    s = t.rewrite_delete_files()
+    assert s is not None and s.operation == "rewrite-deletes"
+    dels = s.delete_files
+    assert len(dels) == 1 and dels[0].content == "position-deletes"
+    assert {f.path for f in s.data_files} == data_before
+    assert s.summary["rewritten_delete_files"] == n_dels
+    assert _rows(t.read()) == before
+    assert s.total_records == t.read().count()
+    # batch high-water mark survived the maintenance commit
+    from logparserhelper_spark.sinks.hadoop_table import last_streaming_batch
+    assert s.summary["streaming_batch_id"] == 4
+    _cdc_write(spark, loc, [("k1", 99, "U")], 4)  # replay: still no-op
+    assert _rows(t.read()) == before
+
+
+def test_rewrite_delete_files_mixed_pos_and_eq(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="rdm")
+    t.delete([("id", "<", 3)], mode="merge-on-read")  # position deletes
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "1", 555)], "id long, bucket string, val long"
+        ),
+        ["id"],
+        mode="merge-on-read",
+    )  # equality delete
+    before = _rows(t.read())
+    s = t.rewrite_delete_files()
+    assert len(s.delete_files) == 1
+    assert _rows(t.read()) == before
+    assert s.summary["dead_records"] == 4  # ids 0,1,2 + old id=5 row
+
+
+def test_rewrite_delete_files_noops(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="rdn")
+    assert t.rewrite_delete_files() is None  # no delete files at all
+    t.delete([("id", "=", 1)], mode="merge-on-read")
+    assert t.rewrite_delete_files(min_count=2) is None  # below threshold
+    assert t.rewrite_delete_files(min_count=1) is not None
+
+
+def test_rewrite_delete_files_is_data_preserving_for_consumers(
+    spark, tmp_path
+):
+    """The changelog emits zero rows for the rewrite version and an
+    incremental append range passes over it."""
+    t = _mk(spark, tmp_path, name="rdc", partitioned=False, n=6)
+    t.delete([("id", "<", 2)], mode="merge-on-read")
+    t.delete([("id", "=", 3)], mode="merge-on-read")
+    s = t.rewrite_delete_files()
+    ch = t.read_changes(s.parent, s.version)
+    assert ch.count() == 0
+    t.append(spark.createDataFrame([(100, "x", 0)], t.read().schema))
+    inc = t.read_incremental(s.parent)  # spans rewrite-deletes + append
+    assert {r["id"] for r in inc.collect()} == {100}
+
+
+def test_rewrite_delete_files_future_rows_unaffected(spark, tmp_path):
+    """Rows appended AFTER the conversion are untouched by the new
+    position-delete file (it names only old coordinates), matching the
+    seq semantics the replaced equality deletes had."""
+    t = _mk(spark, tmp_path, name="rdt", n=4)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "1", 111)], "id long, bucket string, val long"
+        ),
+        ["id"],
+        mode="merge-on-read",
+    )
+    t.rewrite_delete_files(min_count=1)
+    # an append re-adding key 1 must survive (the eq delete would not
+    # have reached it either — higher seq)
+    t.append(
+        spark.createDataFrame(
+            [(1, "1", 222)], "id long, bucket string, val long"
+        )
+    )
+    vals = sorted(r["val"] for r in t.read().filter("id = 1").collect())
+    assert vals == [111, 222]
+
+
+def test_rewrite_delete_files_conflicts_with_concurrent_delete(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path, name="rdx")
+    t.delete([("id", "=", 1)], mode="merge-on-read")
+    t.delete([("id", "=", 2)], mode="merge-on-read")
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            racer = HadoopTable(spark, t.location)
+            HadoopTable._stage = orig_stage
+            try:
+                assert (
+                    racer.delete([("id", "=", 7)], mode="merge-on-read")
+                    is not None
+                )
+            finally:
+                HadoopTable._stage = racing_stage
+        return out
+
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="delete-file set"):
+            t.rewrite_delete_files()
+    finally:
+        HadoopTable._stage = orig_stage
+    # the racer's delete is intact; a re-run converges
+    assert 7 not in {r["id"] for r in t.read().collect()}
+    s = t.rewrite_delete_files()
+    assert len(s.delete_files) == 1
+    assert {r["id"] for r in t.read().collect()} == set(range(20)) - {1, 2, 7}
+
+
+def test_rewrite_delete_files_sql_procedure(spark, tmp_path):
+    from logparserhelper_spark.sinks.table_sql import table_sql
+
+    t = _mk(spark, tmp_path, name="rds")
+    t.delete([("id", "=", 1)], mode="merge-on-read")
+    t.delete([("id", "=", 2)], mode="merge-on-read")
+    s = table_sql(
+        spark, f"CALL rewrite_position_delete_files('{t.location}')"
+    )
+    assert s.operation == "rewrite-deletes"
+    assert len(s.delete_files) == 1
