@@ -14,6 +14,10 @@ statement, one atomic commit, same semantics as calling the method:
     table_sql(spark, "ALTER TABLE '/data/t' DROP COLUMN tmp")
     table_sql(spark, "ALTER TABLE '/data/t' SET TBLPROPERTIES ('history.keep-last'='3')")
     table_sql(spark, "ALTER TABLE '/data/t' UNSET TBLPROPERTIES ('owner')")
+    table_sql(spark, "ALTER TABLE '/data/t' CREATE TAG audit_v3 AS OF VERSION 3")
+    table_sql(spark, "ALTER TABLE '/data/t' CREATE BRANCH wap")
+    table_sql(spark, "CALL fast_forward('/data/t', name => 'wap')")
+    table_sql(spark, "ALTER TABLE '/data/t' DROP BRANCH wap")
     table_sql(spark, "DELETE FROM '/data/t' WHERE k = 3 AND v IS NOT NULL")
     table_sql(spark, "DELETE FROM '/data/t' WHERE k IN (3, 5, 8)")
     table_sql(spark, "UPDATE '/data/t' SET v = 'x', n = 0 WHERE k IN (1, 2)")
@@ -461,6 +465,39 @@ def table_sql(spark, statement: str) -> Any:
         return HadoopTable(spark, m.group("loc")).unset_properties(*keys)
 
     m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+CREATE\s+"
+        rf"(?P<kind>BRANCH|TAG)\s+(?P<name>{_IDENT})"
+        rf"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        if m.group("kind").upper() == "TAG":
+            v = int(m.group("v")) if m.group("v") else None
+            t.create_tag(m.group("name"), version=v)
+            return None
+        if m.group("v"):
+            raise ValueError(
+                "CREATE BRANCH forks the CURRENT snapshot (no AS OF "
+                "VERSION); rollback first to branch from history"
+            )
+        t.create_branch(m.group("name"))
+        return None
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+DROP\s+"
+        rf"(?P<kind>BRANCH|TAG)\s+(?P<name>{_IDENT})",
+        stmt,
+    )
+    if m:
+        t = HadoopTable(spark, m.group("loc"))
+        if m.group("kind").upper() == "TAG":
+            t.drop_tag(m.group("name"))
+        else:
+            t.drop_branch(m.group("name"))
+        return None
+
+    m = re.fullmatch(
         rf"(?i)DELETE\s+FROM\s+{_LOC}\s+WHERE\s+(?P<pred>.+)", stmt
     )
     if m:
@@ -503,6 +540,7 @@ def table_sql(spark, statement: str) -> Any:
             "rewrite_manifests": t.rewrite_manifests,
             "rewrite_position_delete_files": t.rewrite_delete_files,
             "rewrite_delete_files": t.rewrite_delete_files,
+            "fast_forward": t.fast_forward,
             "compact": t.compact,
             "expire_snapshots": t.expire_snapshots,
             "remove_orphan_files": t.cleanup_orphans,
@@ -536,7 +574,8 @@ def table_sql(spark, statement: str) -> Any:
         "unsupported statement; supported: ALTER TABLE '<loc>' "
         "RENAME COLUMN a TO b | ADD COLUMN x <type> [DEFAULT lit] | "
         "DROP COLUMN x | ALTER COLUMN x TYPE <type> | SET/UNSET "
-        "TBLPROPERTIES (...); DELETE FROM '<loc>' WHERE ...; "
+        "TBLPROPERTIES (...) | CREATE/DROP BRANCH b | CREATE TAG tg "
+        "[AS OF VERSION n] | DROP TAG tg; DELETE FROM '<loc>' WHERE ...; "
         "UPDATE '<loc>' SET col = lit [, ...] WHERE ...; "
         "MERGE INTO '<loc>' t USING <view> s ON t.k = s.k WHEN ...; "
         "CALL <proc>('<loc>' [, name => value ...]); VACUUM '<loc>'"

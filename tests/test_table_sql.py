@@ -229,3 +229,40 @@ def test_in_and_update_strict_grammar(spark, tmp_path):
             table_sql(spark, bad)
     with pytest.raises(ValueError):  # unknown SET column refused by update()
         table_sql(spark, f"UPDATE '{loc}' SET nope = 1 WHERE k = 1")
+
+
+def test_ref_ddl_tags_and_branches(spark, tmp_path):
+    """CREATE/DROP TAG and BRANCH + CALL fast_forward map onto the ref
+    API: full WAP cycle through SQL alone."""
+    loc = str(tmp_path / "t_refs")
+    t = _mk(spark, loc)
+    table_sql(spark, f"ALTER TABLE '{loc}' CREATE TAG audit AS OF VERSION 1")
+    t.append(spark.createDataFrame([(100, 0, "x")], "k int, v int, name string"))
+    assert t.read(ref="audit").count() == 10  # pinned pre-append
+    # WAP: branch, write there, publish via fast_forward
+    table_sql(spark, f"ALTER TABLE '{loc}' CREATE BRANCH wap")
+    t.branch("wap").append(
+        spark.createDataFrame([(200, 0, "y")], "k int, v int, name string")
+    )
+    assert t.read().count() == 11  # main unchanged until publish
+    s = table_sql(spark, f"CALL fast_forward('{loc}', name => 'wap')")
+    assert s is not None and t.read().count() == 12
+    table_sql(spark, f"ALTER TABLE '{loc}' DROP BRANCH wap")
+    assert "wap" not in t.branches()
+    table_sql(spark, f"ALTER TABLE '{loc}' DROP TAG audit")
+    with pytest.raises(ValueError):
+        t.read(ref="audit").count()
+
+
+def test_ref_ddl_strict_grammar(spark, tmp_path):
+    loc = str(tmp_path / "t_refs2")
+    _mk(spark, loc)
+    for bad in [
+        # branches fork the CURRENT snapshot only
+        f"ALTER TABLE '{loc}' CREATE BRANCH b AS OF VERSION 1",
+        f"ALTER TABLE '{loc}' DROP BRANCH ../../evil",
+        f"ALTER TABLE '{loc}' CREATE TAG",  # missing name
+        f"ALTER TABLE '{loc}' DROP TAG no_such",
+    ]:
+        with pytest.raises(ValueError):
+            table_sql(spark, bad)
