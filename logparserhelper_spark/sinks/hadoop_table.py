@@ -2553,6 +2553,21 @@ class HadoopTable:
                 if name.endswith(".parquet"):
                     todo.append((os.path.join(dirpath, name), part))
 
+        entries = self._harvest_entries(todo, phys_columns)
+        _fault("after-stage")
+        return entries
+
+    def _harvest_entries(
+        self,
+        todo: list[tuple[str, dict[str, str]]],
+        phys_columns: list[dict[str, Any]],
+    ) -> list[DataFile]:
+        """Build manifest entries for (abs parquet path, partition tuple)
+        pairs: footer stats, configured bloom filters, and the shared
+        physical-column shape. Used by :meth:`_stage` on just-written
+        files and :meth:`add_files` on registered ones."""
+        import pyarrow.parquet as pq
+
         bloom_cols, bloom_bits = self._bloom_config()
 
         def harvest(item: tuple[str, dict[str, str]]) -> DataFile:
@@ -2592,11 +2607,8 @@ class HadoopTable:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=16) as pool:
-                entries = list(pool.map(harvest, todo))
-        else:
-            entries = [harvest(x) for x in todo]
-        _fault("after-stage")
-        return entries
+                return list(pool.map(harvest, todo))
+        return [harvest(x) for x in todo]
 
     def _write_manifest(self, files: list[DataFile]) -> str:
         """Write ONE immutable manifest file under metadata/manifests/
@@ -3192,6 +3204,196 @@ class HadoopTable:
         pcols, spec = self._resolve_pcols(partition_cols)
         return self._commit(
             self._stage(df, pcols, spec), df, "overwrite_all", pcols, spec=spec
+        )
+
+    def add_files(
+        self,
+        source_dir: str,
+        partition_cols: list[str] | None = None,
+        mode: str = "link",
+    ) -> Snapshot:
+        """Register EXISTING parquet files into the table without
+        rewriting their data — the Iceberg ``add_files``/``migrate``
+        onboarding path: a 100-TB corpus that already lives as
+        hive-layout parquet becomes a snapshot table (time travel,
+        row-level deletes, metrics/bloom skipping, schema evolution) in
+        one metadata commit plus one hardlink per file. Partition values
+        derive from the ``k=v`` directory components under
+        ``source_dir`` exactly as the hive reader sees them.
+
+        Files are HARDLINKED into the table's ``data/`` layout (the
+        bytes are never copied or moved — same inode; ``mode="copy"``
+        falls back to a real copy for cross-filesystem sources, where a
+        link is impossible). After the commit the table OWNS its links
+        (Iceberg's ``migrate`` semantic): dropping the source directory
+        later doesn't affect the table, and table GC/compaction never
+        touches the source's own directory entries. Real Iceberg's
+        ``add_files`` references absolute URIs in place instead; links
+        are the filesystem-shim equivalent with the same zero-copy
+        property.
+
+        Strictness (v1, what :meth:`compact` can't silently fix later):
+        every file's parquet schema must be IDENTICAL (first file is
+        the reference); against an existing table the data columns must
+        match the table's non-partition fields by name and type, and
+        the derived partition keys must equal the table's identity
+        partition columns (hidden transforms can't be derived from
+        directories — refused). Creating a new table infers the schema
+        from the files; partition columns land as strings unless the
+        directory values say otherwise (the same trust-the-dirs
+        contract the reader uses: values are never re-inferred).
+        Footer stats and configured bloom filters are harvested at
+        registration, so skipping works immediately. Commit is a plain
+        serializable append (CAS retry, no conflict surface beyond
+        schema DDL races)."""
+        if mode not in ("link", "copy"):
+            raise ValueError(f"unknown add_files mode {mode!r}")
+        src_root = os.path.abspath(source_dir)
+        if not os.path.isdir(src_root):
+            raise ValueError(f"no such source directory {source_dir!r}")
+        found: list[tuple[str, dict[str, str], list[str]]] = []
+        for dirpath, _dirs, names in os.walk(src_root):
+            part: dict[str, str] = {}
+            comps: list[str] = []  # original k=v components, quoting kept
+            rel = os.path.relpath(dirpath, src_root)
+            bad_comp = False
+            for comp in rel.split(os.sep):
+                if comp in (".", ""):
+                    continue
+                if "=" in comp:
+                    k, _, val = comp.partition("=")
+                    part[k] = unquote(val)
+                    comps.append(comp)
+                else:
+                    bad_comp = True  # non-hive subdir: not partition data
+            if bad_comp:
+                raise ValueError(
+                    f"non-hive subdirectory {rel!r} under {source_dir!r}; "
+                    "add_files expects k=v partition directories only"
+                )
+            for name in sorted(names):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    found.append(
+                        (os.path.join(dirpath, name), dict(part), comps)
+                    )
+        if not found:
+            raise ValueError(f"no parquet files under {source_dir!r}")
+        import pyarrow.parquet as pq
+
+        ref_schema = pq.read_schema(found[0][0])
+        for p, _, _c in found[1:]:
+            if pq.read_schema(p) != ref_schema:
+                raise ValueError(
+                    f"{p} has a different parquet schema than "
+                    f"{found[0][0]}; add_files requires one uniform "
+                    "schema (split the source into per-schema calls)"
+                )
+        src_keys = sorted({k for _, part, _c in found for k in part})
+        if any(set(part) != set(src_keys) for _, part, _c in found):
+            raise ValueError(
+                "inconsistent partition depth across the source tree"
+            )
+        orders = {
+            tuple(c.partition("=")[0] for c in comps)
+            for _, _p, comps in found
+        }
+        if len(orders) > 1:
+            raise ValueError(
+                f"inconsistent partition directory order across the "
+                f"source tree: {sorted(orders)}"
+            )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        data_schema = self.spark.read.parquet(found[0][0]).schema
+        overlap = [k for k in src_keys if k in data_schema.fieldNames()]
+        if overlap:
+            raise ValueError(
+                f"partition directory column(s) {overlap} also exist "
+                "inside the files; hive layout keeps them directory-only"
+            )
+        if self.exists():
+            snap = self.snapshot()
+            if partition_cols is not None and list(partition_cols) != list(
+                snap.partition_cols
+            ):
+                raise ValueError(
+                    "partition_cols must match the table's; omit them"
+                )
+            if any(g.transform != "identity" for g in snap.spec):
+                raise ValueError(
+                    "add_files cannot target a hidden-partitioned table "
+                    "(transform values are not derivable from directories)"
+                )
+            if sorted(snap.partition_cols) != src_keys:
+                raise ValueError(
+                    f"source partitions {src_keys} != table partitions "
+                    f"{sorted(snap.partition_cols)}"
+                )
+            schema = self._empty_schema(snap)
+            want = {
+                f.name: f.dataType
+                for f in schema.fields
+                if f.name not in snap.partition_cols
+            }
+            got = {f.name: f.dataType for f in data_schema.fields}
+            if want != got:
+                diff = sorted(
+                    set(want.items()) ^ set(got.items()),
+                    key=lambda kv: kv[0],
+                )
+                raise ValueError(
+                    f"source schema differs from the table's data "
+                    f"columns: {diff}"
+                )
+            pcols, spec = snap.partition_cols, snap.spec
+            part_fields = [f for f in schema.fields if f.name in pcols]
+        else:
+            pcols = list(partition_cols) if partition_cols else src_keys
+            if sorted(pcols) != src_keys:
+                raise ValueError(
+                    f"partition_cols {pcols} != directory keys {src_keys}"
+                )
+            spec = identity_spec(pcols)
+            part_fields = [
+                StructField(k, StringType(), True) for k in pcols
+            ]
+        full_schema = StructType(list(data_schema.fields) + part_fields)
+        phys_columns = _df_columns(full_schema)
+        commit_id = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join("data", commit_id)
+        todo: list[tuple[str, dict[str, str]]] = []
+        for i, (src_p, part, comps) in enumerate(found):
+            d = os.path.join(self.root, rel_dir, *comps)
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"{i:05d}-{os.path.basename(src_p)}")
+            if mode == "link":
+                try:
+                    os.link(src_p, dst)
+                except OSError as e:
+                    raise ValueError(
+                        f"cannot hardlink {src_p} into the table "
+                        f"({e}); use mode='copy' for cross-filesystem "
+                        "sources"
+                    ) from e
+            else:
+                import shutil
+
+                shutil.copy2(src_p, dst)
+            todo.append((dst, part))
+        staged = self._harvest_entries(todo, phys_columns)
+        empty = self.spark.createDataFrame([], full_schema)
+        base = self.snapshot().schema_json if self.exists() else None
+        return self._commit(
+            staged,
+            empty,
+            "append",
+            pcols,
+            summary_extra={
+                "add_files_source": src_root,
+                "add_files_mode": mode,
+            },
+            spec=spec,
+            base_schema_json=base,
         )
 
     def _resolve_pcols(

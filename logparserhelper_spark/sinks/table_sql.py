@@ -541,6 +541,7 @@ def table_sql(spark, statement: str) -> Any:
             "rewrite_position_delete_files": t.rewrite_delete_files,
             "rewrite_delete_files": t.rewrite_delete_files,
             "fast_forward": t.fast_forward,
+            "add_files": t.add_files,
             "compact": t.compact,
             "expire_snapshots": t.expire_snapshots,
             "remove_orphan_files": t.cleanup_orphans,
