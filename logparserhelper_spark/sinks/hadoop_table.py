@@ -887,7 +887,9 @@ def _bloom_key(v: Any) -> tuple[str, bytes] | None:
     if isinstance(v, str):
         return ("str", v.encode("utf-8"))
     if isinstance(v, _dt.datetime):  # before date (datetime is a date)
-        return ("ts", v.strftime("%Y-%m-%dT%H:%M:%S.%f").encode())
+        if v.tzinfo is not None:  # same UTC-naive lift as _stat_value
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat(timespec="microseconds").encode())
     if isinstance(v, _dt.date):
         return ("date", v.isoformat().encode())
     return None
@@ -3211,6 +3213,7 @@ class HadoopTable:
         source_dir: str,
         partition_cols: list[str] | None = None,
         mode: str = "link",
+        check_duplicates: bool = True,
     ) -> Snapshot:
         """Register EXISTING parquet files into the table without
         rewriting their data — the Iceberg ``add_files``/``migrate``
@@ -3245,7 +3248,18 @@ class HadoopTable:
         Footer stats and configured bloom filters are harvested at
         registration, so skipping works immediately. Commit is a plain
         serializable append (CAS retry, no conflict surface beyond
-        schema DDL races)."""
+        schema DDL races). ``check_duplicates`` (default True, matching
+        Iceberg's ``check_duplicate_files``): a source file whose inode
+        the table already links is refused — running the same add_files
+        twice would silently double every row. The check is
+        inode-based, so it sees link-mode registrations (and any
+        hardlinked alias of them); files brought in with ``mode="copy"``
+        got fresh inodes and cannot be recognized on a re-run.
+
+        Reference parity note: the reference app ingests by reading
+        whole files into memory (gui/app_window.py:37-51); zero-copy
+        registration is part of the Spark-first table surface replacing
+        that."""
         if mode not in ("link", "copy"):
             raise ValueError(f"unknown add_files mode {mode!r}")
         src_root = os.path.abspath(source_dir)
@@ -3278,6 +3292,26 @@ class HadoopTable:
                     )
         if not found:
             raise ValueError(f"no parquet files under {source_dir!r}")
+        if check_duplicates and self.exists():
+            linked: set[tuple[int, int]] = set()
+            for f in self.snapshot().data_files:
+                try:
+                    st = os.stat(os.path.join(self.root, f.path))
+                    linked.add((st.st_dev, st.st_ino))
+                except OSError:
+                    continue
+            dups = [
+                p
+                for p, _part, _c in found
+                if (lambda st: (st.st_dev, st.st_ino) in linked)(os.stat(p))
+            ]
+            if dups:
+                raise ValueError(
+                    f"{len(dups)} source file(s) are already registered "
+                    f"in the table (first: {dups[0]}); re-running "
+                    "add_files would double their rows — pass "
+                    "check_duplicates=False only if that is intended"
+                )
         import pyarrow.parquet as pq
 
         ref_schema = pq.read_schema(found[0][0])
@@ -5916,7 +5950,10 @@ class HadoopTable:
         data files). No-op below ``min_count`` delete files. Conflicts
         (serializable): any concurrent commit that removed a data file
         or touched the delete-file set since the scan aborts — plain
-        appends compose fine and merely retry the CAS."""
+        appends compose fine and merely retry the CAS.
+
+        Reference parity note: reference N/A — its only persistence is
+        whole-file JSON overwrite (utils/json_utils.py:21-27)."""
         snap = self.snapshot()
         dels = snap.delete_files
         if len(dels) < max(1, min_count):
@@ -5939,26 +5976,45 @@ class HadoopTable:
         ]
         staged_del: list[DataFile] = []
         if affected:
-            everything = self._read_files(snap, affected, with_meta=True)
-            live = self._apply_deletes(snap, everything, affected)
-            dead = (
-                everything.select(
-                    F.col("_lph_file").alias("file_path"),
-                    F.col("_lph_pos").alias("pos"),
-                )
-                .exceptAll(
-                    live.select(
+            # column-pruned scan: the liveness computation only needs the
+            # coordinates plus the equality-delete KEY columns — at 100-TB
+            # scale the difference between "read the key columns of the
+            # affected files" and "read their full rows" is the whole cost
+            # of this op
+            key_cols = sorted(
+                {c for d in eqs for c in (d.equality_cols or [])}
+            )
+            slim = self._read_files(snap, affected, with_meta=True).select(
+                "_lph_file", "_lph_pos", *key_cols
+            )
+            # both exceptAll sides derive from this scan — persist it so
+            # the affected files (and the delete anti-joins) read once,
+            # not twice; spills to disk if the key columns outgrow memory
+            from pyspark import StorageLevel
+
+            slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                live = self._apply_deletes(snap, slim, affected)
+                dead = (
+                    slim.select(
                         F.col("_lph_file").alias("file_path"),
                         F.col("_lph_pos").alias("pos"),
                     )
+                    .exceptAll(
+                        live.select(
+                            F.col("_lph_file").alias("file_path"),
+                            F.col("_lph_pos").alias("pos"),
+                        )
+                    )
+                    .sort("file_path", "pos")
                 )
-                .sort("file_path", "pos")
-            )
-            staged_del = [
-                e
-                for e in self._stage_delete_rows(dead, "position-deletes")
-                if e.records
-            ]
+                staged_del = [
+                    e
+                    for e in self._stage_delete_rows(dead, "position-deletes")
+                    if e.records
+                ]
+            finally:
+                slim.unpersist()
         replaced = {f.path for f in dels}
         base_data = {f.path for f in snap.data_files}
         n_dead = sum(e.records for e in staged_del)
@@ -6274,7 +6330,12 @@ def table_cdc_sink(
     emit several. Unknown op values raise rather than guess. Deleting
     a key the table never held is a no-op, per CDC convention. Run
     :meth:`HadoopTable.compact` on a maintenance cadence to
-    materialize the accreted delete files."""
+    materialize the accreted delete files.
+
+    Reference parity note: the reference app has no streaming or CDC
+    surface at all (state is whole-file JSON overwrite,
+    utils/json_utils.py:21-27); this sink is part of the Spark-first
+    replacement surface."""
     ops_all = tuple(upsert_ops) + tuple(delete_ops)
 
     def write(df: DataFrame, batch_id: int) -> None:
@@ -6291,7 +6352,14 @@ def table_cdc_sink(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max(
-                    (~F.col(op_col).isin(*ops_all)).cast("int")
+                    # NULL op must count as bad: isin yields NULL there
+                    # (and max ignores nulls), so a NULL-op row would
+                    # otherwise slip through as an implicit delete
+                    (
+                        ~F.coalesce(
+                            F.col(op_col).isin(*ops_all), F.lit(False)
+                        )
+                    ).cast("int")
                 ).alias("bad"),
             )
             .agg(F.max("n").alias("max_dup"), F.max("bad").alias("any_bad"))

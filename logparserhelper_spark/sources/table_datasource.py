@@ -666,7 +666,12 @@ def _resolve_write_target(options: dict, schema) -> tuple:
 
 
 def _stage_batches(
-    location: str, commit_uuid: str, pcols: list, schema, iterator
+    location: str,
+    commit_uuid: str,
+    pcols: list,
+    schema,
+    iterator,
+    bloom_cfg: tuple | None = None,
 ) -> list:
     """Worker body shared by the batch and streaming writers: stage this
     task's rows as immutable parquet under ``data/<commit uuid>/`` at
@@ -680,6 +685,7 @@ def _stage_batches(
 
     from logparserhelper_spark.sinks.hadoop_table import (
         DataFile,
+        _bloom_build,
         _collect_stats,
         _df_columns,
         _local_path,
@@ -720,6 +726,21 @@ def _stage_batches(
 
                     part[k] = unquote(val)
         pf = pq.ParquetFile(abs_p)
+        blooms: dict = {}
+        for c, bits in (
+            [(c, bloom_cfg[1]) for c in bloom_cfg[0]] if bloom_cfg else []
+        ):
+            # same harvest the native _stage path runs — resolved
+            # driver-side from the table properties and shipped here, so
+            # DataSource-written files skip identically to native writes
+            if c not in pf.schema_arrow.names:
+                continue
+            import pyarrow.compute as pc
+
+            uniq = pc.unique(pf.read(columns=[c]).column(0).combine_chunks())
+            b = _bloom_build(uniq.to_pylist(), bits)
+            if b is not None:
+                blooms[c] = b
         entries.append(
             DataFile(
                 path=os.path.relpath(abs_p, table_root),
@@ -728,6 +749,7 @@ def _stage_batches(
                 bytes=os.path.getsize(abs_p),
                 stats=_collect_stats(pf, None),
                 columns=[dict(c) for c in phys_columns],
+                blooms=blooms or None,
             ).to_json()
         )
     return entries
@@ -765,6 +787,14 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
             else ("overwrite_all" if overwrite else "append")
         )
         self.commit_uuid = __import__("uuid").uuid4().hex[:16]
+        # bloom config resolves DRIVER-side (metadata JSON read, no
+        # Spark needed) and ships to workers with the write function
+        from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+        try:
+            self.bloom_cfg = HadoopTable(None, self.location)._bloom_config()
+        except Exception:
+            self.bloom_cfg = ([], 16384)
 
     def write(self, iterator):
         return TableWriteMessage(
@@ -774,6 +804,7 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
                 self.pcols,
                 self.schema,
                 iterator,
+                self.bloom_cfg,
             )
         )
 

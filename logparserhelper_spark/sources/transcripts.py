@@ -40,21 +40,29 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     if path_or_table.startswith("table:"):
         # the snapshot-table shim (sinks/hadoop_table.py): the executable
         # stand-in for the Iceberg input table — manifest-planned scan,
-        # snapshot-consistent reads. Suffix ``@v<N>`` time-travels.
+        # snapshot-consistent reads. Suffix ``@v<N>`` time-travels;
+        # ``@ref:<name>`` reads a named tag or branch head (the
+        # audit/repro pin: "the corpus as model X saw it").
         from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
         import re
 
         loc = path_or_table.split(":", 1)[1]
         version = None
-        # the time-travel suffix must be ANCHORED (@v<digits> at end): a
-        # path merely containing '@v' (user@vm01/...) is a path, not a
-        # version reference
+        ref = None
+        # the time-travel suffix must be ANCHORED (@v<digits> /
+        # @ref:<name> at end): a path merely containing '@v'
+        # (user@vm01/...) is a path, not a version reference
         m = re.search(r"@v(\d+)$", loc)
         if m:
             loc = loc[: m.start()]
             version = int(m.group(1))
-        df = HadoopTable(spark, loc).read(version=version)
+        else:
+            m = re.search(r"@ref:([A-Za-z0-9._-]+)$", loc)
+            if m:
+                loc = loc[: m.start()]
+                ref = m.group(1)
+        df = HadoopTable(spark, loc).read(version=version, ref=ref)
         return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
     p = path_or_table
     if os.path.isdir(p) and os.path.exists(os.path.join(p, "transcripts.parquet")):

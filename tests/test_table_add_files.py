@@ -168,3 +168,18 @@ def test_add_files_sql_procedure_and_time_travel(spark, tmp_path):
     t.delete([("shard", "=", "1")])
     assert t.read().count() == 8
     assert t.read(ref="migrated").count() == 12
+
+
+def test_add_files_duplicate_source_refused(spark, tmp_path):
+    """Iceberg's check_duplicate_files: re-registering a source the
+    table already links is refused (it would double every row); the
+    explicit opt-out still works."""
+    src, _ = _source(spark, tmp_path, "sd", partitioned=False)
+    loc = str(tmp_path / "td")
+    t = HadoopTable(spark, loc)
+    t.add_files(src)
+    with pytest.raises(ValueError, match="already registered"):
+        t.add_files(src)
+    assert t.read().count() == 12
+    t.add_files(src, check_duplicates=False)  # explicit double
+    assert t.read().count() == 24

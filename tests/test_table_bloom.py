@@ -223,3 +223,43 @@ def test_bloom_build_and_absent_unit():
     assert _bloom_build([], 1024) is None
     # saturation guard
     assert _bloom_build(list(range(100)), 64) is None
+
+
+def test_timestamp_column_bloom(spark, tmp_path):
+    """Timestamp values round-trip the bloom encoding: what pyarrow
+    yields at harvest and what a predicate constant encodes must agree
+    (the fixed-precision ISO form, UTC session)."""
+    loc = str(tmp_path / "tbts")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(0,)], "x long"))
+    t.set_properties({"write.metadata.bloom-filter-columns": "ts"})
+    rows = [
+        (dt.datetime(2024, 1, 5, 10, 30, 0, 123456), 1),
+        (dt.datetime(2024, 1, 6, 0, 0, 0), 2),
+    ]
+    t.append(
+        spark.createDataFrame(rows, "ts timestamp, n long").coalesce(1)
+    )
+    f = [f for f in t.snapshot().data_files if f.blooms]
+    assert f and f[0].blooms["ts"]["kind"] == "ts"
+    # present value: file planned AND row found (no false negative)
+    got = t.read(
+        predicate=[("ts", "=", dt.datetime(2024, 1, 5, 10, 30, 0, 123456))]
+    ).collect()
+    assert [r["n"] for r in got] == [1]
+    # absent same-kind value inside the min/max range: bloom prunes
+    assert not [
+        p
+        for p in t.plan_files(
+            predicate=[("ts", "=", dt.datetime(2024, 1, 5, 12, 0, 0))]
+        )
+        if p.blooms
+    ]
+    # a tz-AWARE constant naming the same instant must also match (the
+    # bloom key UTC-normalizes exactly like _stat_value)
+    aware = dt.datetime(
+        2024, 1, 5, 11, 30, 0, 123456,
+        tzinfo=dt.timezone(dt.timedelta(hours=1)),
+    )
+    got = t.read(predicate=[("ts", "=", aware)]).collect()
+    assert [r["n"] for r in got] == [1]

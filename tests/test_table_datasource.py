@@ -603,3 +603,27 @@ def test_in_filter_pushdown(registered, tmp_path):
         .collect()
     )
     assert got == [5, 7, 205]
+
+
+def test_writer_harvests_configured_blooms(registered, tmp_path):
+    """DataSource-written files carry the same manifest bloom filters a
+    native _stage write would (config resolved driver-side, built in
+    the write workers), so bloom file skipping works identically."""
+    spark = registered
+    loc = str(tmp_path / "tw_bloom")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(0, "seed")], "id long, u string"))
+    t.set_properties({"write.metadata.bloom-filter-columns": "u"})
+    df = spark.createDataFrame(
+        [(i, f"u-{i:04d}") for i in range(100)], "id long, u string"
+    )
+    df.write.format("snapshot_table").mode("append").save(loc)
+    new = [f for f in t.snapshot().data_files if f.blooms]
+    assert new and all(f.blooms["u"]["kind"] == "str" for f in new)
+    # a probe absent everywhere: every bloomed file prunes
+    assert not [
+        p for p in t.plan_files(predicate=[("u", "=", "zz")]) if p.blooms
+    ]
+    assert sorted(
+        r["u"] for r in t.read(predicate=[("u", "=", "u-0042")]).collect()
+    ) == ["u-0042"]

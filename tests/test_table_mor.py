@@ -788,6 +788,9 @@ def test_cdc_sink_validation(spark, tmp_path):
         _cdc_write(spark, loc, [("k1", 1, "X")], 0)
     with pytest.raises(ValueError, match="several changes"):
         _cdc_write(spark, loc, [("k1", 1, "I"), ("k1", 2, "U")], 0)
+    with pytest.raises(ValueError, match="op values outside"):
+        # NULL op must be refused, not silently treated as a delete
+        _cdc_write(spark, loc, [("k1", 1, None)], 0)
     # nothing landed
     assert not HadoopTable(spark, loc).exists()
     # empty delivery commits nothing even on an existing table

@@ -681,6 +681,9 @@ def test_overwrite_all_can_retype_and_anchored_time_travel(spark, tmp_path):
     tw.append(src.withColumn("text", F.lit("more")))
     assert read_transcripts(spark, f"table:{weird}").count() == 2
     assert read_transcripts(spark, f"table:{weird}@v1").count() == 1
+    # @ref:<name> reads a pinned tag (the audit/repro input pin)
+    tw.create_tag("first", version=1)
+    assert read_transcripts(spark, f"table:{weird}@ref:first").count() == 1
 
 
 def test_incremental_append_scan(spark, tmp_path):
