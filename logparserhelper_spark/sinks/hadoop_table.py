@@ -973,6 +973,74 @@ def _bloom_absent(bloom: dict[str, Any] | None, raw: Any) -> bool:
     )
 
 
+def _harvest_blooms(
+    pf, bloom_cols: list[str], bloom_bits: int
+) -> dict[str, dict[str, Any]]:
+    """Build the configured columns' bloom filters from an open
+    ParquetFile — the ONE implementation both the native ``_stage``
+    harvest and the DataSource write workers call, so the two paths can
+    never drift. Eligibility is checked on the arrow TYPE before any
+    data is read: only the int family, strings, dates, and timestamps
+    participate (the `_bloom_key` domain) — a struct/list/float column
+    named in the property is a silent no-op, never a crash or a wasted
+    column read. Reads are CHUNKED per batch and reduced to the running
+    distinct-key set immediately, so driver/worker memory is bounded by
+    the column's NDV (capped at bloom_bits, where the filter would
+    saturate anyway), not its row count."""
+    import pyarrow as pa
+
+    out: dict[str, dict[str, Any]] = {}
+    for c in bloom_cols:
+        # identity-partition columns live in the directory, not the
+        # file bytes; unknown names are a no-op (Iceberg's property is
+        # advisory the same way)
+        if c not in pf.schema_arrow.names:
+            continue
+        at = pf.schema_arrow.field(c).type
+        if not (
+            (pa.types.is_integer(at) and not pa.types.is_boolean(at))
+            or pa.types.is_string(at)
+            or pa.types.is_large_string(at)
+            or pa.types.is_date(at)
+            or pa.types.is_timestamp(at)
+        ):
+            continue  # type outside the _bloom_key domain: no-op
+        keys: set[bytes] = set()
+        kind: str | None = None
+        saturated = False
+        for batch in pf.iter_batches(columns=[c], batch_size=65536):
+            for v in batch.column(0).unique().to_pylist():
+                if v is None:
+                    continue
+                bk = _bloom_key(v)
+                if bk is None or (kind is not None and bk[0] != kind):
+                    saturated = True  # unexpected value kind: refuse
+                    break
+                kind = bk[0]
+                keys.add(bk[1])
+            if saturated or len(keys) > bloom_bits:
+                saturated = True  # FPR -> 1: pure metadata weight
+                break
+        if saturated or not keys:
+            continue
+        import base64
+        import math
+
+        m = int(bloom_bits)
+        k = max(1, min(8, round(m / len(keys) * math.log(2))))
+        bits = bytearray((m + 7) // 8)
+        for data in keys:
+            for pos in _bloom_hashes(data, k, m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {
+            "kind": kind,
+            "m": m,
+            "k": k,
+            "b": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
 def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
     """Metrics-based file skipping (Iceberg planner's evaluator): False
     only when some conjunct is PROVABLY false for every row in the file —
@@ -2294,6 +2362,20 @@ class HadoopTable:
             return default
         return type(default)(v) if default is not None else v
 
+    def _current_properties(self) -> dict[str, str]:
+        """The current snapshot's properties WITHOUT loading its
+        manifests — the version JSON holds them inline, so hot write-path
+        property lookups (`_bloom_config` on every staging pass) cost
+        one small file read instead of an O(table files) metadata walk."""
+        vs = self.versions()
+        if not vs:
+            return {}
+        try:
+            with open(self._meta_path(vs[-1])) as f:
+                return dict(json.load(f).get("properties") or {})
+        except FileNotFoundError:
+            return {}
+
     def _bloom_config(self) -> tuple[list[str], int]:
         """Resolve the bloom-filter write properties:
         ``write.metadata.bloom-filter-columns`` (comma-separated column
@@ -2304,10 +2386,11 @@ class HadoopTable:
         here the filter lives in the manifest entry so the DRIVER skips
         whole files at plan time instead of the reader skipping row
         groups after scheduling."""
-        cols = self._prop("write.metadata.bloom-filter-columns", "")
+        props = self._current_properties()
+        cols = props.get("write.metadata.bloom-filter-columns", "")
         return (
             [c.strip() for c in cols.split(",") if c.strip()],
-            self._prop("write.metadata.bloom-filter-bits", 16384),
+            int(props.get("write.metadata.bloom-filter-bits", 16384)),
         )
 
     def set_properties(self, props: dict[str, Any]) -> Snapshot:
@@ -2494,6 +2577,7 @@ class HadoopTable:
         partition_cols: list[str],
         spec: list[PartitionField] | None = None,
         concurrent_writers: int | None = None,
+        bloom_cfg: tuple[list[str], int] | None = None,
     ) -> list[DataFile]:
         """Write df's parquet under data/<uuid>/ and return the manifest
         entries. Files land at their FINAL paths (never moved — Iceberg
@@ -2555,7 +2639,7 @@ class HadoopTable:
                 if name.endswith(".parquet"):
                     todo.append((os.path.join(dirpath, name), part))
 
-        entries = self._harvest_entries(todo, phys_columns)
+        entries = self._harvest_entries(todo, phys_columns, bloom_cfg)
         _fault("after-stage")
         return entries
 
@@ -2563,33 +2647,29 @@ class HadoopTable:
         self,
         todo: list[tuple[str, dict[str, str]]],
         phys_columns: list[dict[str, Any]],
+        bloom_cfg: tuple[list[str], int] | None = None,
     ) -> list[DataFile]:
         """Build manifest entries for (abs parquet path, partition tuple)
         pairs: footer stats, configured bloom filters, and the shared
         physical-column shape. Used by :meth:`_stage` on just-written
-        files and :meth:`add_files` on registered ones."""
+        files and :meth:`add_files` on registered ones. ``bloom_cfg``
+        defaults to the table's resolved property config; pass
+        ``([], 0)`` to skip the bloom harvest entirely (delete files —
+        their entries null the field anyway)."""
         import pyarrow.parquet as pq
 
-        bloom_cols, bloom_bits = self._bloom_config()
+        bloom_cols, bloom_bits = (
+            self._bloom_config() if bloom_cfg is None else bloom_cfg
+        )
 
         def harvest(item: tuple[str, dict[str, str]]) -> DataFile:
             abs_p, part = item
             pf = pq.ParquetFile(abs_p)
-            blooms: dict[str, dict[str, Any]] = {}
-            for c in bloom_cols:
-                # identity-partition columns live in the directory, not
-                # the file bytes; unknown names are a no-op (Iceberg's
-                # property is advisory the same way)
-                if c not in pf.schema_arrow.names:
-                    continue
-                import pyarrow.compute as pc
-
-                uniq = pc.unique(
-                    pf.read(columns=[c]).column(0).combine_chunks()
-                )
-                b = _bloom_build(uniq.to_pylist(), bloom_bits)
-                if b is not None:
-                    blooms[c] = b
+            blooms = (
+                _harvest_blooms(pf, bloom_cols, bloom_bits)
+                if bloom_cols
+                else {}
+            )
             return DataFile(
                 path=os.path.relpath(abs_p, self.root),
                 partition=part,
@@ -3494,7 +3574,9 @@ class HadoopTable:
         ref: str | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel via ``version`` or a named ``ref``
-        — a tag pinned with :meth:`create_tag`). ``partition_filter``
+        — a tag pinned with :meth:`create_tag`, or a BRANCH name, which
+        reads that branch's current head, matching Iceberg's unified
+        branch-or-tag ref resolution). ``partition_filter``
         prunes at the MANIFEST level — non-matching files never reach the
         scan, the shim-scale analogue of Iceberg's planner pruning.
         ``predicate`` — conjunctive ``(col, op, value)`` terms, ops ``=
@@ -3507,6 +3589,16 @@ class HadoopTable:
         if ref is not None:
             if version is not None:
                 raise ValueError("pass version OR ref, not both")
+            if (
+                ref not in self.refs()
+                and self.branch_name is None
+                and ref in self.branches()
+            ):
+                # tags shadow branches on a name collision (refs() is
+                # the authoritative registry, Iceberg's rule too)
+                return self.branch(ref).read(
+                    partition_filter=partition_filter, predicate=predicate
+                )
             version = self._resolve_ref(ref)
         snap = self.snapshot(version)
         files = self.plan_files(version, partition_filter, predicate)
@@ -4505,10 +4597,14 @@ class HadoopTable:
             # plain equality: NULL keys never match (ANSI MERGE)
             eq = F.col(f"{ta}.`{k}`") == F.col(f"{sa}.`{k}`")
             jcond = eq if jcond is None else jcond & eq
-        # a full-outer join cannot broadcast-build either side (Spark
-        # rejects the hint); the left-outer no-insert path can
+        # no broadcast hint on the FULL source: _maybe_bcast's key-count
+        # gate bounds keys, not row width — a 1M-key source with wide
+        # payload columns could blow Spark's broadcast limit. AQE's own
+        # BYTE-sized threshold decides here; the hint stays on the
+        # narrow key-only joins above/below. (A full-outer join could
+        # not broadcast-build either side anyway.)
         joined = tgt.join(
-            src if has_insert else _maybe_bcast(src),
+            src,
             jcond,
             "full_outer" if has_insert else "left_outer",
         )
@@ -4727,7 +4823,9 @@ class HadoopTable:
         readers then skip non-overlapping data files (:func:`_eq_reaches`).
         Identity partition columns land in the DIRECTORY, not the file
         bytes — consumers reconstruct them from the manifest tuple."""
-        entries = self._stage(df, partition_cols or [], spec)
+        # bloom_cfg ([], 0): delete files never carry blooms, so the
+        # harvest (a full key-column read per file) would be pure waste
+        entries = self._stage(df, partition_cols or [], spec, bloom_cfg=([], 0))
         return [
             _dc_replace(
                 e,

@@ -273,6 +273,7 @@ def _parse_merge(spark, stmt: str):
             "ON t.k = s.k [AND ...] WHEN ..."
         )
     ta, sa, view = m.group("ta"), m.group("sa"), m.group("view")
+    loc = m.group("loc")
     rest = stmt[m.end():]
     w = _find_keyword(rest, "WHEN")
     if w < 0:
@@ -385,7 +386,6 @@ def _parse_merge(spark, stmt: str):
         if not assigns:
             raise ValueError("UPDATE SET needs at least one assignment")
         when.append(("matched_update", cond, assigns))
-    loc = re.search(_LOC, stmt).group("loc")
     t = HadoopTable(spark, loc)
     return t.merge(
         spark.table(view), on, when, target_alias=ta, source_alias=sa

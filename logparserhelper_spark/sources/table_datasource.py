@@ -685,9 +685,9 @@ def _stage_batches(
 
     from logparserhelper_spark.sinks.hadoop_table import (
         DataFile,
-        _bloom_build,
         _collect_stats,
         _df_columns,
+        _harvest_blooms,
         _local_path,
     )
 
@@ -726,21 +726,14 @@ def _stage_batches(
 
                     part[k] = unquote(val)
         pf = pq.ParquetFile(abs_p)
-        blooms: dict = {}
-        for c, bits in (
-            [(c, bloom_cfg[1]) for c in bloom_cfg[0]] if bloom_cfg else []
-        ):
-            # same harvest the native _stage path runs — resolved
-            # driver-side from the table properties and shipped here, so
-            # DataSource-written files skip identically to native writes
-            if c not in pf.schema_arrow.names:
-                continue
-            import pyarrow.compute as pc
-
-            uniq = pc.unique(pf.read(columns=[c]).column(0).combine_chunks())
-            b = _bloom_build(uniq.to_pylist(), bits)
-            if b is not None:
-                blooms[c] = b
+        # the native harvest helper, shipped to the write worker with
+        # the driver-resolved config, so DataSource-written files skip
+        # identically to native writes (one implementation, no drift)
+        blooms = (
+            _harvest_blooms(pf, bloom_cfg[0], bloom_cfg[1])
+            if bloom_cfg and bloom_cfg[0]
+            else {}
+        )
         entries.append(
             DataFile(
                 path=os.path.relpath(abs_p, table_root),

@@ -121,6 +121,27 @@ def test_kind_mismatch_never_consults_bloom(spark, tmp_path):
     ]
 
 
+def test_nested_column_bloom_is_silent_noop(spark, tmp_path):
+    """A struct column named in the property must be a no-op, not a
+    crash (pyarrow's unique kernel has no nested implementation) — the
+    type eligibility check runs BEFORE any data is read."""
+    loc = str(tmp_path / "tbnst")
+    t = HadoopTable(spark, loc)
+    t.append(spark.createDataFrame([(0,)], "x long"))
+    t.set_properties(
+        {"write.metadata.bloom-filter-columns": "props,id"}
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, {"a": 1}), (2, {"a": 2})],
+            "id long, props struct<a: long>",
+        ).coalesce(1)
+    )
+    f = [f for f in t.snapshot().data_files if f.blooms]
+    assert f and set(f[0].blooms) == {"id"}  # struct skipped, int kept
+    assert t.read().count() == 3
+
+
 def test_float_columns_refuse_blooms(spark, tmp_path):
     """float equality is rounding-fragile: the property on a float
     column is a no-op (no bloom entry), never a wrong prune."""

@@ -684,6 +684,11 @@ def test_overwrite_all_can_retype_and_anchored_time_travel(spark, tmp_path):
     # @ref:<name> reads a pinned tag (the audit/repro input pin)
     tw.create_tag("first", version=1)
     assert read_transcripts(spark, f"table:{weird}@ref:first").count() == 1
+    # ...or a BRANCH head (Iceberg's unified branch-or-tag resolution)
+    tw.create_branch("wip")
+    tw.branch("wip").append(src.withColumn("text", F.lit("branch-only")))
+    assert read_transcripts(spark, f"table:{weird}@ref:wip").count() == 3
+    assert read_transcripts(spark, f"table:{weird}").count() == 2
 
 
 def test_incremental_append_scan(spark, tmp_path):
