@@ -908,11 +908,15 @@ def _bloom_hashes(data: bytes, k: int, m: int) -> list[int]:
 
 def _bloom_build(values, m_bits: int) -> dict[str, Any] | None:
     """Build one column's bloom filter over its DISTINCT non-null
-    values. Returns None when the column's type doesn't participate,
-    the values' kinds are mixed (never expected from one parquet
-    column, but conservative), or the filter would saturate
-    (ndv > m_bits: FPR -> 1, pure metadata weight). k is the optimal
-    (m/n)·ln2 clamped to [1, 8]."""
+    values. ``m_bits`` is the size CAP: the filter is sized ADAPTIVELY
+    at ~10 bits per distinct value (FPR under 1% at the optimal k) and
+    only pays what the column's NDV needs; when 10·ndv exceeds the cap
+    the filter would be too dense to discriminate, so none is stored
+    (raise ``write.metadata.bloom-filter-bits`` for point-lookup-heavy
+    high-NDV tables — metadata weight is the trade). Returns None for
+    non-participating types and mixed kinds too (never expected from
+    one parquet column, but conservative). k is the optimal (m/n)·ln2
+    clamped to [1, 8]."""
     import base64
     import math
 
@@ -930,9 +934,9 @@ def _bloom_build(values, m_bits: int) -> dict[str, Any] | None:
             return None
         keys.append(bk[1])
     n = len(keys)
-    if n == 0 or n > m_bits:
+    if n == 0 or 10 * n > m_bits:
         return None
-    m = int(m_bits)
+    m = max(64, 10 * n)
     k = max(1, min(8, round(m / n * math.log(2))))
     bits = bytearray((m + 7) // 8)
     for data in keys:
@@ -1018,16 +1022,20 @@ def _harvest_blooms(
                     break
                 kind = bk[0]
                 keys.add(bk[1])
-            if saturated or len(keys) > bloom_bits:
-                saturated = True  # FPR -> 1: pure metadata weight
+            # adaptive sizing (see _bloom_build): ~10 bits/distinct
+            # value, bloom_bits is the CAP — past it the filter would
+            # be too dense to discriminate, so stop reading early
+            if saturated or 10 * len(keys) > bloom_bits:
+                saturated = True
                 break
         if saturated or not keys:
             continue
         import base64
         import math
 
-        m = int(bloom_bits)
-        k = max(1, min(8, round(m / len(keys) * math.log(2))))
+        n = len(keys)
+        m = max(64, 10 * n)
+        k = max(1, min(8, round(m / n * math.log(2))))
         bits = bytearray((m + 7) // 8)
         for data in keys:
             for pos in _bloom_hashes(data, k, m):
@@ -2380,8 +2388,11 @@ class HadoopTable:
         """Resolve the bloom-filter write properties:
         ``write.metadata.bloom-filter-columns`` (comma-separated column
         names; empty = feature off, the default) and
-        ``write.metadata.bloom-filter-bits`` (per-file per-column bit
-        budget, default 16384 = 2 KB of manifest weight). The Iceberg
+        ``write.metadata.bloom-filter-bits`` (per-file per-column size
+        CAP, default 16384 bits = 2 KB of manifest weight; filters size
+        adaptively at ~10 bits per distinct value under it, and a file
+        whose NDV needs more stores none — raise the cap for
+        point-lookup-heavy high-NDV tables). The Iceberg
         analogue is ``write.parquet.bloom-filter-enabled.column.<col>``;
         here the filter lives in the manifest entry so the DRIVER skips
         whole files at plan time instead of the reader skipping row
