@@ -6,3 +6,7 @@ from logparserhelper_spark.sinks.hadoop_table import (  # noqa: F401
     table_upsert_sink,
 )
 from logparserhelper_spark.sinks.table_sql import table_sql  # noqa: F401
+from logparserhelper_spark.sinks.catalog import (  # noqa: F401
+    HadoopCatalog,
+    create_table_at,
+)

@@ -32,15 +32,32 @@ statement, one atomic commit, same semantics as calling the method:
     table_sql(spark, "CALL maintain('/data/t')")
     table_sql(spark, "VACUUM '/data/t'")
 
+With ``catalog=HadoopCatalog(spark, warehouse)`` every ``'<loc>'``
+position above ALSO accepts a dotted identifier (``analytics.events``),
+and the catalog statement family becomes available:
+
+    table_sql(spark, "CREATE NAMESPACE analytics", catalog=cat)
+    table_sql(spark, "SHOW NAMESPACES | TABLES IN ns | VIEWS IN ns", catalog=cat)
+    table_sql(spark, "CREATE TABLE ns.t (k bigint, v string) "
+                     "PARTITIONED BY (bucket(8, k)) "
+                     "TBLPROPERTIES ('owner'='me')", catalog=cat)
+    table_sql(spark, "CREATE TABLE ns.t2 AS SELECT ... FROM ns.t", catalog=cat)
+    table_sql(spark, "INSERT INTO ns.t VALUES (1, 'x')", catalog=cat)
+    table_sql(spark, "ALTER TABLE ns.t RENAME TO ns.t3", catalog=cat)
+    table_sql(spark, "DROP TABLE ns.t3 PURGE", catalog=cat)
+    table_sql(spark, "CREATE [OR REPLACE] VIEW ns.v AS SELECT ...", catalog=cat)
+    table_sql(spark, "SELECT ... FROM ns.t@v3 ...", catalog=cat)  # time travel
+
 The grammar is deliberately small and STRICT: anything outside it raises
 ``ValueError`` with the supported shapes, never a silent partial parse.
 ``DELETE``/``UPDATE`` predicates are the same conjunctive ``col op
 literal`` / ``col IN (lit, ...)`` / ``col IS [NOT] NULL`` terms the
 table's ``read``/``delete``/``update`` accept — exactly what manifests
 can plan. ``UPDATE`` maps onto :meth:`HadoopTable.update` (copy-on-write
-row rewrite, serializable). Queries (SELECT) are not routed here:
+row rewrite, serializable). Path-addressed SELECT is not routed here:
 ``spark.read.format("snapshot_table")`` already gives full Spark SQL
-over table reads.
+over a table read; catalog-bound SELECT resolves names/time-travel via
+:meth:`HadoopCatalog.resolve_sql` and runs plain ``spark.sql``.
 
 Reference parity note: the reference app (MaksimBrezho/logparserhelper)
 persists state by whole-file JSON overwrite (utils/json_utils.py:21-27);
@@ -49,13 +66,20 @@ this module is part of the Spark-first table surface replacing it.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 from typing import Any
 
-from .hadoop_table import HadoopTable
+from .catalog import create_table_at
+from .hadoop_table import HadoopTable, NoSuchTable, _local_path
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-_LOC = r"'(?P<loc>[^']+)'"
+# a statement target: quoted path OR (catalog-resolved) dotted identifier
+_LOC = (
+    r"(?:'(?P<loc>[^']+)'"
+    r"|(?P<tid>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*))"
+)
 # column types accepted by ALTER ADD/ALTER COLUMN — Spark DDL strings,
 # possibly parameterized (decimal(10,2), array<float>)
 _TYPE = r"(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*[<(][^)>]*[)>])?)"
@@ -255,7 +279,71 @@ def _find_keyword(text: str, word: str, start: int = 0) -> int:
     return -1
 
 
-def _parse_merge(spark, stmt: str):
+def _match_paren(text: str, open_at: int) -> int:
+    """Index of the ``)`` matching ``text[open_at] == '('``, skipping
+    single-quoted literals. Raises on imbalance."""
+    if text[open_at] != "(":
+        raise ValueError("internal: _match_paren not at a paren")
+    depth = 0
+    i = open_at
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < len(text):
+                if text[i] == "'":
+                    if i + 1 < len(text) and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _target(spark, m: "re.Match", catalog) -> HadoopTable:
+    """The table a matched statement addresses: quoted group -> path,
+    identifier group -> catalog lookup (which validates existence)."""
+    loc = m.group("loc")
+    if loc is not None:
+        return HadoopTable(spark, loc)
+    if catalog is None:
+        raise ValueError(
+            f"bare identifier {m.group('tid')!r} needs a catalog: "
+            "table_sql(spark, stmt, catalog=HadoopCatalog(spark, wh)) "
+            "or quote a path ('/dir/table')"
+        )
+    return catalog.load_table(m.group("tid"))
+
+
+def _target_location(m: "re.Match", catalog) -> str:
+    """Like :func:`_target` but for statements that may CREATE the
+    table (no existence requirement)."""
+    loc = m.group("loc")
+    if loc is not None:
+        return loc
+    if catalog is None:
+        raise ValueError(
+            f"bare identifier {m.group('tid')!r} needs a catalog"
+        )
+    return catalog.location(m.group("tid"))
+
+
+def _resolve_query(spark, sql: str, catalog):
+    """A SELECT/VALUES/WITH query body: catalog identifiers resolved
+    when a catalog is bound, plain Spark SQL otherwise."""
+    if catalog is not None:
+        return spark.sql(catalog.resolve_sql(sql))
+    return spark.sql(sql)
+
+
+def _parse_merge(spark, stmt: str, catalog=None):
     """``MERGE INTO '<loc>' [AS] t USING <view> [AS] s ON t.k = s.k [AND
     ...] WHEN ...`` — maps onto :meth:`HadoopTable.merge`. The source is
     a registered temp view (register the DataFrame first); conditions
@@ -273,7 +361,7 @@ def _parse_merge(spark, stmt: str):
             "ON t.k = s.k [AND ...] WHEN ..."
         )
     ta, sa, view = m.group("ta"), m.group("sa"), m.group("view")
-    loc = m.group("loc")
+    table = _target(spark, m, catalog)
     rest = stmt[m.end():]
     w = _find_keyword(rest, "WHEN")
     if w < 0:
@@ -386,18 +474,213 @@ def _parse_merge(spark, stmt: str):
         if not assigns:
             raise ValueError("UPDATE SET needs at least one assignment")
         when.append(("matched_update", cond, assigns))
-    t = HadoopTable(spark, loc)
-    return t.merge(
-        spark.table(view), on, when, target_alias=ta, source_alias=sa
-    )
+    # the USING source: a catalog table/view name when one resolves,
+    # else a registered Spark temp view (the pre-catalog behavior)
+    if catalog is not None and catalog.table_exists(view):
+        src = catalog.load_table(view).read()
+    elif catalog is not None and catalog.view_exists(view):
+        src = catalog.read_view(view)
+    else:
+        src = spark.table(view)
+    return table.merge(src, on, when, target_alias=ta, source_alias=sa)
 
 
-def table_sql(spark, statement: str) -> Any:
-    """Execute one statement against a path-addressed snapshot table.
-    Returns whatever the underlying API returns (a Snapshot for commits,
-    a list for expiry/vacuum, a dict for maintain, None for a no-op
-    delete)."""
+def table_sql(spark, statement: str, catalog=None) -> Any:
+    """Execute one statement against a path-addressed snapshot table —
+    or, with ``catalog=HadoopCatalog(...)``, against NAME-addressed
+    tables (every ``'<loc>'`` position also accepts a dotted identifier,
+    and the namespace/table/view lifecycle statements plus SELECT become
+    available). Returns whatever the underlying API returns (a Snapshot
+    for commits, a DataFrame for queries/SHOW, a list for expiry/vacuum,
+    a dict for maintain, None for a no-op delete)."""
     stmt = statement.strip().rstrip(";").strip()
+
+    _DOTTED = rf"{_IDENT}(?:\.{_IDENT})*"
+
+    def _need_catalog():
+        if catalog is None:
+            raise ValueError(
+                "this statement needs a catalog: "
+                "table_sql(spark, stmt, catalog=HadoopCatalog(spark, wh))"
+            )
+        return catalog
+
+    if re.match(r"(?i)(?:SELECT|WITH)\b", stmt):
+        if catalog is None:
+            raise ValueError(
+                "SELECT needs a catalog for name resolution — "
+                "table_sql(spark, stmt, catalog=HadoopCatalog(spark, wh)); "
+                "for path-addressed reads use "
+                'spark.read.format("snapshot_table").load(path) instead'
+            )
+        return catalog._run_sql(stmt)
+
+    m = re.fullmatch(
+        rf"(?i)(?P<op>CREATE|DROP)\s+NAMESPACE\s+(?P<ns>{_DOTTED})", stmt
+    )
+    if m:
+        c = _need_catalog()
+        if m.group("op").upper() == "CREATE":
+            c.create_namespace(m.group("ns"))
+        else:
+            c.drop_namespace(m.group("ns"))
+        return None
+
+    m = re.fullmatch(
+        rf"(?i)SHOW\s+(?P<kind>NAMESPACES|TABLES|VIEWS)"
+        rf"(?:\s+IN\s+(?P<ns>{_DOTTED}))?",
+        stmt,
+    )
+    if m:
+        c = _need_catalog()
+        ns = m.group("ns") or ()
+        kind = m.group("kind").upper()
+        if kind == "NAMESPACES":
+            return [".".join(p) for p in c.list_namespaces(ns)]
+        if kind == "TABLES":
+            return c.list_tables(ns)
+        return c.list_views(ns)
+
+    m = re.match(rf"(?is)CREATE\s+TABLE\s+{_LOC}\s*\(", stmt)
+    if m:
+        close = _match_paren(stmt, m.end() - 1)
+        cols_ddl = stmt[m.end():close].strip()
+        tail = stmt[close + 1:].strip()
+        parts_list = None
+        props = None
+        pm = re.match(
+            r"(?is)PARTITIONED\s+BY\s*\((?P<parts>[^)]+)\)\s*(?P<rest>.*)",
+            tail,
+        )
+        if pm:
+            parts_list = [
+                p.strip() for p in pm.group("parts").split(",") if p.strip()
+            ]
+            tail = pm.group("rest").strip()
+        if tail:
+            tm = re.fullmatch(
+                r"(?is)TBLPROPERTIES\s*\((?P<pairs>.+)\)", tail
+            )
+            if not tm:
+                raise ValueError(
+                    f"unsupported CREATE TABLE tail {tail!r}; supported: "
+                    "[PARTITIONED BY (...)] [TBLPROPERTIES (...)]"
+                )
+            props = _parse_prop_pairs(tm.group("pairs"))
+        if catalog is not None and m.group("tid"):
+            return catalog.create_table(
+                m.group("tid"), cols_ddl,
+                partition_by=parts_list, properties=props,
+            )
+        return create_table_at(
+            spark, _target_location(m, catalog), cols_ddl,
+            partition_by=parts_list, properties=props,
+        )
+
+    m = re.match(
+        rf"(?is)CREATE\s+TABLE\s+{_LOC}\s+"
+        rf"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]+)\)\s+)?"
+        rf"AS\s+(?P<q>(?:SELECT|WITH|VALUES)\b.*)",
+        stmt,
+    )
+    if m:
+        df = _resolve_query(spark, m.group("q"), catalog)
+        parts_list = (
+            [p.strip() for p in m.group("parts").split(",") if p.strip()]
+            if m.group("parts")
+            else None
+        )
+        if catalog is not None and m.group("tid"):
+            return catalog.create_table(
+                m.group("tid"), data=df, partition_by=parts_list
+            )
+        return create_table_at(
+            spark, _target_location(m, catalog), data=df,
+            partition_by=parts_list,
+        )
+
+    m = re.fullmatch(
+        rf"(?is)DROP\s+TABLE\s+{_LOC}(?P<purge>\s+PURGE)?", stmt
+    )
+    if m:
+        if not m.group("purge"):
+            raise ValueError(
+                "DROP TABLE deletes the table directory (data included) "
+                "in a filesystem catalog; write DROP TABLE ... PURGE to "
+                "confirm"
+            )
+        if m.group("tid"):
+            _need_catalog().drop_table(m.group("tid"), purge=True)
+            return None
+        t = _target(spark, m, catalog)
+        if not t.exists():
+            raise NoSuchTable(m.group("loc"))
+        shutil.rmtree(t.root)
+        return None
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+{_LOC}\s+RENAME\s+TO\s+"
+        rf"(?:'(?P<dloc>[^']+)'|(?P<dtid>{_DOTTED}))",
+        stmt,
+    )
+    if m:
+        if m.group("tid") and m.group("dtid") and catalog is not None:
+            catalog.rename_table(m.group("tid"), m.group("dtid"))
+            return None
+        if m.group("dtid") and catalog is None:
+            raise ValueError("bare identifier destination needs a catalog")
+        t = _target(spark, m, catalog)
+        if not t.exists():
+            raise NoSuchTable(t.location)
+        dst = (
+            catalog.location(m.group("dtid"))
+            if m.group("dtid")
+            else _local_path(m.group("dloc"))
+        )
+        if os.path.exists(dst):
+            raise ValueError(f"rename destination {dst!r} exists")
+        os.rename(t.root, dst)
+        return None
+
+    m = re.fullmatch(
+        rf"(?is)CREATE\s+(?P<repl>OR\s+REPLACE\s+)?VIEW\s+"
+        rf"(?P<vid>{_DOTTED})\s+AS\s+(?P<q>.+)",
+        stmt,
+    )
+    if m:
+        return _need_catalog().create_view(
+            m.group("vid"), m.group("q").strip(),
+            replace=bool(m.group("repl")),
+        )
+
+    m = re.fullmatch(rf"(?i)DROP\s+VIEW\s+(?P<vid>{_DOTTED})", stmt)
+    if m:
+        _need_catalog().drop_view(m.group("vid"))
+        return None
+
+    m = re.match(
+        rf"(?is)INSERT\s+INTO\s+{_LOC}\s+"
+        rf"(?P<q>(?:SELECT|WITH|VALUES|TABLE)\b.*)",
+        stmt,
+    )
+    if m:
+        t = _target(spark, m, catalog)
+        df = _resolve_query(spark, m.group("q"), catalog)
+        cur = t._empty_schema(t.snapshot())
+        if len(df.columns) != len(cur.fields):
+            raise ValueError(
+                f"INSERT INTO: query produces {len(df.columns)} columns, "
+                f"table has {len(cur.fields)}"
+            )
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, cur.fields)
+            ]
+        )
+        return t.append(df)
 
     m = re.fullmatch(
         rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+RENAME\s+COLUMN\s+"
@@ -405,7 +688,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         return t.rename_column(m.group("old"), m.group("new"))
 
     m = re.fullmatch(
@@ -415,7 +698,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         default = (
             _literal(m.group("default"))
             if m.group("default") is not None
@@ -428,7 +711,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        return HadoopTable(spark, m.group("loc")).drop_column(m.group("col"))
+        return _target(spark, m, catalog).drop_column(m.group("col"))
 
     m = re.fullmatch(
         rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+ALTER\s+COLUMN\s+"
@@ -436,7 +719,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         return t.widen_column(m.group("col"), m.group("type"))
 
     m = re.fullmatch(
@@ -445,7 +728,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         return t.set_properties(_parse_prop_pairs(m.group("pairs")))
 
     m = re.fullmatch(
@@ -462,7 +745,7 @@ def table_sql(spark, statement: str) -> Any:
             k.replace("''", "'")
             for k in re.findall(r"'((?:[^']|'')*)'", m.group("keys"))
         ]
-        return HadoopTable(spark, m.group("loc")).unset_properties(*keys)
+        return _target(spark, m, catalog).unset_properties(*keys)
 
     m = re.fullmatch(
         rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+CREATE\s+"
@@ -471,7 +754,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         if m.group("kind").upper() == "TAG":
             v = int(m.group("v")) if m.group("v") else None
             t.create_tag(m.group("name"), version=v)
@@ -490,7 +773,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         if m.group("kind").upper() == "TAG":
             t.drop_tag(m.group("name"))
         else:
@@ -501,7 +784,7 @@ def table_sql(spark, statement: str) -> Any:
         rf"(?i)DELETE\s+FROM\s+{_LOC}\s+WHERE\s+(?P<pred>.+)", stmt
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         return t.delete(_parse_predicate(m.group("pred")))
 
     m = re.fullmatch(
@@ -509,11 +792,11 @@ def table_sql(spark, statement: str) -> Any:
     )
     if m:
         sets, pred = _split_where(m.group("rest"))
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         return t.update(_parse_predicate(pred), _parse_assignments(sets))
 
     if re.match(r"(?i)MERGE\s+INTO\b", stmt):
-        return _parse_merge(spark, stmt)
+        return _parse_merge(spark, stmt, catalog)
 
     m = re.fullmatch(
         rf"(?i)CALL\s+(?:system\s*\.\s*)?(?P<proc>{_IDENT})\s*"
@@ -521,7 +804,7 @@ def table_sql(spark, statement: str) -> Any:
         stmt,
     )
     if m:
-        t = HadoopTable(spark, m.group("loc"))
+        t = _target(spark, m, catalog)
         kwargs: dict[str, Any] = {}
         for part in m.group("args").split(","):
             part = part.strip()
@@ -569,15 +852,23 @@ def table_sql(spark, statement: str) -> Any:
 
     m = re.fullmatch(rf"(?i)VACUUM\s+{_LOC}", stmt)
     if m:
-        return HadoopTable(spark, m.group("loc")).cleanup_orphans()
+        return _target(spark, m, catalog).cleanup_orphans()
 
     raise ValueError(
-        "unsupported statement; supported: ALTER TABLE '<loc>' "
+        "unsupported statement; supported: ALTER TABLE <t> "
         "RENAME COLUMN a TO b | ADD COLUMN x <type> [DEFAULT lit] | "
         "DROP COLUMN x | ALTER COLUMN x TYPE <type> | SET/UNSET "
         "TBLPROPERTIES (...) | CREATE/DROP BRANCH b | CREATE TAG tg "
-        "[AS OF VERSION n] | DROP TAG tg; DELETE FROM '<loc>' WHERE ...; "
-        "UPDATE '<loc>' SET col = lit [, ...] WHERE ...; "
-        "MERGE INTO '<loc>' t USING <view> s ON t.k = s.k WHEN ...; "
-        "CALL <proc>('<loc>' [, name => value ...]); VACUUM '<loc>'"
+        "[AS OF VERSION n] | DROP TAG tg | RENAME TO <t2>; "
+        "DELETE FROM <t> WHERE ...; "
+        "UPDATE <t> SET col = lit [, ...] WHERE ...; "
+        "MERGE INTO <t> t USING <view> s ON t.k = s.k WHEN ...; "
+        "CALL <proc>(<t> [, name => value ...]); VACUUM <t>; "
+        "CREATE TABLE <t> (cols) [PARTITIONED BY (...)] "
+        "[TBLPROPERTIES (...)] | CREATE TABLE <t> AS <query>; "
+        "INSERT INTO <t> <query>; DROP TABLE <t> PURGE; "
+        "CREATE/DROP NAMESPACE ns; SHOW NAMESPACES/TABLES/VIEWS [IN ns]; "
+        "CREATE [OR REPLACE] VIEW ns.v AS <query>; DROP VIEW ns.v; "
+        "SELECT ... (catalog-bound). <t> is '<path>' or, with a "
+        "catalog, a dotted identifier"
     )

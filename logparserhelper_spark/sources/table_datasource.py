@@ -894,6 +894,18 @@ class _SnapshotTableStreamWriter(DataSourceStreamWriter, _SnapshotTableWriter):
 class SnapshotTableDataSource(DataSource):
     """``spark.read.format("snapshot_table")`` — see module docstring."""
 
+    def __init__(self, options):
+        super().__init__(options)
+        # catalog addressing: .option("warehouse", dir).load("ns.tbl") —
+        # the identifier maps to a path once, HERE, so every reader/
+        # writer (and their worker-side partitions) sees a plain path.
+        wh = self.options.get("warehouse")
+        p = self.options.get("path")
+        if wh and p:
+            from logparserhelper_spark.sinks.catalog import ident_location
+
+            self.options["path"] = ident_location(wh, p)
+
     @classmethod
     def name(cls) -> str:
         return SOURCE_NAME

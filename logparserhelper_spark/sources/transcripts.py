@@ -37,6 +37,29 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
       catalog; not available in the sandbox image)."""
     if path_or_table.startswith("iceberg:"):
         return spark.read.table(path_or_table.split(":", 1)[1])
+    if path_or_table.startswith("catalog:"):
+        # ``catalog:<warehouse>:<ns.tbl>[@vN|@ref:name]`` — filesystem-
+        # catalog addressing (sinks/catalog.py); maps the identifier to
+        # its warehouse path and falls through to the ``table:`` branch
+        # (identifier parts are validated, so they can never traverse
+        # outside the warehouse)
+        from logparserhelper_spark.sinks.catalog import ident_location
+
+        import re
+
+        rest = path_or_table.split(":", 1)[1]
+        wh, _, ident = rest.rpartition(":")
+        if not wh:
+            raise ValueError(
+                "catalog source is catalog:<warehouse>:<ns.tbl>[@vN]"
+            )
+        m = re.search(r"(@v\d+|@ref:[A-Za-z0-9._-]+)$", ident)
+        suffix = m.group(1) if m else ""
+        if m:
+            ident = ident[: m.start()]
+        return read_transcripts(
+            spark, "table:" + ident_location(wh, ident) + suffix
+        )
     if path_or_table.startswith("table:"):
         # the snapshot-table shim (sinks/hadoop_table.py): the executable
         # stand-in for the Iceberg input table — manifest-planned scan,

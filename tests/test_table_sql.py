@@ -87,7 +87,9 @@ def test_delete_and_procedures(spark, tmp_path):
 def test_strict_grammar(spark, tmp_path):
     loc = str(tmp_path / "t")
     _mk(spark, loc)
-    with pytest.raises(ValueError, match="unsupported statement"):
+    # SELECT is catalog-only (name resolution); path users are steered
+    # to the DataSource
+    with pytest.raises(ValueError, match="catalog"):
         table_sql(spark, f"SELECT * FROM '{loc}'")
     with pytest.raises(ValueError, match="unsupported"):
         table_sql(spark, f"DELETE FROM '{loc}' WHERE k = 1 OR k = 2")
