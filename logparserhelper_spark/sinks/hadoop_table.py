@@ -500,6 +500,34 @@ def _physical_name(f: "DataFile", col: str, cur_ids: dict[str, int]) -> str | No
     return None
 
 
+def _physical_nested(
+    f: "DataFile", col: str, cur_ids: dict[str, int]
+) -> str | None:
+    """The physical dotted footer path inside data file ``f`` for the
+    CURRENT-schema nested path ``col`` (struct chain) — None when the
+    file predates the inner field or its parent column. File manifests
+    record each top-level column's nested ids as a RELATIVE dotted map
+    (``{"lang": 4}`` under ``props``), so the translation is parent id
+    -> physical parent name, then inner id -> physical relative path."""
+    top, rel = col.split(".", 1)
+    top_id, fid = cur_ids.get(top), cur_ids.get(col)
+    if top_id is None or fid is None:
+        return None
+    for c in f.columns or []:
+        if c.get("id") == top_id:
+            if "ids" not in c:
+                # pre-mint annotation: nested ids are minted by the
+                # FIRST nested DDL, so this file's inner names cannot
+                # have been renamed — relative names map verbatim (only
+                # the parent may carry a top-level rename)
+                return c["name"] + "." + rel
+            for rname, rid in (c.get("ids") or {}).items():
+                if rid == fid:
+                    return c["name"] + "." + rname
+            return None
+    return None
+
+
 def _rename_map(f: "DataFile", cur_ids: dict[str, int]) -> dict[str, str]:
     """Physical -> current column names for one annotated data file (the
     worker-side projection the Python data source applies before
@@ -561,12 +589,63 @@ def _file_pred_match(
     terms = []
     for term in pred:  # null-check terms are 2-tuples (no value)
         col, op = term[0], term[1]
-        if cur_ids.get(col) is None or "." in col:
-            # unknown name, a derived partition value, or a NESTED path
-            # (nested ids exist in the map but files manifest only
-            # top-level columns — translating would misread "predates
-            # the column"): keep the term name-based, where missing
-            # stats keep the file
+        if "." in col:
+            # NESTED struct path: exact id translation via the file's
+            # relative nested-id maps. Legacy manifests map by name
+            # (tables that never ran a DDL op), unknown names stay
+            # name-based (missing stats keep the file).
+            fid = cur_ids.get(col)
+            if f.columns is None or fid is None:
+                terms.append(tuple(term))
+                continue
+            pn = _physical_nested(f, col, cur_ids)
+            if pn is not None:
+                terms.append((pn, op) + tuple(term[2:]))
+                continue
+            # the file PREDATES the inner field (or its parent struct).
+            dv = (defaults or {}).get(fid)
+            if dv is None:
+                # no default: the path reads NULL in every row — whether
+                # the parent struct predates too (null struct -> null
+                # inner) or only the inner field does. Decidable:
+                if op == "is_null":
+                    continue
+                return False
+            # predates WITH a v3 default: rows under a non-null parent
+            # read dv, parent-null rows read NULL — NOT constant, so
+            # only the "dv provably cannot satisfy" direction prunes
+            # (NULL never satisfies a comparison either); null-test
+            # terms keep the file (the parent-null fraction is unknown).
+            if op in ("is_null", "is_not_null"):
+                continue
+            if op == "in":
+                vals = term[2]
+                if any(_stat_kind(m) != _stat_kind(dv) for m in vals):
+                    continue  # cross-kind member: keep the file
+                try:
+                    hold = any(dv == m for m in vals)
+                except TypeError:
+                    continue
+                if not hold:
+                    return False  # incl. the empty IN list
+                continue
+            v = term[2]
+            if _stat_kind(dv) != _stat_kind(v):
+                continue  # cross-kind compare: keep the file
+            try:
+                hold = {
+                    "=": dv == v, "==": dv == v,
+                    "<": dv < v, "<=": dv <= v,
+                    ">": dv > v, ">=": dv >= v,
+                }[op]
+            except TypeError:
+                continue  # incomparable types: keep the file
+            if not hold:
+                return False
+            continue
+        if cur_ids.get(col) is None:
+            # unknown name or a derived partition value: keep the term
+            # name-based, where missing stats keep the file
             terms.append(tuple(term))
             continue
         pn = _physical_name(f, col, cur_ids)
@@ -673,13 +752,48 @@ def _lift_date(encoded: Any) -> Any:
     return None if encoded is None else f"{encoded}T00:00:00.000000"
 
 
+def _struct_leaf_paths(schema_arrow) -> set[str]:
+    """Dotted footer paths of every leaf reachable through STRUCT
+    nesting only. List/map/union legs are excluded — their parquet leaf
+    paths carry synthetic segments (``arr.list.element``) and a
+    predicate cannot address their elements as a scalar column — and
+    the walk (not a string test on '.') keeps a struct field literally
+    named ``list`` harvestable."""
+    import pyarrow as pa
+
+    out: set[str] = set()
+
+    def walk(field, prefix: str) -> None:
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                walk(t.field(i), prefix + field.name + ".")
+        elif not (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+            or pa.types.is_map(t)
+            or pa.types.is_union(t)
+        ):
+            out.add(prefix + field.name)
+
+    for f in schema_arrow:
+        walk(f, "")
+    return out
+
+
 def _collect_stats(pf, stats_columns: list[str] | None):
     """Aggregate per-column min/max/null_count across a parquet file's row
     groups (the footer is already open — metrics are free, the same place
-    Iceberg harvests them). Only top-level leaf columns; a row group with
-    non-null values but no usable bounds invalidates that bound for the
-    whole file (an all-null group merely contributes nulls)."""
+    Iceberg harvests them). Top-level leaves AND struct-nested leaves
+    (dotted footer paths — a nested leaf's null count includes rows whose
+    parent struct is null, exactly the semantics the evaluator needs);
+    list/map elements are not addressable by a predicate and are skipped.
+    A row group with non-null values but no usable bounds invalidates
+    that bound for the whole file (an all-null group merely contributes
+    nulls)."""
     md = pf.metadata
+    eligible = _struct_leaf_paths(pf.schema_arrow)
     per: dict[str, dict[str, Any]] = {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
@@ -687,7 +801,7 @@ def _collect_stats(pf, stats_columns: list[str] | None):
         for ci in range(rg.num_columns):
             c = rg.column(ci)
             name = c.path_in_schema
-            if "." in name:  # nested leaf (list/struct element): skip
+            if name not in eligible:
                 continue
             if stats_columns is not None and name not in stats_columns:
                 continue
@@ -977,6 +1091,26 @@ def _bloom_absent(bloom: dict[str, Any] | None, raw: Any) -> bool:
     )
 
 
+def _arrow_nested_field(schema_arrow, dotted: str):
+    """The arrow field a (possibly dotted) column path names, walking
+    STRUCT nesting only — None when any segment is missing or an
+    intermediate is not a struct."""
+    import pyarrow as pa
+
+    parts = dotted.split(".")
+    if parts[0] not in schema_arrow.names:
+        return None
+    fld = schema_arrow.field(parts[0])
+    for seg in parts[1:]:
+        if not pa.types.is_struct(fld.type):
+            return None
+        idx = fld.type.get_field_index(seg)
+        if idx < 0:
+            return None
+        fld = fld.type.field(idx)
+    return fld
+
+
 def _harvest_blooms(
     pf, bloom_cols: list[str], bloom_bits: int
 ) -> dict[str, dict[str, Any]]:
@@ -997,10 +1131,12 @@ def _harvest_blooms(
     for c in bloom_cols:
         # identity-partition columns live in the directory, not the
         # file bytes; unknown names are a no-op (Iceberg's property is
-        # advisory the same way)
-        if c not in pf.schema_arrow.names:
+        # advisory the same way). Dotted names address struct-nested
+        # leaves (same path grammar as the stats/predicate surface).
+        fld = _arrow_nested_field(pf.schema_arrow, c)
+        if fld is None:
             continue
-        at = pf.schema_arrow.field(c).type
+        at = fld.type
         if not (
             (pa.types.is_integer(at) and not pa.types.is_boolean(at))
             or pa.types.is_string(at)
@@ -1013,7 +1149,13 @@ def _harvest_blooms(
         kind: str | None = None
         saturated = False
         for batch in pf.iter_batches(columns=[c], batch_size=65536):
-            for v in batch.column(0).unique().to_pylist():
+            arr = batch.column(0)
+            for seg in c.split(".")[1:]:
+                # drill the pruned struct down to the leaf; positions
+                # under a null parent may surface child values — extra
+                # bloom keys only weaken pruning, never corrupt it
+                arr = arr.field(seg)
+            for v in arr.unique().to_pylist():
                 if v is None:
                     continue
                 bk = _bloom_key(v)
@@ -1053,6 +1195,8 @@ def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
     """Metrics-based file skipping (Iceberg planner's evaluator): False
     only when some conjunct is PROVABLY false for every row in the file —
     unknown bounds, missing stats, or incomparable types keep the file."""
+    if f.records == 0 and pred:
+        return False  # an empty file satisfies no predicate
     for term in pred:
         col, op = term[0], term[1]
         if op == "in" and not term[2]:
@@ -2218,7 +2362,10 @@ class HadoopTable:
     def rename_column(self, old: str, new: str) -> Snapshot:
         """``ALTER TABLE RENAME COLUMN`` — metadata-only; every file's
         data is found under the new name via its field id."""
-        if not new or "/" in new or "=" in new:
+        if not new or "/" in new or "=" in new or "." in new:
+            # a '.' in the NEW name would collide with the dotted
+            # nested-path grammar everywhere (DDL, predicates, stats) —
+            # nested renames take the bare inner name
             raise ValueError(f"rename_column: invalid name {new!r}")
 
         def _rekey(ids, old_path, new_path):
