@@ -32,7 +32,8 @@ catalog are substituted (longest dotted prefix wins, so ``ns.t.col``
 resolves ``ns.t`` and keeps ``.col``), string literals and backquoted
 identifiers are masked first, and an unresolvable name is left for Spark
 to bind (temp views, CTEs). Time travel uses the same anchored suffixes
-as the pipeline source: ``ns.t@v3`` / ``ns.t@ref:audit``.
+as the pipeline source: ``ns.t@v3`` / ``ns.t@ref:audit`` /
+``ns.t@ts:<epoch-ms|iso>`` (``TIMESTAMP AS OF``).
 
 Reference parity note: the reference app (MaksimBrezho/logparserhelper)
 has no multi-dataset management at all — its one persistence unit is a
@@ -57,7 +58,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .hadoop_table import HadoopTable, NoSuchTable, _local_path
 
 _PART_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-_TT_RE = re.compile(r"^(?:@v(?P<v>\d+)|@ref:(?P<ref>[A-Za-z0-9._-]+))$")
 
 
 class NoSuchNamespace(Exception):
@@ -435,24 +435,27 @@ class HadoopCatalog:
         version: int | None,
         ref: str | None,
         _seen: frozenset,
+        at_ms: str | None = None,
     ) -> str:
         """Register (once per distinct target) a temp view over the
         table snapshot / view and return its name."""
         key = hashlib.sha1(
             json.dumps(
-                [self.warehouse, list(parts), version, ref]
+                [self.warehouse, list(parts), version, ref, at_ms]
             ).encode()
         ).hexdigest()[:16]
         name = f"lph_cat_{key}"
         path = self._path(parts)
         if self._is_table_dir(path):
-            df = HadoopTable(self.spark, path).read(version=version, ref=ref)
+            df = HadoopTable(self.spark, path).read(
+                version=version, ref=ref, at_ms=at_ms
+            )
         else:  # view (caller checked one of the two)
             if parts in _seen:
                 raise ValueError(
                     f"view cycle through {'.'.join(parts)}"
                 )
-            if version is not None or ref is not None:
+            if version is not None or ref is not None or at_ms is not None:
                 raise ValueError(
                     "time-travel suffixes apply to tables, not views"
                 )
@@ -494,16 +497,17 @@ class HadoopCatalog:
 
         body = re.sub(r"'(?:[^']|'')*'|`[^`]*`", _mask, sql)
 
-        def _try(parts: tuple[str, ...], v, r) -> str | None:
+        def _try(parts: tuple[str, ...], v, r, ts=None) -> str | None:
             p = self._path(parts)
             if self._is_table_dir(p) or self._is_view_dir(p):
-                return self._bind(parts, v, r, _seen)
+                return self._bind(parts, v, r, _seen, at_ms=ts)
             return None
 
         def _sub_dotted(m: re.Match) -> str:
             tok = m.group("ident")
             v = int(m.group("v")) if m.group("v") else None
             r = m.group("ref")
+            ts = m.group("ts")
             parts = tuple(tok.split("."))
             try:
                 split_ident(parts)
@@ -511,18 +515,18 @@ class HadoopCatalog:
                 return m.group(0)
             for cut in range(len(parts), 1, -1):
                 # time travel belongs to the FULL token only
-                tv, tr = (v, r) if cut == len(parts) else (None, None)
-                name = _try(parts[:cut], tv, tr)
+                tv, tr, tt = (v, r, ts) if cut == len(parts) else (None,) * 3
+                name = _try(parts[:cut], tv, tr, tt)
                 if name is not None:
                     rest = "".join("." + p for p in parts[cut:])
-                    if rest and (v is not None or r is not None):
+                    if rest and (v is not None or r is not None or ts is not None):
                         return m.group(0)  # suffix on a column ref: leave
                     return name + rest
             return m.group(0)
 
         body = re.sub(
             r"(?<![\w.\x00])(?P<ident>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
-            r"(?:@v(?P<v>\d+)|@ref:(?P<ref>[A-Za-z0-9._-]+))?(?![\w.(])",
+            r"(?:@v(?P<v>\d+)|@ref:(?P<ref>[A-Za-z0-9._-]+)|@ts:(?P<ts>[0-9TZ:.+-]+))?(?![\w.(])",
             _sub_dotted,
             body,
         )
@@ -543,14 +547,14 @@ class HadoopCatalog:
             v = int(m.group("v")) if m.group("v") else None
             r = m.group("ref")
             # dns + (tok,) with an empty dns IS the warehouse-root lookup
-            name = _try(dns + (tok,), v, r)
+            name = _try(dns + (tok,), v, r, m.group("ts"))
             if name is None:
                 return m.group(0)
             return m.group("kw") + name
 
         body = re.sub(
             r"(?P<kw>\b(?:FROM|JOIN)\s+)(?P<ident>[A-Za-z_]\w*)"
-            r"(?:@v(?P<v>\d+)|@ref:(?P<ref>[A-Za-z0-9._-]+))?(?![\w.(])",
+            r"(?:@v(?P<v>\d+)|@ref:(?P<ref>[A-Za-z0-9._-]+)|@ts:(?P<ts>[0-9TZ:.+-]+))?(?![\w.(])",
             _sub_bare,
             body,
             flags=re.IGNORECASE,

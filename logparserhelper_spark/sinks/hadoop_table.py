@@ -120,6 +120,28 @@ def _fault(point: str) -> None:
         os.kill(os.getpid(), signal.SIGKILL)
 
 
+def _parse_ts_ms(v: "int | str") -> int:
+    """Epoch millis from an int, a digit string, or ISO-8601 (naive =
+    UTC — the session timezone everywhere in this repo)."""
+    if isinstance(v, int):
+        return v
+    s = str(v).strip()
+    if s.isdigit():
+        return int(s)
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"timestamp {v!r}: epoch millis or ISO-8601 "
+            "(2024-01-05T12:00:00)"
+        )
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _local_path(location: str) -> str:
     """Filesystem path for a table location (bare path or file:// URI)."""
     if location.startswith("file:"):
@@ -1899,6 +1921,31 @@ class HadoopTable:
             raise ValueError(f"no such ref {ref!r} on table {self.location}")
         return int(r["version"])
 
+    def version_at(self, ts_ms: "int | str") -> int:
+        """The snapshot current AS OF a wall-clock instant (Iceberg's
+        ``TIMESTAMP AS OF``): the latest retained version whose commit
+        timestamp is <= ``ts_ms`` (epoch millis, or an ISO-8601 string —
+        naive times are UTC). Reads only metadata headers, never
+        manifests. Raises when the instant predates the first retained
+        snapshot (expiry can shorten the answerable window — same as
+        Iceberg)."""
+        ts = _parse_ts_ms(ts_ms)
+        best: int | None = None
+        for v in self.versions():
+            try:
+                with open(self._meta_path(v)) as f:
+                    d = json.load(f)
+            except FileNotFoundError:
+                continue  # expired between listing and read
+            if d["timestamp_ms"] <= ts:
+                best = v  # versions() is ascending: last hit wins
+        if best is None:
+            raise NoSuchTable(
+                f"{self.location} has no retained snapshot at/before "
+                f"{ts} ms (first retained is later, or never existed)"
+            )
+        return best
+
     def create_tag(self, name: str, version: int | None = None) -> None:
         """Pin a snapshot under an immutable name (Iceberg ``CREATE TAG``):
         ``read(ref=name)`` time-travels to it, and expire_snapshots keeps
@@ -2718,6 +2765,123 @@ class HadoopTable:
             # silent retry
             self._publish(new, version, carry=(head,))
             return self.snapshot(version)
+
+    def cherry_pick(
+        self, version: int, from_branch: str | None = None
+    ) -> Snapshot:
+        """Apply ONE append snapshot's added files onto the CURRENT head
+        as a new append commit (Iceberg ``cherrypick_snapshot`` — the
+        WAP publish that still works after main advanced, where
+        :meth:`fast_forward` must refuse). ``from_branch`` resolves
+        ``version`` in that branch's chain; otherwise it names a main-
+        chain snapshot (e.g. one rolled back past).
+
+        Append-only, exactly like Iceberg's cherrypick restriction:
+        replace/delete/compaction snapshots bake in assumptions about
+        the table state they saw, so re-applying them elsewhere could
+        resurrect or drop rows. Guards (each re-checked per optimistic
+        retry): the source and head must share an id EPOCH (file column
+        ids are only comparable within one), the partition spec must be
+        unchanged (the entries' dir tuples are reused verbatim), and
+        every column id the files carry must still exist in the head
+        schema (a branch-side ADD would otherwise silently drop that
+        column's data on main — head-side evolution is fine, reads
+        project by id). Re-picking the same snapshot is an idempotent
+        no-op; a PARTIAL overlap refuses."""
+        src_t = self.branch(from_branch) if from_branch else self
+        s = src_t.snapshot(version)
+        if s.operation not in ("append",):
+            raise ValueError(
+                f"cherry_pick: v{version} is {s.operation!r}; only "
+                "append snapshots can be re-applied safely"
+            )
+        parent_files = (
+            {f.path for f in src_t.snapshot(s.parent).files}
+            if s.parent is not None
+            else set()
+        )
+        delta = [f for f in s.files if f.path not in parent_files]
+        if not delta:
+            return self.snapshot()  # empty append: nothing to apply
+        if any(f.content != "data" for f in delta):
+            raise ValueError(
+                "cherry_pick: the source append added delete files; "
+                "re-applying those elsewhere is not well-defined"
+            )
+        while True:
+            head = self.snapshot()
+            have = {f.path for f in head.files}
+            if all(f.path in have for f in delta):
+                return head  # already applied: idempotent
+            if any(f.path in have for f in delta):
+                raise CommitConflict(
+                    "cherry_pick: some of the snapshot's files are "
+                    "already in the current head (partial overlap)"
+                )
+            if _schema_epoch(s.schema_json) != _schema_epoch(
+                head.schema_json
+            ):
+                raise ValueError(
+                    "cherry_pick: source and head schemas are from "
+                    "different id epochs (an overwrite_all restarted the "
+                    "id space); file ids are not comparable across them"
+                )
+            if spec_to_json(s.spec) != spec_to_json(head.spec):
+                raise ValueError(
+                    "cherry_pick: the partition spec changed since the "
+                    "source snapshot; its files' directory layout no "
+                    "longer matches the table's"
+                )
+            head_ids = set(_schema_ids(head.schema_json)[0].values())
+            for f in delta:
+                for c in f.columns or ():
+                    missing = (
+                        c.get("id") is not None
+                        and c["id"] not in head_ids
+                    ) or any(
+                        rid not in head_ids
+                        for rid in (c.get("ids") or {}).values()
+                    )
+                    if missing:
+                        raise ValueError(
+                            f"cherry_pick: file {f.path} carries column "
+                            f"{c['name']!r} with a field id unknown to "
+                            "the current schema; its data would be "
+                            "silently dropped"
+                        )
+            new_version = head.version + 1
+            staged = [_dc_replace(e, seq=new_version) for e in delta]
+            summary = self._inherited_summary(head, None)
+            summary.update(
+                {
+                    "cherry-picked-from": (
+                        f"{from_branch}@v{version}"
+                        if from_branch
+                        else f"v{version}"
+                    ),
+                    "added_files": len(staged),
+                    "kept_files": len(head.files),
+                    "added_records": sum(e.records for e in staged),
+                }
+            )
+            new = Snapshot(
+                version=new_version,
+                parent=head.version,
+                operation="append",
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=head.schema_json,
+                partition_cols=head.partition_cols,
+                partition_spec=head.spec,
+                files=list(head.files) + staged,
+                summary=summary,
+                properties=dict(head.properties),
+            )
+            summary["total_records"] = new.total_records
+            try:
+                self._publish(new, new_version, carry=(head,))
+                return self.snapshot(new_version)
+            except CommitConflict:
+                continue  # racing commit: recompose against the new head
 
     def branches(self) -> list[str]:
         d = os.path.join(self._main_meta_dir, "branches")
@@ -3730,11 +3894,14 @@ class HadoopTable:
         partition_filter: dict[str, Any] | None = None,
         predicate: list[tuple] | None = None,
         ref: str | None = None,
+        at_ms: "int | str | None" = None,
     ) -> DataFrame:
-        """Snapshot read (time travel via ``version`` or a named ``ref``
+        """Snapshot read (time travel via ``version``, a named ``ref``
         — a tag pinned with :meth:`create_tag`, or a BRANCH name, which
         reads that branch's current head, matching Iceberg's unified
-        branch-or-tag ref resolution). ``partition_filter``
+        branch-or-tag ref resolution — or ``at_ms``, a wall-clock
+        instant resolved through :meth:`version_at`, Iceberg's
+        ``TIMESTAMP AS OF``). ``partition_filter``
         prunes at the MANIFEST level — non-matching files never reach the
         scan, the shim-scale analogue of Iceberg's planner pruning.
         ``predicate`` — conjunctive ``(col, op, value)`` terms, ops ``=
@@ -3744,6 +3911,10 @@ class HadoopTable:
         applied to the returned rows, so the result is exactly the
         filtered table no matter how much pruning achieved. Row-level
         delete files (merge-on-read) are applied automatically."""
+        if at_ms is not None:
+            if version is not None or ref is not None:
+                raise ValueError("pass exactly one of version/ref/at_ms")
+            version = self.version_at(at_ms)
         if ref is not None:
             if version is not None:
                 raise ValueError("pass version OR ref, not both")

@@ -824,6 +824,8 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
             "rewrite_position_delete_files": t.rewrite_delete_files,
             "rewrite_delete_files": t.rewrite_delete_files,
             "fast_forward": t.fast_forward,
+            "cherrypick_snapshot": t.cherry_pick,
+            "cherry_pick": t.cherry_pick,
             "add_files": t.add_files,
             "compact": t.compact,
             "expire_snapshots": t.expire_snapshots,

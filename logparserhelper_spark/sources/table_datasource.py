@@ -420,6 +420,14 @@ class _SnapshotTableReader(DataSourceReader):
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self.ref = options.get("ref")
+        ts = options.get("timestamp_ms")
+        if ts is not None and self.version is None:
+            # TIMESTAMP AS OF: resolve to a concrete version, which then
+            # pins like any other load (schema() does the same; this is
+            # the explicit-schema fallback)
+            from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+            self.version = HadoopTable(None, self.location).version_at(ts)
         if self.version is None:
             # Pin the snapshot ONCE (Iceberg's load-time snapshot
             # pinning). partitions() re-runs at every (re)planning, so
@@ -918,9 +926,12 @@ class SnapshotTableDataSource(DataSource):
         t = HadoopTable(None, self.options.get("path"))
         v = self.options.get("version")
         ref = self.options.get("ref")
+        ts = self.options.get("timestamp_ms")
         version = int(v) if v is not None else None
         if ref is not None:
             version = t._resolve_ref(ref)
+        elif version is None and ts is not None:
+            version = t.version_at(ts)
         snap = t.snapshot(version)
         # pin the resolved snapshot for the reader: schema() runs at load
         # time, so this makes the whole scan read the load-time snapshot

@@ -53,7 +53,9 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
             raise ValueError(
                 "catalog source is catalog:<warehouse>:<ns.tbl>[@vN]"
             )
-        m = re.search(r"(@v\d+|@ref:[A-Za-z0-9._-]+)$", ident)
+        m = re.search(
+            r"(@v\d+|@ref:[A-Za-z0-9._-]+|@ts:[0-9TZ:.+-]+)$", ident
+        )
         suffix = m.group(1) if m else ""
         if m:
             ident = ident[: m.start()]
@@ -73,9 +75,10 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
         loc = path_or_table.split(":", 1)[1]
         version = None
         ref = None
+        at_ms = None
         # the time-travel suffix must be ANCHORED (@v<digits> /
-        # @ref:<name> at end): a path merely containing '@v'
-        # (user@vm01/...) is a path, not a version reference
+        # @ref:<name> / @ts:<epoch-ms|iso> at end): a path merely
+        # containing '@v' (user@vm01/...) is a path, not a reference
         m = re.search(r"@v(\d+)$", loc)
         if m:
             loc = loc[: m.start()]
@@ -85,7 +88,14 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
             if m:
                 loc = loc[: m.start()]
                 ref = m.group(1)
-        df = HadoopTable(spark, loc).read(version=version, ref=ref)
+            else:
+                m = re.search(r"@ts:([0-9TZ:.+-]+)$", loc)
+                if m:
+                    loc = loc[: m.start()]
+                    at_ms = m.group(1)
+        df = HadoopTable(spark, loc).read(
+            version=version, ref=ref, at_ms=at_ms
+        )
         return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
     p = path_or_table
     if os.path.isdir(p) and os.path.exists(os.path.join(p, "transcripts.parquet")):
