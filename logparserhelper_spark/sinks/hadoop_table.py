@@ -4648,6 +4648,7 @@ class HadoopTable:
         _maybe_bcast,
         operation: str,
         extra_summary: dict[str, Any] | None = None,
+        any_added_conflicts: bool = False,
     ) -> Snapshot:
         """Shared serializable commit loop for the key-addressed
         copy-on-write merges (:meth:`upsert`, :meth:`merge`): swap the
@@ -4683,6 +4684,15 @@ class HadoopTable:
             ):
                 raise CompactionConflict(
                     "a concurrent commit added row-level delete file(s); "
+                    f"re-run {operation}()"
+                )
+            if added_since and any_added_conflicts:
+                # a NOT MATCHED BY SOURCE clause could claim ANY target
+                # row, so rows added by a concurrent commit dodged the
+                # clause logic whatever their keys are — always conflict
+                raise CompactionConflict(
+                    f"a concurrent commit added {len(added_since)} "
+                    "file(s) while a NOT MATCHED BY SOURCE merge ran; "
                     f"re-run {operation}()"
                 )
             if added_since:
@@ -4775,6 +4785,17 @@ class HadoopTable:
           ``"*"`` meaning the source row inserts by name (columns the
           source lacks land NULL; NEW source columns evolve the schema
           additively, same rule as append/upsert).
+        - ``("nms_update", cond, assignments)`` / ``("nms_delete",
+          cond, None)`` — ``WHEN NOT MATCHED BY SOURCE`` (ANSI/Delta/
+          Spark 3.4 SQL): TARGET rows with no source match — the
+          deletion-sync family ("make the table mirror this source").
+          ``SET *`` is refused (no source row to copy). NOTE: any
+          NMS clause touches EVERY data file (its condition is an
+          arbitrary expression — not plannable), so copy-on-write mode
+          rewrites the whole table, exactly as Delta does; prefer
+          merge-on-read mode, which writes only the claimed rows.
+          Serializability widens accordingly: ANY concurrently added
+          row conflicts, not just ones carrying merged keys.
 
         ``cond`` is a SQL boolean string over ``t.``/``s.`` (or the
         given aliases), or None for unconditional. Per ANSI/Iceberg,
@@ -4837,7 +4858,16 @@ class HadoopTable:
                 raise ValueError(
                     f"join key {k!r} must exist in both target and source"
                 )
-        kinds = {"matched_update", "matched_delete", "not_matched_insert"}
+        # three clause families (ANSI/Delta): matched, not-matched
+        # (by target), and not-matched-BY-SOURCE — target rows with no
+        # source match (the deletion-sync family)
+        fam_of = {
+            "matched_update": "m",
+            "matched_delete": "m",
+            "not_matched_insert": "n",
+            "nms_update": "b",
+            "nms_delete": "b",
+        }
         star = any(
             p == "*" for _, _, p in when if isinstance(p, str)
         )
@@ -4845,22 +4875,25 @@ class HadoopTable:
             else list(tcols)
         last_of = {}
         for i, (kind, cond, payload) in enumerate(when):
-            if kind not in kinds:
+            if kind not in fam_of:
                 raise ValueError(
-                    f"unknown clause kind {kind!r}; one of {sorted(kinds)}"
+                    f"unknown clause kind {kind!r}; one of {sorted(fam_of)}"
                 )
-            fam = "m" if kind.startswith("matched") else "n"
-            last_of[fam] = i
+            last_of[fam_of[kind]] = i
         for i, (kind, cond, payload) in enumerate(when):
-            fam = "m" if kind.startswith("matched") else "n"
-            if cond is None and i != last_of[fam]:
+            if cond is None and i != last_of[fam_of[kind]]:
                 raise ValueError(
                     "only the last clause of each family may omit its "
                     f"condition (clause {i} shadows a later one)"
                 )
-            if kind == "matched_delete":
+            if kind in ("matched_delete", "nms_delete"):
                 if payload is not None:
-                    raise ValueError("matched_delete takes no payload")
+                    raise ValueError(f"{kind} takes no payload")
+            elif kind == "nms_update" and payload == "*":
+                raise ValueError(
+                    "nms_update cannot SET * — there is no source row "
+                    "to copy from; assign explicit expressions"
+                )
             elif payload != "*":
                 if not isinstance(payload, dict) or not payload:
                     raise ValueError(
@@ -4898,18 +4931,28 @@ class HadoopTable:
             F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
         )
         ta, sa = target_alias, source_alias
-        # pass 1 (metadata-cheap): which files hold a matched key — the
-        # only full-table scan, and it reads just the key columns
-        full = self._scan(snap, snap.data_files, with_meta=True)
-        hit_files = {
-            r.f
-            for r in full.join(_maybe_bcast(keys), on, "left_semi")
-            .select(F.col("_lph_file").alias("f"))
-            .distinct()
-            .collect()
-        }
-        touched = [f for f in snap.data_files if f.path in hit_files]
         has_insert = any(k == "not_matched_insert" for k, _, _ in when)
+        has_nms = any(fam_of[k] == "b" for k, _, _ in when)
+        if has_nms:
+            # a NOT MATCHED BY SOURCE clause can claim a row in ANY file
+            # (clause conditions are arbitrary expressions — not
+            # plannable), so every data file is touched. Inherent to the
+            # clause family (Delta rewrites the whole table here too);
+            # in copy-on-write mode this is a full-table rewrite, in
+            # merge-on-read only the claimed rows are written.
+            touched = list(snap.data_files)
+        else:
+            # pass 1 (metadata-cheap): which files hold a matched key —
+            # the only full-table scan, and it reads just the key columns
+            full = self._scan(snap, snap.data_files, with_meta=True)
+            hit_files = {
+                r.f
+                for r in full.join(_maybe_bcast(keys), on, "left_semi")
+                .select(F.col("_lph_file").alias("f"))
+                .distinct()
+                .collect()
+            }
+            touched = [f for f in snap.data_files if f.path in hit_files]
         if not touched and not has_insert:
             return None  # no key matched and nothing to insert
         # pass 2: clause logic over touched-rows FULL OUTER JOIN source.
@@ -4944,21 +4987,29 @@ class HadoopTable:
         applied = F.lit(None).cast("int")
         chain = None
         for i, (kind, cond, payload) in enumerate(when):
-            base = matched if kind.startswith("matched") else (sflag & ~tflag)
+            base = (
+                matched
+                if fam_of[kind] == "m"
+                else (sflag & ~tflag)
+                if fam_of[kind] == "n"
+                else (tflag & ~sflag)  # not matched BY SOURCE
+            )
             c = base if cond is None else base & F.expr(cond)
             chain = F.when(c, F.lit(i)) if chain is None else \
                 chain.when(c, F.lit(i))
         applied = chain
         drop_idxs = [
-            i for i, (k, _, _) in enumerate(when) if k == "matched_delete"
+            i
+            for i, (k, _, _) in enumerate(when)
+            if k in ("matched_delete", "nms_delete")
         ]
         keep_row = F.when(applied.isNull(), tflag).otherwise(
             ~applied.isin(drop_idxs) if drop_idxs else F.lit(True)
         )
 
         def _clause_value(i: int, kind: str, payload, c: str):
-            if kind == "matched_update":
-                if payload == "*":
+            if kind == "matched_update" or kind == "nms_update":
+                if payload == "*":  # matched_update only (nms refused)
                     return F.col(f"{sa}.`{c}`") if c in scols \
                         else F.col(f"{ta}.`{c}`")
                 return F.expr(payload[c]) if c in payload \
@@ -4976,7 +5027,7 @@ class HadoopTable:
                 F.lit(None).cast(dict(zip(scols, source.schema))[c].dataType)
             vchain = None
             for i, (kind, cond, payload) in enumerate(when):
-                if kind == "matched_delete":
+                if kind in ("matched_delete", "nms_delete"):
                     continue  # deleted rows never reach the select
                 v = _clause_value(i, kind, payload, c)
                 vchain = F.when(applied == i, v) if vchain is None else \
@@ -4990,7 +5041,7 @@ class HadoopTable:
             write_idxs = [
                 i
                 for i, (k, _, _) in enumerate(when)
-                if k != "matched_delete"
+                if k not in ("matched_delete", "nms_delete")
             ]
             insert_df = joined.filter(
                 claimed & applied.isin(write_idxs)
@@ -5004,7 +5055,8 @@ class HadoopTable:
                 .sort("file_path", "pos")
             )
             return self._merge_mor_commit(
-                snap, insert_df, pos_rows, keys, on, _maybe_bcast
+                snap, insert_df, pos_rows, keys, on, _maybe_bcast,
+                any_added_conflicts=has_nms,
             )
         rewrite_df = joined.filter(keep_row).select(*out)
         staged = self._stage(rewrite_df, snap.partition_cols, snap.spec)
@@ -5019,6 +5071,7 @@ class HadoopTable:
             on,
             _maybe_bcast,
             "merge",
+            any_added_conflicts=has_nms,
         )
 
     def _merge_mor_commit(
@@ -5029,6 +5082,7 @@ class HadoopTable:
         keys: DataFrame,
         key_cols: list[str],
         _maybe_bcast,
+        any_added_conflicts: bool = False,
     ) -> Snapshot | None:
         """Merge-on-read MERGE body (see :meth:`merge`): ONE commit adds
         a position-delete file naming every clause-claimed live row plus
@@ -5082,6 +5136,12 @@ class HadoopTable:
                 for f in parent.files
                 if f.path not in base_paths and f.content == "data"
             ]
+            if added_since and any_added_conflicts:
+                raise CompactionConflict(
+                    f"a concurrent commit added {len(added_since)} "
+                    "file(s) while a NOT MATCHED BY SOURCE merge ran; "
+                    "re-run merge()"
+                )
             if added_since:
                 n_hits = (
                     self._read_files(parent, added_since)

@@ -400,11 +400,21 @@ def _parse_merge(spark, stmt: str, catalog=None):
     ]
     for chunk in chunks:
         cm = re.match(
-            r"(?is)WHEN\s+(?P<neg>NOT\s+)?MATCHED\s*(?P<tail>.*)", chunk
+            r"(?is)WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+            r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?\s*(?P<tail>.*)",
+            chunk,
         )
         if not cm:
             raise ValueError(f"bad WHEN clause {chunk!r}")
         not_matched = bool(cm.group("neg"))
+        by = (cm.group("by") or "").upper()
+        if by and not not_matched:
+            raise ValueError(
+                f"WHEN MATCHED takes no BY qualifier: {chunk!r}"
+            )
+        # NOT MATCHED [BY TARGET] = insert family; NOT MATCHED BY SOURCE
+        # = target rows without a source match (deletion-sync family)
+        by_source = not_matched and by == "SOURCE"
         tail = cm.group("tail").strip()
         cond = None
         am = re.match(r"(?is)AND\s+(?P<rest>.+)", tail)
@@ -417,7 +427,7 @@ def _parse_merge(spark, stmt: str, catalog=None):
         if not re.match(r"(?i)THEN\b", tail):
             raise ValueError(f"WHEN clause missing THEN: {chunk!r}")
         action = tail[4:].strip()
-        if not_matched:
+        if not_matched and not by_source:
             im = re.fullmatch(r"(?is)INSERT\s+\*", action)
             if im:
                 when.append(("not_matched_insert", cond, "*"))
@@ -444,17 +454,27 @@ def _parse_merge(spark, stmt: str, catalog=None):
                 raise ValueError(f"duplicate INSERT column in {action!r}")
             when.append(("not_matched_insert", cond, dict(zip(cols, vals))))
             continue
+        # MATCHED and NOT MATCHED BY SOURCE share the action grammar
+        # (UPDATE SET / DELETE) under different clause kinds
+        kind_del = "nms_delete" if by_source else "matched_delete"
+        kind_upd = "nms_update" if by_source else "matched_update"
+        fam = "NOT MATCHED BY SOURCE" if by_source else "MATCHED"
         if re.fullmatch(r"(?i)DELETE", action):
-            when.append(("matched_delete", cond, None))
+            when.append((kind_del, cond, None))
             continue
         um = re.match(r"(?is)UPDATE\s+SET\s+(?P<sets>.+)", action)
         if not um:
             raise ValueError(
-                "MATCHED action is UPDATE SET ... or DELETE, "
+                f"{fam} action is UPDATE SET ... or DELETE, "
                 f"got {action!r}"
             )
         sets = um.group("sets").strip()
         if sets == "*":
+            if by_source:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE cannot UPDATE SET * — there "
+                    "is no source row to copy from"
+                )
             when.append(("matched_update", cond, "*"))
             continue
         assigns: dict[str, str] = {}
@@ -473,7 +493,7 @@ def _parse_merge(spark, stmt: str, catalog=None):
             assigns[col] = pm.group(2)
         if not assigns:
             raise ValueError("UPDATE SET needs at least one assignment")
-        when.append(("matched_update", cond, assigns))
+        when.append((kind_upd, cond, assigns))
     # the USING source: a catalog table/view name when one resolves,
     # else a registered Spark temp view (the pre-catalog behavior)
     if catalog is not None and catalog.table_exists(view):

@@ -621,3 +621,165 @@ def test_merge_mor_partitioned_rows_move_and_prune(spark, tmp_path):
         (3, "z", "c"),
     ]
     assert _rows(t.read()) == [(1, "x", "a"), (2, "Y", "c"), (3, "z", "c")]
+
+
+# ------------------------------------------ WHEN NOT MATCHED BY SOURCE
+def _nms_base(spark, tmp_path):
+    loc = str(tmp_path / "t_nms")
+    t = HadoopTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, v string, n long",
+        ).coalesce(1)
+    )
+    return loc, t
+
+
+def test_merge_nms_delete_sync(spark, tmp_path):
+    """The canonical use: make the table mirror the source — rows
+    absent from the source are deleted, present ones upsert."""
+    loc, t = _nms_base(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "B", 200), (5, "E", 500)], "k long, v string, n long"
+    )
+    src.createOrReplaceTempView("nms_src")
+    table_sql(
+        spark,
+        f"""
+        MERGE INTO '{loc}' t USING nms_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+    )
+    assert set(_rows(t.read())) == {(2, "B", 200), (5, "E", 500)}
+
+
+def test_merge_nms_update_and_condition(spark, tmp_path):
+    loc, t = _nms_base(spark, tmp_path)
+    src = spark.createDataFrame([(1,)], "k long")
+    t.merge(
+        src.selectExpr("k", "'x' AS v", "CAST(0 AS long) AS n"),
+        ["k"],
+        [
+            ("nms_delete", "t.n >= 40", None),
+            ("nms_update", None, {"v": "concat(t.v, '_stale')"}),
+        ],
+    )
+    assert set(_rows(t.read())) == {
+        (1, "a", 10),  # matched, no matched clause: carried unchanged
+        (2, "b_stale", 20),
+        (3, "c_stale", 30),
+        # 4 deleted by the conditional nms clause (first-match-wins)
+    }
+
+
+def test_merge_nms_cow_mor_equivalence(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(2, "B", 200), (9, "I", 900)], "k long, v string, n long"
+    )
+    when = [
+        ("matched_update", None, "*"),
+        ("not_matched_insert", None, "*"),
+        ("nms_update", "t.k = 1", {"n": "t.n * 100"}),
+        ("nms_delete", None, None),
+    ]
+    results = []
+    for mode in ("copy-on-write", "merge-on-read"):
+        loc, t = _nms_base(spark, tmp_path / mode)
+        s = t.merge(src, ["k"], when, mode=mode)
+        assert s is not None
+        results.append(set(_rows(t.read())))
+        if mode == "merge-on-read":
+            # MoR adds delete + data files, rewrites nothing
+            assert s.summary["mode"] == "merge-on-read"
+            assert s.summary["position_delete_files"] >= 1
+    assert results[0] == results[1] == {
+        (1, "a", 1000),  # nms_update (first match wins over nms_delete)
+        (2, "B", 200),  # matched update
+        (9, "I", 900),  # insert
+        # 3, 4: nms_delete
+    }
+
+
+def test_merge_nms_validation(spark, tmp_path):
+    loc, t = _nms_base(spark, tmp_path)
+    src = spark.createDataFrame([(1, "x", 0)], "k long, v string, n long")
+    with pytest.raises(ValueError, match="SET \\*"):
+        t.merge(src, ["k"], [("nms_update", None, "*")])
+    with pytest.raises(ValueError, match="no payload"):
+        t.merge(src, ["k"], [("nms_delete", None, {"v": "1"})])
+    with pytest.raises(ValueError, match="shadows"):
+        t.merge(
+            src,
+            ["k"],
+            [("nms_delete", None, None), ("nms_update", "t.k = 1", {"v": "'x'"})],
+        )
+    # SQL grammar refusals
+    src.createOrReplaceTempView("nms_bad_src")
+    with pytest.raises(ValueError, match="no source row"):
+        table_sql(
+            spark,
+            f"MERGE INTO '{loc}' t USING nms_bad_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="BY qualifier"):
+        table_sql(
+            spark,
+            f"MERGE INTO '{loc}' t USING nms_bad_src s ON t.k = s.k "
+            "WHEN MATCHED BY SOURCE THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="INSERT"):
+        table_sql(
+            spark,
+            f"MERGE INTO '{loc}' t USING nms_bad_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+        )
+
+
+def test_merge_nms_by_target_alias(spark, tmp_path):
+    loc, t = _nms_base(spark, tmp_path)
+    src = spark.createDataFrame([(9, "I", 900)], "k long, v string, n long")
+    src.createOrReplaceTempView("nms_bt_src")
+    table_sql(
+        spark,
+        f"MERGE INTO '{loc}' t USING nms_bt_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *",
+    )
+    assert (9, "I", 900) in _rows(t.read())
+
+
+def test_merge_nms_concurrent_append_conflicts(spark, tmp_path):
+    """With an NMS clause, ANY concurrently added row dodged the clause
+    logic (its key need not be in the source) — always a conflict."""
+    from logparserhelper_spark.sinks.hadoop_table import CompactionConflict
+
+    loc, t = _nms_base(spark, tmp_path)
+    orig_stage = HadoopTable._stage
+    state = {"fired": False}
+
+    def racing_stage(self, df, pcols, spec=None, **kw):
+        out = orig_stage(self, df, pcols, spec, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            racer = HadoopTable(spark, loc)
+            HadoopTable._stage = orig_stage
+            try:
+                racer.append(
+                    spark.createDataFrame(
+                        [(77, "raced", 0)], "k long, v string, n long"
+                    )
+                )
+            finally:
+                HadoopTable._stage = racing_stage
+        return out
+
+    src = spark.createDataFrame([(1, "x", 0)], "k long, v string, n long")
+    HadoopTable._stage = racing_stage
+    try:
+        with pytest.raises(CompactionConflict, match="NOT MATCHED BY SOURCE"):
+            t.merge(src, ["k"], [("nms_delete", None, None)])
+    finally:
+        HadoopTable._stage = orig_stage
+    assert (77, "raced", 0) in _rows(t.read())
