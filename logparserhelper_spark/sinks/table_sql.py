@@ -26,7 +26,10 @@ statement, one atomic commit, same semantics as calling the method:
         WHEN MATCHED AND s.op = 'del' THEN DELETE
         WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + 1
         WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
     ''')
+    table_sql(spark, "DESCRIBE '/data/t' [AS OF VERSION 3]")
+    table_sql(spark, "SHOW TBLPROPERTIES '/data/t'")
     table_sql(spark, "CALL compact('/data/t')")
     table_sql(spark, "CALL expire_snapshots('/data/t', keep_last => 2)")
     table_sql(spark, "CALL maintain('/data/t')")
@@ -560,6 +563,20 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
         if kind == "TABLES":
             return c.list_tables(ns)
         return c.list_views(ns)
+
+    m = re.fullmatch(
+        rf"(?i)DESCRIBE\s+(?:TABLE\s+)?{_LOC}"
+        rf"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?",
+        stmt,
+    )
+    if m:
+        t = _target(spark, m, catalog)
+        v = int(m.group("v")) if m.group("v") else None
+        return t.inspect("schema", version=v)
+
+    m = re.fullmatch(rf"(?i)SHOW\s+TBLPROPERTIES\s+{_LOC}", stmt)
+    if m:
+        return _target(spark, m, catalog).properties()
 
     m = re.match(rf"(?is)CREATE\s+TABLE\s+{_LOC}\s*\(", stmt)
     if m:

@@ -343,7 +343,11 @@ def _filters_to_predicate(filters: list[Filter]) -> list[tuple]:
 
 
 def _plan_partitions(
-    location: str, version: int | None, ref: str | None, predicate: list[tuple]
+    location: str,
+    version: int | None,
+    ref: str | None,
+    predicate: list[tuple],
+    branch: str | None = None,
 ) -> list[TableFilePartition]:
     """Driver-side scan planning: manifest pruning via plan_files, then
     one InputPartition per surviving data file with its applicable
@@ -360,7 +364,7 @@ def _plan_partitions(
         _schema_ids,
     )
 
-    t = HadoopTable(None, location)  # planning is pure metadata
+    t = HadoopTable(None, location, branch=branch)  # pure metadata
     if ref is not None:
         version = t._resolve_ref(ref)
     snap = t.snapshot(version)
@@ -420,6 +424,10 @@ class _SnapshotTableReader(DataSourceReader):
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self.ref = options.get("ref")
+        # .option("branch", name): read a BRANCH head (its own metadata
+        # chain — version numbers are branch-chain versions). Tags keep
+        # using .option("ref"); branch+version = branch time travel.
+        self.branch = options.get("branch")
         ts = options.get("timestamp_ms")
         if ts is not None and self.version is None:
             # TIMESTAMP AS OF: resolve to a concrete version, which then
@@ -427,7 +435,9 @@ class _SnapshotTableReader(DataSourceReader):
             # the explicit-schema fallback)
             from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
-            self.version = HadoopTable(None, self.location).version_at(ts)
+            self.version = HadoopTable(
+                None, self.location, branch=self.branch
+            ).version_at(ts)
         if self.version is None:
             # Pin the snapshot ONCE (Iceberg's load-time snapshot
             # pinning). partitions() re-runs at every (re)planning, so
@@ -440,7 +450,7 @@ class _SnapshotTableReader(DataSourceReader):
             # user-supplied-schema path where schema() is never called.
             from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
-            t = HadoopTable(None, self.location)
+            t = HadoopTable(None, self.location, branch=self.branch)
             self.version = (
                 t._resolve_ref(self.ref)
                 if self.ref is not None
@@ -474,7 +484,9 @@ class _SnapshotTableReader(DataSourceReader):
         # consume the pushed predicate: one pushFilters -> partitions
         # pass per planning run, never carried into a later plan
         pred, self.predicate = self.predicate, []
-        return _plan_partitions(self.location, self.version, self.ref, pred)
+        return _plan_partitions(
+            self.location, self.version, self.ref, pred, branch=self.branch
+        )
 
     def read(self, partition: TableFilePartition) -> Iterator[Any]:
         return _read_file_batches(partition)
@@ -923,7 +935,10 @@ class SnapshotTableDataSource(DataSource):
 
         from logparserhelper_spark.sinks.hadoop_table import HadoopTable
 
-        t = HadoopTable(None, self.options.get("path"))
+        t = HadoopTable(
+            None, self.options.get("path"),
+            branch=self.options.get("branch"),
+        )
         v = self.options.get("version")
         ref = self.options.get("ref")
         ts = self.options.get("timestamp_ms")

@@ -268,3 +268,52 @@ def test_ref_ddl_strict_grammar(spark, tmp_path):
     ]:
         with pytest.raises(ValueError):
             table_sql(spark, bad)
+
+
+def test_describe_and_show_tblproperties(spark, tmp_path):
+    loc = str(tmp_path / "t_desc")
+    t = _mk(spark, loc)
+    t.set_properties({"owner": "me"})
+    d = table_sql(spark, f"DESCRIBE '{loc}'")
+    cols = {r.name for r in d.collect()}
+    assert {"k", "v", "name"} <= cols
+    t.rename_column("v", "value")
+    d2 = table_sql(spark, f"DESCRIBE TABLE '{loc}'")
+    assert "value" in {r.name for r in d2.collect()}
+    # time travel shows the pre-rename shape
+    d1 = table_sql(
+        spark, f"DESCRIBE '{loc}' AS OF VERSION {t.current_version() - 1}"
+    )
+    assert "v" in {r.name for r in d1.collect()}
+    props = table_sql(spark, f"SHOW TBLPROPERTIES '{loc}'")
+    assert props["owner"] == "me"
+
+
+def test_datasource_branch_option(spark, tmp_path):
+    from logparserhelper_spark.sources.table_datasource import (
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    loc = str(tmp_path / "t_branch")
+    t = _mk(spark, loc)
+    t.create_branch("wap")
+    b = t.branch("wap")
+    b.append(
+        spark.createDataFrame([(99, 198, "u99")], "k int, v int, name string")
+    )
+    main_df = spark.read.format("snapshot_table").load(loc)
+    wap_df = (
+        spark.read.format("snapshot_table").option("branch", "wap").load(loc)
+    )
+    assert main_df.count() == 10  # branch write invisible on main
+    assert wap_df.count() == 11
+    assert 99 in {r.k for r in wap_df.collect()}
+    # branch + version = branch-chain time travel (v1 = the fork point)
+    fork_df = (
+        spark.read.format("snapshot_table")
+        .option("branch", "wap")
+        .option("version", "1")
+        .load(loc)
+    )
+    assert fork_df.count() == 10
