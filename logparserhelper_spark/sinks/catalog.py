@@ -564,6 +564,42 @@ class HadoopCatalog:
             r"\x00(\d+)\x00", lambda m: masked[int(m.group(1))], body
         )
 
+    # ------------------------------------------------------- maintenance
+    def maintain_all(
+        self, namespace: "str | Iterable[str]" = (), **kw
+    ) -> dict[str, dict[str, Any]]:
+        """One :meth:`HadoopTable.maintain` pass over EVERY table under
+        ``namespace`` (recursively; default = the whole warehouse) — the
+        fleet cadence job: compact, expire, GC, each table under its own
+        properties. A table whose maintenance raises records the error
+        and the sweep continues (one wedged table must not starve the
+        fleet); kwargs pass through to ``maintain``."""
+        pparts = split_ident(namespace) if namespace else ()
+        out: dict[str, dict[str, Any]] = {}
+
+        def sweep(parts: tuple[str, ...]) -> None:
+            base = self._path(parts) if parts else self.warehouse
+            for name in sorted(os.listdir(base)):
+                if not _PART_RE.match(name):
+                    continue
+                p = os.path.join(base, name)
+                if not os.path.isdir(p):
+                    continue
+                child = parts + (name,)
+                if self._is_table_dir(p):
+                    ident = ".".join(child)
+                    try:
+                        out[ident] = HadoopTable(self.spark, p).maintain(**kw)
+                    except Exception as e:  # noqa: BLE001 — recorded, not lost
+                        out[ident] = {"error": f"{type(e).__name__}: {e}"}
+                elif not self._is_view_dir(p):
+                    sweep(child)
+
+        if pparts and not self.namespace_exists(pparts):
+            raise NoSuchNamespace(".".join(pparts))
+        sweep(pparts)
+        return out
+
     def sql(self, statement: str) -> Any:
         """Catalog-bound statement entry point: DDL/DML through
         :func:`~logparserhelper_spark.sinks.table_sql.table_sql` with

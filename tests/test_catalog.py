@@ -474,3 +474,45 @@ def test_catalog_scheme_transcripts_source(spark, cat, tmp_path):
     assert old.count() == raw.count()
     with pytest.raises(ValueError, match="catalog:"):
         read_transcripts(spark, "catalog:no_warehouse_part")
+
+
+def test_maintain_all_sweeps_fleet(spark, cat):
+    _seed(spark, cat, "ns.a")
+    _seed(spark, cat, "ns.b")
+    cat.create_namespace("ns.sub")
+    _seed(spark, cat, "ns.sub.c")
+    cat.create_view("ns.v", "SELECT k FROM ns.a")  # views are skipped
+    # give table a something to compact (two files, MoR delete)
+    ta = cat.load_table("ns.a")
+    ta.append(spark.createDataFrame([(50, "x")], "k int, v string"))
+    ta.set_properties({"write.delete.mode": "merge-on-read"})
+    ta.delete([("k", "=", 0)])
+    out = cat.maintain_all()
+    assert set(out) == {"ns.a", "ns.b", "ns.sub.c"}
+    assert all("error" not in v for v in out.values())
+    # content survived maintenance; the MoR delete was materialized
+    assert sorted(r.k for r in ta.read().collect()) == list(range(1, 5)) + [50]
+    assert not cat.load_table("ns.a").snapshot().delete_files
+    # namespace scoping
+    out = cat.maintain_all("ns.sub")
+    assert set(out) == {"ns.sub.c"}
+    with pytest.raises(NoSuchNamespace):
+        cat.maintain_all("ghost")
+
+
+def test_maintain_all_records_errors_and_continues(spark, cat, monkeypatch):
+    _seed(spark, cat, "ns.ok")
+    _seed(spark, cat, "ns.bad")
+    from logparserhelper_spark.sinks import hadoop_table as ht
+
+    orig = ht.HadoopTable.maintain
+
+    def flaky(self, **kw):
+        if self.root.endswith("bad"):
+            raise RuntimeError("wedged")
+        return orig(self, **kw)
+
+    monkeypatch.setattr(ht.HadoopTable, "maintain", flaky)
+    out = cat.maintain_all()
+    assert out["ns.bad"] == {"error": "RuntimeError: wedged"}
+    assert "error" not in out["ns.ok"]
