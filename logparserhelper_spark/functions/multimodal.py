@@ -31,7 +31,13 @@ modality (the accepted boundary for this image):
 - image/TIFF: REAL decode (``tiff_decode``) — either byte order, strips,
   uncompressed / deflate / PackBits, gray (both polarities) / RGB / RGBA /
   palette at 8 bits per sample.
-- other images (WebP), video, non-WAV audio: STUBBED — the sandbox ships no codec
+- image/WebP: REAL decode for LOSSLESS payloads (``functions/webp.py``) —
+  the full VP8L bitstream: simple + code-length-coded prefix codes, LZ77
+  with the 120-entry distance map, color cache, meta-prefix tiles, and
+  all four transforms (predictor/color/subtract-green/color-indexing
+  with sub-byte bundling). Lossy ``VP8 `` chunks fall back to the fake
+  path (a full VP8 intra decoder is out of scope).
+- remaining gaps (video beyond MJPEG-AVI, non-WAV audio): STUBBED — the sandbox ships no codec
   libraries (no PIL/cv2/imageio/librosa/av); ``fake_decode`` derives
   deterministic pseudo-features from the md5 of the payload so the
   plumbing is testable end-to-end (and oracle-checkable: the driver
@@ -1235,6 +1241,18 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     return _bgr_features(*tiff_decode_bgr(payload))
 
 
+def webp_decode(payload: bytes) -> np.ndarray:
+    from logparserhelper_spark.functions.webp import webp_decode_bgr
+
+    return _bgr_features(*webp_decode_bgr(payload))
+
+
+def _webp_decode_bgr(payload: bytes) -> tuple:
+    from logparserhelper_spark.functions.webp import webp_decode_bgr
+
+    return webp_decode_bgr(payload)
+
+
 _IMAGE_DECODERS_BGR = (
     (lambda p: len(p) >= 54 and p[:2] == b"BM", bmp_decode_bgr),
     (lambda p: p[:2] == b"P6", ppm_decode_bgr),
@@ -1242,6 +1260,9 @@ _IMAGE_DECODERS_BGR = (
     (lambda p: p[:6] in (b"GIF87a", b"GIF89a"), gif_decode_bgr),
     (lambda p: p[:3] == b"\xff\xd8\xff", jpeg_decode_bgr),
     (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"), tiff_decode_bgr),
+    # lossless WebP (VP8L) is REAL; lossy 'VP8 ' raises inside and stays
+    # on the labeled fake fallback (the documented codec gap)
+    (lambda p: len(p) >= 16 and p[:4] == b"RIFF" and p[8:12] == b"WEBP", _webp_decode_bgr),
 )
 
 

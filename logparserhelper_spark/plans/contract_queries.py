@@ -1808,25 +1808,26 @@ FROM (SELECT doc_id,
 
 MEDIA_MATRIX_CONTAINERS = (
     "bmp", "png", "gif", "jpeg", "tiff", "png_adam7", "bmp_pal8", "tiff_mm_packbits",
+    "webp_vp8l",
 )
 
 
 def _solid_decode_expected(i: int) -> tuple[str, float, float]:
     """Closed-form expected (container, mean_B, mean_R) features for the
     solid-color 8x8 image that solid_media_payload builds for residue ``i``
-    (color (i%256, 7i%256, 13i%256), container by i%8 — BMP 24-bit, PNG,
+    (color (i%256, 7i%256, 13i%256), container by i%9 — BMP 24-bit, PNG,
     GIF, baseline JPEG, TIFF-deflate, Adam7-interlaced PNG, 8-bit-palette
-    BMP, big-endian PackBits TIFF). Every container but JPEG is lossless so
-    the mean is the channel value; JPEG reconstructs through the
-    DC-quantization identity v' = round(8(v-128)/q00)*q00/8 + 128 in
-    YCbCr (q00=2 at quality 95 for both tables) — derived independently of
-    decode_jpeg, so the oracle actually checks the decoder math. All eight
-    verified equal to the real decoders for every residue in
+    BMP, big-endian PackBits TIFF, lossless WebP/VP8L). Every container but
+    JPEG is lossless so the mean is the channel value; JPEG reconstructs
+    through the DC-quantization identity v' = round(8(v-128)/q00)*q00/8 +
+    128 in YCbCr (q00=2 at quality 95 for both tables) — derived
+    independently of decode_jpeg, so the oracle actually checks the decoder
+    math. All nine verified equal to the real decoders for every residue in
     tests/test_functions.py::test_media_decode_matrix_closed_form."""
     import numpy as np
 
     r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
-    k = i % 8
+    k = i % 9
     if k != 3:
         cont = MEDIA_MATRIX_CONTAINERS[k]
         return cont, float(np.float32(b / 255.0)), float(np.float32(r / 255.0))
@@ -1859,7 +1860,7 @@ def _jpeg_solid_expected(r: int, g: int, b: int) -> tuple[float, float]:
 def solid_media_payload(rid: int) -> bytes:
     """Serialize the solid-color 8x8 fixture image for residue ``rid``
     (color (rid%256, 7*rid%256, 13*rid%256)) in the container picked by
-    rid % 8 — the MEDIA_MATRIX_CONTAINERS order, all written by this
+    rid % 9 — the MEDIA_MATRIX_CONTAINERS order, all written by this
     repo's own pure-stdlib encoders. Shared by media_features (exposed)
     and media_decode_matrix (extra) so both run the same fixture corpus;
     also evaluated at oracle-build time for the payload-length column
@@ -1874,9 +1875,10 @@ def solid_media_payload(rid: int) -> bytes:
         make_png,
         make_tiff,
     )
+    from logparserhelper_spark.functions.webp import make_webp_lossless
 
     c = (rid % 256, (7 * rid) % 256, (13 * rid) % 256)
-    k = rid % 8
+    k = rid % 9
     if k == 0:
         return make_bmp(8, 8, [[c] * 8] * 8)
     if k == 1:
@@ -1891,16 +1893,21 @@ def solid_media_payload(rid: int) -> bytes:
         return make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
     if k == 6:
         return make_bmp8(8, 8, [c], [[0] * 8] * 8)
-    return make_tiff(
-        8, 8, [[c] * 8] * 8, compression=32773, rows_per_strip=3, big_endian=True
-    )
+    if k == 7:
+        return make_tiff(
+            8, 8, [[c] * 8] * 8, compression=32773, rows_per_strip=3, big_endian=True
+        )
+    # lossless WebP through a real transform chain: still exact for a
+    # solid color, so the closed-form lossless oracle row applies
+    return make_webp_lossless(8, 8, [[c] * 8] * 8, use_subtract_green=True, cache_bits=2)
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode, driver-checkable across BOTH paths: 4 of every 5
     documents become a REAL solid-color 8x8 image in the container picked
-    by doc_id % 8 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
-    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF —
+    by doc_id % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF,
+    lossless WebP/VP8L —
     all serialized by this repo's own pure-stdlib writers, decoded back
     through auto_decode's magic-byte dispatch inside the mapInPandas
     extractor); every 5th document stays an opaque text payload on the
@@ -3343,8 +3350,9 @@ FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
 def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Every REAL image decoder variant under the oracle in one query: each
     doc_id becomes a solid-color 8x8 image in the container picked by
-    doc_id % 8 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
-    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF —
+    doc_id % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF,
+    lossless WebP/VP8L —
     all serialized by this repo's own pure-stdlib writers), decoded back
     through auto_decode's magic-byte dispatch inside the mapInPandas
     extractor. The oracle joins a 256-row closed-form lookup (colors and
@@ -3375,9 +3383,12 @@ def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("int").alias("duration_ms"),
     )
     feats = extract_media_features(media)
+    # NB: the payload is a function of media_id % 256 and the container of
+    # (media_id % 256) % 9 — with 9 containers 256 % 9 != 0, so the inner
+    # % 256 is load-bearing (it wasn't while the cycle length divided 256)
     container = F.element_at(
         F.array(*[F.lit(c) for c in MEDIA_MATRIX_CONTAINERS]),
-        (F.col("media_id") % 8 + 1).cast("int"),
+        (F.col("media_id") % 256 % 9 + 1).cast("int"),
     )
     return feats.select(
         "media_id",

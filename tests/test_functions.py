@@ -1350,8 +1350,9 @@ def test_jpeg_rejects_unsupported():
 def test_media_decode_matrix_closed_form():
     """The closed-form oracle lookup used by the media_decode_matrix extra
     query equals the REAL decoders' output for every one of the 256
-    residues — all eight container variants (incl. Adam7, palette BMP,
-    and both TIFF layouts), all colors the query can generate."""
+    residues — all nine container variants (incl. Adam7, palette BMP,
+    both TIFF layouts, and lossless WebP), all colors the query can
+    generate."""
     import numpy as np
 
     from logparserhelper_spark.functions.jpeg import encode_jpeg
@@ -1363,11 +1364,12 @@ def test_media_decode_matrix_closed_form():
         make_png,
         make_tiff,
     )
+    from logparserhelper_spark.functions.webp import make_webp_lossless
     from logparserhelper_spark.plans.contract_queries import _solid_decode_expected
 
     for i in range(256):
         c = (i % 256, (7 * i) % 256, (13 * i) % 256)
-        k = i % 8
+        k = i % 9
         if k == 0:
             p = make_bmp(8, 8, [[c] * 8] * 8)
         elif k == 1:
@@ -1382,9 +1384,12 @@ def test_media_decode_matrix_closed_form():
             p = make_png(8, 8, [[c] * 8] * 8, color_type=2, interlaced=True)
         elif k == 6:
             p = make_bmp8(8, 8, [c], [[0] * 8] * 8)
-        else:
+        elif k == 7:
             p = make_tiff(8, 8, [[c] * 8] * 8, compression=32773,
                           rows_per_strip=3, big_endian=True)
+        else:
+            p = make_webp_lossless(8, 8, [[c] * 8] * 8,
+                                   use_subtract_green=True, cache_bits=2)
         f = auto_decode(p)
         cont, mb, mr = _solid_decode_expected(i)
         assert (f[0], f[1]) == (8.0, 8.0), (i, cont)

@@ -36,6 +36,7 @@ from logparserhelper_spark.functions.multimodal import (
     make_tiff,
     wav_decode_samples,
 )
+from logparserhelper_spark.functions.webp import make_webp_lossless
 
 # generous per-payload decode budget: a hang or unbounded loop blows far
 # past this; honest work on 16x16 fixtures is milliseconds
@@ -64,6 +65,7 @@ def _fixture_payloads() -> list[bytes]:
         make_avi([jpg, jpg], 16, 16),
         wav,
         b"P6\n16 16\n255\n" + bytes(16 * 16 * 3),
+        make_webp_lossless(16, 16, px, use_lz77=True, cache_bits=4),
     ]
 
 
@@ -78,6 +80,7 @@ MAGICS = [
     b"P6",
     b"RIFF\x00\x01\x00\x00WAVE",
     b"RIFF\x00\x01\x00\x00AVI ",
+    b"RIFF\x00\x01\x00\x00WEBPVP8L",
 ]
 
 
