@@ -3594,6 +3594,143 @@ FROM counts c LEFT JOIN samp s USING (source)
 """
 
 
+BPE_N_MERGES = 24
+BPE_MAX_WORDS = 100_000
+
+
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-level BPE training (Sennrich 2016) over the documents
+    corpus: JVM pretokenize → one-shuffle word histogram → capped top-K
+    collect → driver-side merge learning (functions/bpe.py — the
+    architecture real tokenizer trainers use). Output = the learned merge
+    table (rank, left_hex, right_hex) in lowercase-hex byte symbols. The
+    oracle REPLAYS training as a recursive CTE over the same histogram:
+    each level picks the (max summed count, lexicographically smallest)
+    adjacent pair and merges it everywhere via delimiter-bracketed
+    replace — so a wrong pair count, tie-break, or merge-application
+    order shows up as a rank-level mismatch."""
+    from logparserhelper_spark.functions.bpe import train_bpe
+
+    d = _t(spark, sf, "documents").select("text")
+    merges = train_bpe(d, "text", n_merges=BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left_hex string, right_hex string",
+    )
+
+
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-then-apply BPE end to end: the merge table learned on this
+    corpus (same params as bpe_train_merges) applied back to every
+    document via an Arrow-batched pandas UDF over JVM-extracted pretoken
+    arrays, with per-worker distinct-pretoken memoization. Output per doc:
+    pretokenizer match count, post-merge BPE token count, and the first
+    pretoken's merged symbol string (a value-level probe of actual token
+    boundaries). The oracle replays training AND apply in SQL: the
+    training CTE feeds a second recursion that applies merges in rank
+    order to each DISTINCT pretoken, then joins back to per-doc
+    occurrences."""
+    from logparserhelper_spark.functions.bpe import apply_bpe, train_bpe
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe(d, "text", n_merges=BPE_N_MERGES, max_words=BPE_MAX_WORDS)
+    return apply_bpe(d, merges).select(
+        "doc_id",
+        F.col("bpe_n_pretokens").alias("n_pretokens"),
+        F.col("bpe_n_tokens").cast("int").alias("n_bpe_tokens"),
+        F.col("bpe_first_tokens").alias("first_tokens"),
+    )
+
+
+def _bpe_sqls() -> tuple[str, str]:
+    """Generated DuckDB mirrors of BPE train and train+apply. Symbols are
+    lowercase hex of UTF-8 bytes (pure-ASCII alphabet → Python/DuckDB
+    collation-identical tie-breaks). Token-list state is encoded as
+    '<tok><tok>...' — the <>-bracketed form makes a single left-to-right
+    string replace of '<L><R>' → '<LR>' exactly the non-overlapping
+    adjacent-pair merge (consecutive occurrences share no delimiter
+    characters, so 'abab' merges twice — the bug a single-separator
+    encoding has). Pair counts are zip-overlapping, weighted by word
+    count, matching train_bpe_merges."""
+    from logparserhelper_spark.functions.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN
+    train_cte = rf"""
+wh AS (
+  SELECT w, cnt FROM (
+    SELECT lower(hex(w)) AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT UNNEST(regexp_extract_all(text, '{pat}')) AS w FROM documents)
+    GROUP BY 1
+  ) ORDER BY cnt DESC, w ASC LIMIT {BPE_MAX_WORDS}
+),
+st(lvl, w, s, cnt, ml, mr) AS (
+  SELECT 0, w, regexp_replace(w, '(..)', '<\1>', 'g'), cnt,
+         NULL::VARCHAR, NULL::VARCHAR
+  FROM wh
+  UNION ALL
+  SELECT lvl + 1, w,
+         replace(s, '<' || best.l || '><' || best.r || '>',
+                    '<' || best.l || best.r || '>'),
+         cnt, best.l, best.r
+  FROM st,
+       (SELECT l, r FROM (
+          SELECT tk[i] AS l, tk[i+1] AS r, SUM(cnt2) AS c
+          FROM (SELECT regexp_extract_all(s, '<([0-9a-f]+)>', 1) AS tk,
+                       cnt AS cnt2 FROM st),
+               UNNEST(range(1, len(tk))) AS u(i)
+          GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+       )) AS best(l, r)
+  WHERE lvl < {BPE_N_MERGES}
+),
+merges AS (SELECT DISTINCT lvl, ml, mr FROM st WHERE ml IS NOT NULL)
+"""
+    sql_train = f"""
+WITH RECURSIVE
+{train_cte}
+SELECT CAST(lvl AS INT) AS rank, ml AS left_hex, mr AS right_hex
+FROM merges ORDER BY rank
+"""
+    sql_tokenize = rf"""
+WITH RECURSIVE
+{train_cte},
+nm AS (SELECT CAST(COALESCE(MAX(lvl), 0) AS INT) AS n FROM merges),
+pre AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS arr FROM documents),
+occ AS (SELECT doc_id, lower(hex(w)) AS w
+        FROM (SELECT doc_id, UNNEST(arr) AS w FROM pre)),
+dw AS (SELECT DISTINCT w FROM occ),
+ap(lvl, w, s) AS (
+  SELECT 0, w, regexp_replace(w, '(..)', '<\1>', 'g') FROM dw
+  UNION ALL
+  SELECT ap.lvl + 1, ap.w,
+         CASE WHEN m.ml IS NULL THEN ap.s
+              ELSE replace(ap.s, '<' || m.ml || '><' || m.mr || '>',
+                                 '<' || m.ml || m.mr || '>') END
+  FROM ap LEFT JOIN merges m ON m.lvl = ap.lvl + 1
+  WHERE ap.lvl < (SELECT n FROM nm)
+),
+tok AS (SELECT w,
+               CAST(len(regexp_extract_all(s, '<([0-9a-f]+)>', 1)) AS INT) AS nt,
+               array_to_string(regexp_extract_all(s, '<([0-9a-f]+)>', 1), '|') AS form
+        FROM ap WHERE lvl = (SELECT n FROM nm)),
+cnts AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_pretokens,
+                CAST(SUM(t.nt) AS INT) AS n_bpe_tokens
+         FROM occ JOIN tok t USING (w) GROUP BY doc_id),
+fw AS (SELECT doc_id, lower(hex(regexp_extract(text, '{pat}'))) AS w FROM documents)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_pretokens, 0) AS INT) AS n_pretokens,
+       CAST(COALESCE(c.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens,
+       COALESCE(t2.form, '') AS first_tokens
+FROM documents d
+LEFT JOIN cnts c USING (doc_id)
+LEFT JOIN fw USING (doc_id)
+LEFT JOIN tok t2 ON t2.w = fw.w
+"""
+    return sql_train, sql_tokenize
+
+
+SQL_BPE_TRAIN_MERGES, SQL_BPE_TOKENIZE = _bpe_sqls()
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3640,6 +3777,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_features": q_video_frame_features,
     "audio_tone_spectrum": q_audio_tone_spectrum,
     "image_dup_clusters": q_image_dup_clusters,
+    # net-new round-8: real byte-level BPE (train + apply), oracle-replayed
+    # in SQL via recursive CTEs
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3678,4 +3819,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "video_frame_features": SQL_VIDEO_FRAME_FEATURES,
     "audio_tone_spectrum": SQL_AUDIO_TONE_SPECTRUM,
     "image_dup_clusters": SQL_IMAGE_DUP_CLUSTERS,
+    "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
 }
