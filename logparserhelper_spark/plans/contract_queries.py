@@ -3731,6 +3731,114 @@ LEFT JOIN tok t2 ON t2.w = fw.w
 SQL_BPE_TRAIN_MERGES, SQL_BPE_TOKENIZE = _bpe_sqls()
 
 
+def _messy_url_col():
+    """Deterministic messy-URL fixture per doc_id (the media-payload
+    pattern: both sides synthesize the identical string, then canonicalize
+    independently). Variants collide on purpose: case-mixed scheme/host,
+    www. prefix, default vs explicit ports, a dot-segment pair that
+    cancels the doc_id%5 path component, utm tracking params, unordered
+    query params, and a fragment — so distinct doc_ids canonicalize to
+    shared keys and the dedup columns are non-trivial."""
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    scheme = (
+        F.when(i % 3 == 0, F.lit("HTTP"))
+        .when(i % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    host = F.when(
+        i % 2 == 0, F.concat(F.lit("WWW.Site"), s(i % 7), F.lit(".EXAMPLE.com"))
+    ).otherwise(F.concat(F.lit("site"), s(i % 7), F.lit(".example.COM")))
+    port = (
+        F.when(i % 4 == 0, F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        .when(i % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/a/./x"),
+        s(i % 5),
+        F.lit("/../y/page"),
+        s(i % 11),
+        F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        i % 2 == 0, F.concat(F.lit("?utm_source=feed&b="), s(i % 13), F.lit("&a=1"))
+    ).otherwise(F.concat(F.lit("?a=1&b="), s(i % 13)))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, F.lit("#s"), s(i % 3))
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup (functions/urls.py): the
+    messy fixture URL per document is canonicalized by a pure Catalyst
+    expression tree (lowercase scheme/host, www-strip, default-port drop,
+    dot-segment fold via F.aggregate, utm-drop + param sort, fragment
+    strip), then deduped by canonical key (one window shuffle). The
+    oracle builds the identical messy string and canonicalizes it with an
+    independent DuckDB expression tree (regexp parse, list_reduce fold,
+    list_filter/list_sort) — any divergence in parse, fold clamping,
+    port-drop logic, or param ordering hash-mismatches."""
+    from logparserhelper_spark.functions.urls import url_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id").withColumn("url", _messy_url_col())
+    return url_dedup(d).select(
+        "doc_id", "url", "canonical_url", "n_variants", "is_rep"
+    )
+
+
+_SQL_MESSY_URL = """
+  (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
+  || '://'
+  || (CASE WHEN doc_id % 2 = 0
+        THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com'
+        ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.COM' END)
+  || (CASE WHEN doc_id % 4 = 0
+        THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+  || '/a/./x' || CAST(doc_id % 5 AS VARCHAR)
+  || '/../y/page' || CAST(doc_id % 11 AS VARCHAR)
+  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0
+        THEN '?utm_source=feed&b=' || CAST(doc_id % 13 AS VARCHAR) || '&a=1'
+        ELSE '?a=1&b=' || CAST(doc_id % 13 AS VARCHAR) END)
+  || '#s' || CAST(doc_id % 3 AS VARCHAR)
+"""
+
+SQL_URL_CANONICAL_DEDUP = rf"""
+WITH u AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+p AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+        regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pth,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM u),
+c AS (SELECT doc_id, url, scheme,
+        regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\.', '') AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        list_reduce(string_split(pth, '/'),
+          (acc, x) -> CASE WHEN x = '' OR x = '.' THEN acc
+                           WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+                           ELSE acc || '/' || x END) AS fold,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS cq
+      FROM p),
+k AS (SELECT doc_id, url,
+        scheme || '://' || host
+        || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END)
+        || (CASE WHEN fold = '' THEN '/' ELSE fold END)
+        || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url
+      FROM c)
+SELECT doc_id, url, canonical_url,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_variants,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_rep
+FROM k
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3781,6 +3889,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in SQL via recursive CTEs
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "url_canonical_dedup": q_url_canonical_dedup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3821,4 +3930,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "image_dup_clusters": SQL_IMAGE_DUP_CLUSTERS,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
 }
