@@ -246,3 +246,57 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    eps: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    embedding clusters — assign every vector to its nearest centroid, then
+    within each cluster mark a vector duplicate when a cluster-mate with a
+    SMALLER id has cosine >= ``eps`` (a deterministic stand-in for the
+    paper's keep-one-per-near-group rule; the paper keeps a random member,
+    which no oracle can replay). Entirely JVM-side: fold-dot assignment is
+    scan-shaped whole-stage codegen, and the within-cluster pair join plus
+    the cluster-size window share ONE exchange on cluster_id.
+
+    Scale note (the paper's own regime): candidate pairs are quadratic in
+    cluster width, so k must grow with N to hold N/k ~ constant — at 100 TB
+    that means a larger committed centroid model (fit on a sample), not a
+    different algorithm. Output: (vec_id, cluster_id, n_cluster, is_dup).
+    """
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn(
+        "cluster_id", (-F.array_max(centroid_dots(F.col("_v"), c))["nj"]).cast("int")
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("a_id"), F.col("_v").alias("_av")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("b_id"), F.col("_v").alias("_bv")
+    )
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity_col(F.col("_av"), F.col("_bv")), round_to)
+        )
+        .filter(F.col("cos") >= F.lit(eps))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(w).cast("long"))
+        .select("vec_id", "cluster_id", "n_cluster", "is_dup")
+    )

@@ -3731,6 +3731,66 @@ LEFT JOIN tok t2 ON t2.w = fw.w
 SQL_BPE_TRAIN_MERGES, SQL_BPE_TOKENIZE = _bpe_sqls()
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (functions/ivf.py:semdedup) over the
+    embeddings table plus the same planted near-duplicates the
+    embedding_near_dup fixture uses (vec_id+10000, perturbed first
+    component — so every planted vector must land in its original's
+    cluster and be marked the duplicate, larger id losing). Assignment
+    uses the COMMITTED centroid model; the oracle replays assignment with
+    the same repr-exact centroid literals and list_sum fold dots, the
+    within-cluster pair scan, and the min-id keep rule."""
+    from logparserhelper_spark.functions.ivf import load_centroid_fixture, semdedup
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.001)),
+            F.slice("embedding", 2, 1000),
+        ).alias("embedding"),
+    )
+    return semdedup(e.unionByName(planted), load_centroid_fixture(), eps=0.99)
+
+
+def _semdedup_sql(eps: float = 0.99) -> str:
+    cents = _fixture_cents()
+    dot_expr = _centroid_dot_sql(cents)
+    cd = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, {dot_expr('embedding', j)} AS dot FROM d"
+        for j in range(cents.shape[0])
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_concat([embedding[1] + 0.001], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0),
+cd AS ({cd}),
+assign AS (SELECT vec_id, CAST(j AS INT) AS cluster_id FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn FROM cd)
+           WHERE rn = 1),
+av AS (SELECT a.vec_id, a.cluster_id, d.embedding FROM assign a JOIN d USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (SQRT(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4)
+        >= {eps})
+SELECT av.vec_id, av.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY av.cluster_id) AS BIGINT) AS n_cluster,
+       dup.vec_id IS NOT NULL AS is_dup
+FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
+"""
+
+
+SQL_SEMDEDUP = _semdedup_sql()
+
+
 def _messy_url_col():
     """Deterministic messy-URL fixture per doc_id (the media-payload
     pattern: both sides synthesize the identical string, then canonicalize
@@ -3890,6 +3950,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "semdedup": q_semdedup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3931,4 +3992,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "semdedup": SQL_SEMDEDUP,
 }

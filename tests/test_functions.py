@@ -256,6 +256,31 @@ def test_ivf_topk_recall(spark, vectors):
     assert (0, 1) in approx  # the planted nearest neighbor is found
 
 
+def test_semdedup_min_id_keep_rule(spark):
+    """semdedup on hand-built clusters: two orthogonal groups, one exact
+    duplicate and one near-duplicate inside group A (dups lose to the
+    smaller id), an independent member of group A kept, group B untouched;
+    cluster sizes reported per assigned centroid."""
+    import numpy as np
+
+    from logparserhelper_spark.functions.ivf import semdedup
+
+    ex = [1.0] + [0.0] * 15
+    ey = [0.0] * 8 + [1.0] + [0.0] * 7
+    near_ex = [1.0, 0.004] + [0.0] * 14  # cos ~ 0.99999 to ex
+    far_ex = [1.0, 0.3] + [0.0] * 14  # cos ~ 0.958 < eps, same cluster
+    rows = [(0, ex), (1, near_ex), (2, far_ex), (3, ey), (4, ex)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([ex, ey], dtype=np.float64)
+    out = {r.vec_id: r for r in semdedup(df, cents, eps=0.99).collect()}
+    assert not out[0].is_dup and out[1].is_dup and out[4].is_dup  # min id kept
+    assert not out[2].is_dup  # below eps: kept despite sharing the cluster
+    assert not out[3].is_dup
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == out[4].cluster_id
+    assert out[3].cluster_id != out[0].cluster_id
+    assert out[0].n_cluster == 4 and out[3].n_cluster == 1
+
+
 def test_kmv_distinct_accuracy_and_exact_branch(spark):
     from logparserhelper_spark.functions.sketch import kmv_distinct
 
