@@ -156,6 +156,16 @@ def tokenize_pretoken(hex_word: str, merges: tuple[tuple[str, str], ...]) -> tup
     return toks
 
 
+# Worker-lifetime memo shared across Arrow batches (a cache built inside
+# the UDF body would reset per batch, making the Python cost O(distinct
+# pretokens x batches)). Defined as its own decorated function, not
+# lru_cache(fn) applied at module level — the latter inherits fn's
+# __qualname__ and breaks cloudpickle's pickle-by-reference.
+@lru_cache(maxsize=1 << 16)
+def _cached_tokens(hex_word: str, merges: tuple) -> tuple[str, ...]:
+    return tokenize_pretoken(hex_word, merges)
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -171,21 +181,14 @@ def apply_bpe(
       probe of actual token boundaries, not just counts.
 
     The pandas UDF receives the JVM-extracted pretoken array and merges
-    each distinct pretoken once per worker (cache), so the Python cost is
-    O(distinct pretokens), not O(corpus) — the same memoization the
-    oracle's distinct-pretoken recursion expresses."""
+    each distinct pretoken once per worker via the module-level
+    ``_cached_tokens`` memo (shared across Arrow batches), so the Python
+    cost is O(distinct pretokens per worker), not O(corpus) — the same
+    memoization the oracle's distinct-pretoken recursion expresses."""
     mt = tuple((l, r) for l, r in merges)
 
     @F.pandas_udf("struct<n_tokens: int, first_tokens: string>")
     def _apply(pretoks: pd.Series) -> pd.DataFrame:
-        @lru_cache(maxsize=1 << 16)
-        def ntoks(w: str) -> int:
-            return len(tokenize_pretoken(w, mt))
-
-        @lru_cache(maxsize=4096)
-        def first_form(w: str) -> str:
-            return "|".join(tokenize_pretoken(w, mt))
-
         n_out, f_out = [], []
         for arr in pretoks:
             if arr is None or len(arr) == 0:
@@ -193,12 +196,19 @@ def apply_bpe(
                 f_out.append("")
                 continue
             hexes = [w.encode("utf-8").hex() for w in arr]
-            n_out.append(sum(ntoks(h) for h in hexes))
-            f_out.append(first_form(hexes[0]))
+            n_out.append(sum(len(_cached_tokens(h, mt)) for h in hexes))
+            f_out.append("|".join(_cached_tokens(hexes[0], mt)))
         return pd.DataFrame({"n_tokens": n_out, "first_tokens": f_out})
 
     p = out_prefix
-    with_pre = df.withColumn("__pretoks", pretokens_col(F.col(text_col)))
+    # NULL text -> empty pretoken array so every output column agrees
+    # (n_pretokens 0, n_tokens 0, first_tokens '') instead of a NULL/0 mix
+    with_pre = df.withColumn(
+        "__pretoks",
+        F.coalesce(
+            pretokens_col(F.col(text_col)), F.array().cast("array<string>")
+        ),
+    )
     applied = with_pre.withColumn("__bpe", _apply(F.col("__pretoks")))
     return (
         applied.withColumn(p + "n_pretokens", F.size("__pretoks").cast("int"))

@@ -22,7 +22,9 @@ crawl-dedup conventions):
 Boundary (documented, not silent): percent-encoding normalization
 (``%7e`` → ``~`` decode / hex-case fold) is out of scope — inputs whose
 variants differ only in percent-encoding stay distinct. Strings without
-``scheme://`` canonicalize to NULL rather than a guess.
+``scheme://`` and bracketed-IPv6 authorities canonicalize to NULL rather
+than a guess; :func:`url_dedup` keeps each NULL row as its own singleton
+group.
 
 The reference project (MaksimBrezho/logparserhelper) has no URL surface;
 this is LLM-training-pipeline surface (SURVEY.md §2 dedup family).
@@ -38,15 +40,19 @@ __all__ = ["canonicalize_url", "url_dedup"]
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute URL as a pure Catalyst expression
-    tree; NULL when the value has no ``scheme://``."""
-    scheme = F.lower(F.regexp_extract(url, r"^([^:/?#]+)://", 1))
+    tree; NULL when the value has no ``scheme://`` or a bracketed-IPv6
+    authority (out of scope — better NULL than a mangled dedup key)."""
+    # strip the fragment FIRST: a '?' inside a fragment is fragment text,
+    # not a query ('http://h/p#a?b=1' must canonicalize like '…/p')
+    pre = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(pre, r"^([^:/?#]+)://", 1))
     # userinfo is dropped from the canonical form (dedup keys should not
     # vary by credentials; the fixture corpus carries none)
     auth = F.regexp_replace(
-        F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1), r"^[^@]*@", ""
+        F.regexp_extract(pre, r"^[^:/?#]+://([^/?#]*)", 1), r"^[^@]*@", ""
     )
-    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    path = F.regexp_extract(pre, r"^[^:/?#]+://[^/?#]*([^?]*)", 1)
+    query = F.regexp_extract(pre, r"\?(.*)", 1)
 
     host = F.regexp_replace(
         F.lower(F.regexp_extract(auth, r"^([^:]*)", 1)), r"^www\.", ""
@@ -87,7 +93,9 @@ def canonicalize_url(url: Column) -> Column:
             F.concat(F.lit("?"), canon_q)
         ),
     )
-    return F.when(scheme == F.lit(""), F.lit(None).cast("string")).otherwise(built)
+    return F.when(
+        (scheme == F.lit("")) | auth.contains("["), F.lit(None).cast("string")
+    ).otherwise(built)
 
 
 def url_dedup(
@@ -95,10 +103,20 @@ def url_dedup(
 ) -> DataFrame:
     """Adds ``canonical_url``, the canonical-group size ``n_variants``,
     and ``is_rep`` (true for the group's min-id representative — the row
-    a dedup pass keeps). One shuffle on the canonical key."""
-    w = Window.partitionBy("canonical_url")
+    a dedup pass keeps). One shuffle on the canonical key.
+
+    Rows whose URL canonicalizes to NULL (non-URLs, bracketed IPv6) are
+    each their own singleton group (``is_rep`` true, ``n_variants`` 1):
+    a dedup pass must never collapse distinct unparseable documents, and
+    keying them by their own id also keeps the one would-be giant NULL
+    partition out of the window exchange (skew)."""
+    canon = canonicalize_url(F.col(url_col))
+    wkey = F.coalesce(
+        canon, F.concat(F.lit("\x00unparsed\x00"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(wkey)
     return (
-        df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+        df.withColumn("canonical_url", canon)
         .withColumn("n_variants", F.count(F.lit(1)).over(w).cast("long"))
         .withColumn("is_rep", F.col(id_col) == F.min(id_col).over(w))
     )

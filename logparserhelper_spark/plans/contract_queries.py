@@ -1905,7 +1905,7 @@ def solid_media_payload(rid: int) -> bytes:
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode, driver-checkable across BOTH paths: 4 of every 5
     documents become a REAL solid-color 8x8 image in the container picked
-    by doc_id % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    by (doc_id % 256) % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
     Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF,
     lossless WebP/VP8L —
     all serialized by this repo's own pure-stdlib writers, decoded back
@@ -3350,7 +3350,7 @@ FROM bhc JOIN ns USING (id) LEFT JOIN ex USING (id)
 def q_media_decode_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Every REAL image decoder variant under the oracle in one query: each
     doc_id becomes a solid-color 8x8 image in the container picked by
-    doc_id % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
+    (doc_id % 256) % 9 (24-bit BMP, PNG, GIF, baseline JPEG, TIFF-deflate,
     Adam7-interlaced PNG, 8-bit-palette BMP, big-endian PackBits TIFF,
     lossless WebP/VP8L —
     all serialized by this repo's own pure-stdlib writers), decoded back
@@ -3868,12 +3868,12 @@ _SQL_MESSY_URL = """
 
 SQL_URL_CANONICAL_DEDUP = rf"""
 WITH u AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
-p AS (SELECT doc_id, url,
-        lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
-        regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
-        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pth,
-        regexp_extract(url, '\?([^#]*)', 1) AS q
-      FROM u),
+p AS (SELECT doc_id, url, pre,
+        lower(regexp_extract(pre, '^([^:/?#]+)://', 1)) AS scheme,
+        regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+        regexp_extract(pre, '^[^:/?#]+://[^/?#]*([^?]*)', 1) AS pth,
+        regexp_extract(pre, '\?(.*)', 1) AS q
+      FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS pre FROM u)),
 c AS (SELECT doc_id, url, scheme,
         regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\.', '') AS host,
         regexp_extract(auth, ':([0-9]+)$', 1) AS port,

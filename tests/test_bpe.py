@@ -126,6 +126,7 @@ def test_apply_bpe_spark_matches_python(spark):
         "   ",
         "préc préc 123 !!",
         "the the the",
+        None,  # NULL text: all three outputs must agree (0 / 0 / '')
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
     merges = train_bpe(df, "text", n_merges=10)
@@ -138,7 +139,7 @@ def test_apply_bpe_spark_matches_python(spark):
     rx = re.compile(BPE_ISH_PATTERN)
     mt = tuple(merges)
     for i, t in enumerate(texts):
-        pres = rx.findall(t)
+        pres = rx.findall(t) if t is not None else []
         toks = [tokenize_pretoken(_hex(w), mt) for w in pres]
         exp_first = "|".join(toks[0]) if toks else ""
         assert out[i] == (len(pres), sum(len(x) for x in toks), exp_first), t

@@ -37,6 +37,9 @@ CASES = [
     ("http://h.io/p?&&a=1&", "http://h.io/p?a=1"),
     # userinfo dropped
     ("http://user:pw@h.io/p", "http://h.io/p"),
+    # a '?' INSIDE the fragment is fragment text, not a query
+    ("http://h.io/p#a?b=1", "http://h.io/p"),
+    ("http://h.io/p?a=1#frag?tab=2", "http://h.io/p?a=1"),
     # everything at once
     (
         "HTTPS://u@WWW.H.IO:443/a/./x/../y/?utm_s=1&b=2&a=1#top",
@@ -53,6 +56,23 @@ def test_canonicalize_cases(spark):
 
 def test_non_url_is_null_not_guess(spark):
     assert _canon(spark, ["not a url", "h.io/path", ""]) == [None, None, None]
+    # bracketed IPv6 authorities are the documented NULL boundary — the
+    # ':'-split host/port parse would mangle them into colliding keys
+    assert _canon(
+        spark, ["http://[::1]/x", "http://[2001:db8::2]:8080/x"]
+    ) == [None, None]
+
+
+def test_unparseable_rows_are_singleton_groups(spark):
+    """Distinct non-URL documents must never collapse into one NULL dedup
+    group — each is its own kept representative."""
+    rows = [(3, "not a url one"), (4, "another non url"), (5, "http://h.io/a")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    for i in (3, 4):
+        assert out[i]["canonical_url"] is None
+        assert out[i]["n_variants"] == 1 and out[i]["is_rep"], i
+    assert out[5]["n_variants"] == 1 and out[5]["is_rep"]
 
 
 def test_url_dedup_groups(spark):
