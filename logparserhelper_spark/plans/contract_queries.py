@@ -3791,6 +3791,32 @@ FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
 SQL_SEMDEDUP = _semdedup_sql()
 
 
+def q_cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation with grouping_id — the grouping-sets family member
+    the rollup_revenue contract query doesn't reach (all four subtotal
+    combinations of (status, priority), with the grouping bitmap
+    distinguishing cube-generated NULLs from data NULLs). Integer-cents
+    money unit keeps the sums engine-exact like every money aggregate
+    here. One hash-aggregate expand — Catalyst plans CUBE as an Expand +
+    single shuffle, the right 100-TB shape."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+SQL_CUBE_PRIORITY_STATUS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def _messy_url_col():
     """Deterministic messy-URL fixture per doc_id (the media-payload
     pattern: both sides synthesize the identical string, then canonicalize
@@ -3951,6 +3977,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize": q_bpe_tokenize,
     "url_canonical_dedup": q_url_canonical_dedup,
     "semdedup": q_semdedup,
+    "cube_priority_status": q_cube_priority_status,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3993,4 +4020,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "semdedup": SQL_SEMDEDUP,
+    "cube_priority_status": SQL_CUBE_PRIORITY_STATUS,
 }
