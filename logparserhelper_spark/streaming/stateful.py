@@ -445,3 +445,78 @@ def streaming_log_histogram_quantiles(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_url_dedup(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental URL-keyed dedup — the crawl-frontier ingestion shape:
+    every arriving page is kept iff its CANONICAL url has never been seen,
+    across all micro-batches, with one boolean of state per canonical key.
+
+    Canonicalization is the exact same Catalyst expression tree the batch
+    op uses (functions/urls.py:canonicalize_url, stateless per row), so
+    batch and stream can never disagree on the key — no Python mirror to
+    drift. Unparseable rows (canonical NULL) get the batch op's surrogate
+    key (sentinel + id), making each its own first-seen singleton; rows
+    with NULL ids are dropped (they cannot be addressed by a keep set).
+
+    Emits (doc_id, canonical_url) exactly once per canonical key — the
+    batch ``is_rep`` rows — where doc_id is the smallest id in the key's
+    FIRST micro-batch (equal to batch min-id when ingestion is id-ordered,
+    the replay/backfill case; under arbitrary arrival the kept id is
+    first-seen, which is the streaming-native rule). canonical_url is NULL
+    on surrogate-keyed rows, like the batch column."""
+    from logparserhelper_spark.functions.urls import canonicalize_url
+
+    _SENTINEL = "\x00unparsed\x00"
+    canon = canonicalize_url(F.col(url_col))
+    keyed = (
+        stream_df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.coalesce(
+                canon,
+                F.concat(F.lit(_SENTINEL), F.col(id_col).cast("string")),
+            ).alias("dedup_key"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("canonical_url", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            m = pdf["doc_id"].min()
+            if best is None or m < best:
+                best = int(m)
+        state.update((True,))
+        k = key[0]
+        yield pd.DataFrame(
+            {
+                "doc_id": [best],
+                "canonical_url": [None if k.startswith(_SENTINEL) else k],
+            }
+        )
+
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

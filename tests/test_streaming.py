@@ -737,3 +737,75 @@ def test_streaming_hll_survives_restart(spark, tmp_path):
     assert set(latest) == set(expected)
     for k, r in latest.items():
         assert bytes(r.registers) == expected[k].tobytes(), k  # bit-for-bit
+
+
+def test_streaming_url_dedup_equals_batch(spark, tmp_path):
+    """Incremental URL dedup: with id-ordered micro-batches (the
+    replay/backfill case) the exactly-once first-seen rows EQUAL the batch
+    url_dedup representative set — same canonical keys via the shared
+    Catalyst expression tree, min-id keep rule, unparseable rows kept as
+    singletons with a NULL canonical."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.functions.urls import url_dedup
+    from logparserhelper_spark.plans.contract_queries import _messy_url_col
+    from logparserhelper_spark.streaming.stateful import streaming_url_dedup
+
+    docs = spark.range(0, 180).select(
+        F.col("id").alias("doc_id"), _messy_url_col().alias("url")
+    )
+    extra = spark.createDataFrame(
+        [
+            (900, "not a url at all"),
+            (901, "still not a url"),
+            (902, "http://[::1]/ipv6-boundary"),
+        ],
+        "doc_id long, url string",
+    )
+    docs = docs.unionByName(extra)
+    expected = {
+        (r.doc_id, r.canonical_url)
+        for r in url_dedup(docs).collect()
+        if r.is_rep
+    }
+
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "url_files")
+    os.makedirs(sdir)
+    parts = [
+        t.slice(0, third),
+        t.slice(third, third),
+        t.slice(2 * third),
+    ]
+    for i, part in enumerate(parts):
+        p = os.path.join(sdir, f"{chr(97 + i)}.parquet")
+        pq.write_table(part, p)
+        # id-ordered ingestion needs deterministic batch order: the file
+        # source orders by mtime in MILLISECONDS (NOTES gotcha) — pin them
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_url_dedup(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("url_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "url_ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM url_dedup_stream").collect()
+    emitted = [(r.doc_id, r.canonical_url) for r in rows]
+    assert len(emitted) == len(set(emitted))  # exactly once per key
+    assert set(emitted) == expected and expected
+    # the unparseable rows are all kept, each with a NULL canonical
+    assert {(900, None), (901, None), (902, None)} <= set(emitted)
