@@ -29,6 +29,8 @@ from logparserhelper_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from logparserhelper_spark.functions.gopher import gopher_rules
+from logparserhelper_spark.functions.segments import segment_dedup
 from logparserhelper_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
 from logparserhelper_spark.functions.textstats import (
     fingerprint,
@@ -3925,6 +3927,126 @@ FROM k
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus segment dedup (functions/segments.py) in its
+    fixed-word-window form (the testdata corpus carries no newlines; real
+    corpora pass sep='\\n\\n' instead): 8-word segments, keep-first."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return segment_dedup(d, chunk_words=8, min_chars=1, keep="first").select(
+        "doc_id",
+        F.col("text").alias("kept_text"),
+        "kept_segments",
+        "dropped_segments",
+    )
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+words AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t
+),
+segs AS (
+  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS pos,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM words GROUP BY doc_id, (i - 1) // 8
+),
+norm AS (
+  SELECT doc_id, pos, seg,
+         lower(regexp_replace(trim(seg), '\s+', ' ', 'g')) AS nseg
+  FROM segs
+),
+flags AS (
+  SELECT doc_id, pos, seg,
+         (length(nseg) < 1
+          OR row_number() OVER (PARTITION BY nseg ORDER BY doc_id, pos) = 1)
+           AS kept
+  FROM norm
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY pos), '')
+         AS kept_text,
+       CAST(count(*) FILTER (WHERE kept) AS INT) AS kept_segments,
+       CAST(count(*) FILTER (WHERE NOT kept) AS INT) AS dropped_segments
+FROM flags GROUP BY doc_id
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality rules (functions/gopher.py). Thresholds tuned so the
+    testdata corpus exercises both outcomes: min_words=50 splits it roughly
+    in half, min_stop_hits=1 (the corpus vocabulary carries only 'the' from
+    the Gopher stop list)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return gopher_rules(d, min_words=50, min_stop_hits=1).select(
+        "doc_id", "word_count", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "stop_hits", "bullet_line_frac",
+        "ellipsis_line_frac", "r_word_count", "r_mean_word_len", "r_symbol",
+        "r_alpha", "r_stops", "r_bullets", "r_ellipsis", "gopher_pass",
+    )
+
+
+SQL_GOPHER_RULES = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         (trim(text) = '') AS blank,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN blank THEN 0 ELSE len(ws) END AS INT) AS word_count,
+         CASE WHEN blank THEN 0
+              ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+           END AS total_chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         CAST(len(list_filter(
+           ['the','be','to','of','and','that','have','with'],
+           st -> list_contains(ws, st))) AS INT) AS stop_hits,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> ltrim(l) LIKE '- %'
+             OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE '•%')) AS bullets,
+         len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS ellipsis
+  FROM b
+),
+r AS (
+  SELECT doc_id, word_count,
+         ROUND(CASE WHEN word_count > 0
+                    THEN CAST(total_chars AS DOUBLE) / word_count
+                    ELSE 0.0 END, 4) AS mean_word_len,
+         ROUND(CASE WHEN word_count > 0
+                    THEN CAST(symbols AS DOUBLE) / word_count
+                    ELSE 0.0 END, 4) AS symbol_ratio,
+         ROUND(CASE WHEN word_count > 0
+                    THEN CAST(alpha_words AS DOUBLE) / word_count
+                    ELSE 0.0 END, 4) AS alpha_word_frac,
+         stop_hits,
+         ROUND(CAST(bullets AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+         ROUND(CAST(ellipsis AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac
+  FROM s
+)
+SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_word_frac,
+       stop_hits, bullet_line_frac, ellipsis_line_frac,
+       (word_count >= 50 AND word_count <= 100000) AS r_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+       (symbol_ratio <= 0.1) AS r_symbol,
+       (alpha_word_frac >= 0.8) AS r_alpha,
+       (stop_hits >= 1) AS r_stops,
+       (bullet_line_frac <= 0.9) AS r_bullets,
+       (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+       (word_count >= 50 AND word_count <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3) AS gopher_pass
+FROM r
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -3978,6 +4100,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "semdedup": q_semdedup,
     "cube_priority_status": q_cube_priority_status,
+    # net-new round-8 fourth wave: CCNet segment dedup + Gopher rules
+    "paragraph_dedup": q_paragraph_dedup,
+    "gopher_rules": q_gopher_rules,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4021,4 +4146,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "semdedup": SQL_SEMDEDUP,
     "cube_priority_status": SQL_CUBE_PRIORITY_STATUS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "gopher_rules": SQL_GOPHER_RULES,
 }
