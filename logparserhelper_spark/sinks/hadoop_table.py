@@ -1213,6 +1213,108 @@ def _harvest_blooms(
     return out
 
 
+def _kmv_hash(data: bytes) -> int:
+    """64-bit value hash for the KMV NDV sketches (blake2b, like the
+    bloom path — one hash family across the metadata surfaces)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "little"
+    )
+
+
+def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
+    """Per-column KMV (k-minimum-values) NDV sketches from an open
+    ParquetFile — the Puffin-statistics analogue, harvested at STAGE time
+    so `ANALYZE` later is a metadata-only merge (no table scan, ever):
+    KMV sketches union losslessly (the k smallest hashes of a union are
+    all present among the per-file k-smallest lists), so table-level NDV
+    at any snapshot is computable from manifests alone. Same eligibility
+    domain, dotted-path grammar, and chunked distinct-reduction as
+    :func:`_harvest_blooms`; memory is bounded by periodic re-pruning to
+    the k smallest, independent of the column's true NDV. Below k
+    distinct values the sketch IS the distinct set (exact); above, the
+    classic (k-1)/R estimator applies (stderr ~ 1/sqrt(k-2))."""
+    import base64
+    import struct
+
+    import pyarrow as pa
+
+    out: dict[str, dict[str, Any]] = {}
+    for c in cols:
+        fld = _arrow_nested_field(pf.schema_arrow, c)
+        if fld is None:
+            continue
+        at = fld.type
+        if not (
+            (pa.types.is_integer(at) and not pa.types.is_boolean(at))
+            or pa.types.is_string(at)
+            or pa.types.is_large_string(at)
+            or pa.types.is_date(at)
+            or pa.types.is_timestamp(at)
+        ):
+            continue  # type outside the _bloom_key domain: no-op
+        hs: set[int] = set()
+        kind: str | None = None
+        bad = False
+        for batch in pf.iter_batches(columns=[c], batch_size=65536):
+            arr = batch.column(0)
+            for seg in c.split(".")[1:]:
+                # parent-null positions may surface child values; extra
+                # hashes only nudge the estimate upward by at most the
+                # parent-null distincts — same tolerance as the blooms
+                arr = arr.field(seg)
+            for v in arr.unique().to_pylist():
+                if v is None:
+                    continue
+                bk = _bloom_key(v)
+                if bk is None or (kind is not None and bk[0] != kind):
+                    bad = True  # unexpected value kind: refuse
+                    break
+                kind = bk[0]
+                hs.add(_kmv_hash(bk[1]))
+            if bad:
+                break
+            if len(hs) > 8 * k:  # bound memory: keep the k smallest
+                hs = set(sorted(hs)[:k])
+        if bad or not hs:
+            continue
+        smallest = sorted(hs)[:k]
+        out[c] = {
+            "kind": kind,
+            "k": k,
+            "h": base64.b64encode(
+                struct.pack(f"<{len(smallest)}Q", *smallest)
+            ).decode("ascii"),
+        }
+    return out
+
+
+def _sketch_hashes(sk: dict[str, Any]) -> list[int] | None:
+    """Decode one sketch's sorted hash list; None on a malformed entry
+    (never raises — statistics are advisory)."""
+    import base64
+    import struct
+
+    try:
+        raw = base64.b64decode(sk["h"])
+        n = len(raw) // 8
+        return list(struct.unpack(f"<{n}Q", raw[: n * 8]))
+    except (KeyError, TypeError, ValueError, struct.error):
+        return None
+
+
+def _kmv_estimate(merged: list[int], k: int) -> tuple[int, bool]:
+    """(ndv estimate, exact?) from a SORTED merged hash list under
+    sketch parameter k. Fewer than k hashes means every distinct value's
+    hash is present: exact. Otherwise the k-th minimum value estimator
+    (k-1)/R with R = h_k / 2^64."""
+    if len(merged) < k:
+        return len(merged), True
+    kth = merged[k - 1]
+    return max(k, round((k - 1) * float(2**64) / float(kth + 1))), False
+
+
 def _file_may_match(f: DataFile, pred: list[tuple]) -> bool:
     """Metrics-based file skipping (Iceberg planner's evaluator): False
     only when some conjunct is PROVABLY false for every row in the file —
@@ -1368,6 +1470,11 @@ class DataFile:
     # stage time for write.metadata.bloom-filter-columns — plan-time
     # point-lookup skipping where min/max bounds can't bite.
     blooms: dict[str, dict[str, Any]] | None = None
+    # per-column KMV NDV sketches ({"kind","k","h"} per column, see
+    # _harvest_sketches), harvested at stage time for
+    # write.metadata.ndv-sketch-columns — mergeable across files, so
+    # inspect("statistics") answers table NDV from manifests alone.
+    sketches: dict[str, dict[str, Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -1387,6 +1494,8 @@ class DataFile:
             d["columns"] = self.columns
         if self.blooms is not None:
             d["blooms"] = self.blooms
+        if self.sketches is not None:
+            d["sketches"] = self.sketches
         return d
 
     @staticmethod
@@ -1399,6 +1508,7 @@ class DataFile:
             equality_cols=d.get("equality_cols"),
             columns=d.get("columns"),
             blooms=d.get("blooms"),
+            sketches=d.get("sketches"),
         )
 
 
@@ -1682,9 +1792,14 @@ class HadoopTable:
         ``schema``     — the (time-travelable) current schema with field
                          ids, defaults, and the id epoch — the
                          schema-evolution debugging surface.
+        ``statistics`` — per-column table statistics merged from the
+                         manifests alone (row/null counts from footer
+                         stats, NDV from the KMV sketches
+                         ``write.metadata.ndv-sketch-columns`` harvests
+                         at write time): the metadata-only ANALYZE.
 
-        ``version`` time-travels ``files``/``partitions`` (the other
-        tables are chain-wide). Returns an EMPTY correctly-typed frame
+        ``version`` time-travels ``files``/``partitions``/``statistics``
+        (the other tables are chain-wide). Returns an EMPTY correctly-typed frame
         when there is nothing to list — callers can union/join without
         special-casing a fresh table."""
         spark = self.spark
@@ -1858,10 +1973,122 @@ class HadoopTable:
             return spark.createDataFrame(
                 rows, "name string, type string, version int"
             )
+        if name == "statistics":
+            stats_schema = (
+                "column string, row_count bigint, null_count bigint, "
+                "ndv bigint, ndv_exact boolean, data_files int, "
+                "files_with_sketch int"
+            )
+            if not self.exists():
+                return spark.createDataFrame([], stats_schema)
+            snap = self.snapshot(version)
+            rows = self._column_statistics(snap)
+            return spark.createDataFrame(rows, stats_schema)
         raise ValueError(
             f"unknown metadata table {name!r}; one of snapshots, files, "
-            "manifests, partitions, history, refs, schema"
+            "manifests, partitions, history, refs, schema, statistics"
         )
+
+    def _column_statistics(self, snap: "Snapshot") -> list[tuple]:
+        """Table-level per-column statistics merged from manifest
+        entries alone — the metadata-only ANALYZE (Iceberg stores the
+        equivalent in Puffin theta-sketch statistics files; here the
+        per-file KMV sketches union losslessly at read time, so the
+        numbers are always current for every snapshot, time travel
+        included, with zero data scanned).
+
+        Per current top-level column: row_count (sum of live data-file
+        records — always known), null_count (summed footer stats; a file
+        that PREDATES the column contributes all-null rows, or none when
+        an Iceberg-v3 non-null default applies; None if any live file
+        lacks the footer stat), ndv (merged-KMV estimate over the files
+        that carry sketches; a predating file contributes its default as
+        one distinct value; None when no file carries a sketch or kinds
+        conflict), ndv_exact (True only when every live file is covered
+        AND the merged sketch is below k — then it IS the distinct set),
+        and the coverage counters that make partial sketching honest."""
+        cur_ids, _last = _schema_ids(snap.schema_json)
+        defaults = _schema_defaults(snap.schema_json)
+        data_files = [f for f in snap.files if f.content == "data"]
+        rows: list[tuple] = []
+        for fld in json.loads(snap.schema_json)["fields"]:
+            col = fld["name"]
+            fid = cur_ids.get(col)
+            dv = defaults.get(fid)
+            row_count = 0
+            null_count: int | None = 0
+            hashes: set[int] = set()
+            k_min: int | None = None
+            kind: str | None = None
+            kind_conflict = False
+            with_sketch = 0
+            covered = 0  # files whose distinct set is fully represented
+            for f in data_files:
+                row_count += f.records
+                phys = _physical_name(f, col, cur_ids)
+                if phys is None:
+                    # predates the column: every row reads the default
+                    if dv is None:
+                        if null_count is not None:
+                            null_count += f.records
+                        covered += 1  # contributes no distinct values
+                    else:
+                        bk = _bloom_key(dv)
+                        if bk is not None and f.records > 0:
+                            if kind is None:
+                                kind = bk[0]
+                            elif kind != bk[0]:
+                                kind_conflict = True
+                            hashes.add(_kmv_hash(bk[1]))
+                            covered += 1
+                        elif f.records == 0:
+                            covered += 1
+                    continue
+                if f.records == 0:
+                    covered += 1  # no rows: no nulls, no distinct values
+                    continue
+                st = (f.stats or {}).get(phys)
+                if st is None or st.get("nulls") is None:
+                    null_count = None
+                elif null_count is not None:
+                    null_count += int(st["nulls"])
+                sk = (f.sketches or {}).get(phys)
+                hs = _sketch_hashes(sk) if sk else None
+                if hs is None:
+                    continue
+                with_sketch += 1
+                covered += 1
+                if kind is None:
+                    kind = sk.get("kind")
+                elif sk.get("kind") != kind:
+                    kind_conflict = True
+                k_min = sk["k"] if k_min is None else min(k_min, sk["k"])
+                hashes.update(hs)
+            if kind_conflict or (not hashes and (with_sketch == 0 and covered < len(data_files))):
+                ndv, exact = None, False
+            elif not hashes:
+                # covered files only, none holding values: provably 0
+                # distinct when coverage is total, unknown otherwise
+                ndv = 0 if covered == len(data_files) else None
+                exact = ndv is not None
+            else:
+                est, below_k = _kmv_estimate(
+                    sorted(hashes), k_min if k_min is not None else len(hashes) + 1
+                )
+                ndv = est
+                exact = below_k and covered == len(data_files)
+            rows.append(
+                (
+                    col,
+                    row_count,
+                    null_count,
+                    ndv,
+                    exact,
+                    len(data_files),
+                    with_sketch,
+                )
+            )
+        return rows
 
     # ------------------------------------------------------------- refs/tags
     # Named refs, the Iceberg table-metadata ``refs`` map re-expressed for
@@ -2598,6 +2825,27 @@ class HadoopTable:
             int(props.get("write.metadata.bloom-filter-bits", 16384)),
         )
 
+    def _sketch_config(self) -> tuple[list[str], int]:
+        """Resolve the NDV-sketch write properties:
+        ``write.metadata.ndv-sketch-columns`` (comma-separated; empty =
+        feature off, the default) and ``write.metadata.ndv-sketch-k``
+        (sketch size, default 1024 — ~8 KB of manifest weight per
+        column per file, NDV standard error ~3%). The Iceberg analogue
+        is Puffin theta-sketch statistics files written by ANALYZE;
+        here the sketches ride the manifest entries so ANALYZE itself
+        becomes a metadata-only merge (see ``inspect("statistics")``).
+        Names refer to the CURRENT schema and — like the bloom property
+        and Iceberg's own per-column properties — are not rewritten by
+        a rename: update the property alongside the DDL. Already-written
+        files keep merging regardless (read-side translation is by
+        field id)."""
+        props = self._current_properties()
+        cols = props.get("write.metadata.ndv-sketch-columns", "")
+        return (
+            [c.strip() for c in cols.split(",") if c.strip()],
+            max(16, int(props.get("write.metadata.ndv-sketch-k", 1024))),
+        )
+
     def set_properties(self, props: dict[str, Any]) -> Snapshot:
         """Set table properties — a metadata-only commit under the same
         optimistic protocol as everything else, so two concurrent
@@ -2900,6 +3148,7 @@ class HadoopTable:
         spec: list[PartitionField] | None = None,
         concurrent_writers: int | None = None,
         bloom_cfg: tuple[list[str], int] | None = None,
+        sketch_cfg: tuple[list[str], int] | None = None,
     ) -> list[DataFile]:
         """Write df's parquet under data/<uuid>/ and return the manifest
         entries. Files land at their FINAL paths (never moved — Iceberg
@@ -2961,7 +3210,7 @@ class HadoopTable:
                 if name.endswith(".parquet"):
                     todo.append((os.path.join(dirpath, name), part))
 
-        entries = self._harvest_entries(todo, phys_columns, bloom_cfg)
+        entries = self._harvest_entries(todo, phys_columns, bloom_cfg, sketch_cfg)
         _fault("after-stage")
         return entries
 
@@ -2970,18 +3219,22 @@ class HadoopTable:
         todo: list[tuple[str, dict[str, str]]],
         phys_columns: list[dict[str, Any]],
         bloom_cfg: tuple[list[str], int] | None = None,
+        sketch_cfg: tuple[list[str], int] | None = None,
     ) -> list[DataFile]:
         """Build manifest entries for (abs parquet path, partition tuple)
-        pairs: footer stats, configured bloom filters, and the shared
-        physical-column shape. Used by :meth:`_stage` on just-written
-        files and :meth:`add_files` on registered ones. ``bloom_cfg``
-        defaults to the table's resolved property config; pass
-        ``([], 0)`` to skip the bloom harvest entirely (delete files —
-        their entries null the field anyway)."""
+        pairs: footer stats, configured bloom filters and NDV sketches,
+        and the shared physical-column shape. Used by :meth:`_stage` on
+        just-written files and :meth:`add_files` on registered ones.
+        ``bloom_cfg``/``sketch_cfg`` default to the table's resolved
+        property config; pass ``([], 0)`` to skip a harvest entirely
+        (delete files — their entries null the fields anyway)."""
         import pyarrow.parquet as pq
 
         bloom_cols, bloom_bits = (
             self._bloom_config() if bloom_cfg is None else bloom_cfg
+        )
+        sketch_cols, sketch_k = (
+            self._sketch_config() if sketch_cfg is None else sketch_cfg
         )
 
         def harvest(item: tuple[str, dict[str, str]]) -> DataFile:
@@ -2992,6 +3245,11 @@ class HadoopTable:
                 if bloom_cols
                 else {}
             )
+            sketches = (
+                _harvest_sketches(pf, sketch_cols, sketch_k)
+                if sketch_cols
+                else {}
+            )
             return DataFile(
                 path=os.path.relpath(abs_p, self.root),
                 partition=part,
@@ -3000,6 +3258,7 @@ class HadoopTable:
                 stats=_collect_stats(pf, self.stats_columns),
                 columns=[dict(c) for c in phys_columns],
                 blooms=blooms or None,
+                sketches=sketches or None,
             )
 
         # footer harvest is driver-side I/O over O(staged files) — at
@@ -5212,9 +5471,12 @@ class HadoopTable:
         readers then skip non-overlapping data files (:func:`_eq_reaches`).
         Identity partition columns land in the DIRECTORY, not the file
         bytes — consumers reconstruct them from the manifest tuple."""
-        # bloom_cfg ([], 0): delete files never carry blooms, so the
-        # harvest (a full key-column read per file) would be pure waste
-        entries = self._stage(df, partition_cols or [], spec, bloom_cfg=([], 0))
+        # ([], 0) configs: delete files never carry blooms or sketches,
+        # so the harvests (full key-column reads per file) would be waste
+        entries = self._stage(
+            df, partition_cols or [], spec,
+            bloom_cfg=([], 0), sketch_cfg=([], 0),
+        )
         return [
             _dc_replace(
                 e,

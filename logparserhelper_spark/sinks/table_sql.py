@@ -30,6 +30,7 @@ statement, one atomic commit, same semantics as calling the method:
     ''')
     table_sql(spark, "DESCRIBE '/data/t' [AS OF VERSION 3]")
     table_sql(spark, "SHOW TBLPROPERTIES '/data/t'")
+    table_sql(spark, "SHOW STATS FOR '/data/t' [AS OF VERSION 3]")
     table_sql(spark, "CALL compact('/data/t')")
     table_sql(spark, "CALL expire_snapshots('/data/t', keep_last => 2)")
     table_sql(spark, "CALL maintain('/data/t')")
@@ -577,6 +578,16 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
     m = re.fullmatch(rf"(?i)SHOW\s+TBLPROPERTIES\s+{_LOC}", stmt)
     if m:
         return _target(spark, m, catalog).properties()
+
+    m = re.fullmatch(
+        rf"(?i)SHOW\s+STATS\s+FOR\s+{_LOC}"
+        rf"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?",
+        stmt,
+    )
+    if m:
+        t = _target(spark, m, catalog)
+        v = int(m.group("v")) if m.group("v") else None
+        return t.inspect("statistics", version=v)
 
     m = re.match(rf"(?is)CREATE\s+TABLE\s+{_LOC}\s*\(", stmt)
     if m:
