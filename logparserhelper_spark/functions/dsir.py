@@ -1,0 +1,115 @@
+"""DSIR: data selection via hashed n-gram importance resampling
+(Xie et al., NeurIPS 2023).
+
+The standard way to pick pretraining data that "looks like" a target
+domain without a model in the loop: featurize every document as hashed
+word uni+bi-gram counts over a small bucket space, fit two smoothed
+bucket distributions — p from the target sample, q from the raw corpus —
+and score each document with its log importance weight
+``sum_b count_b(doc) * log(p_b / q_b)``. High-weight documents are
+target-like; selection is then a top-k or threshold over the weights.
+
+Shape here (all built-ins, no UDF, no collect):
+
+- features: word unigrams + bigrams, bucketed by the engine-portable
+  md5 idiom (first 8 hex chars -> int mod ``buckets``) shared with the
+  minhash/hash-split family, so the DuckDB oracle reproduces bucket
+  assignment exactly.
+- model: ONE aggregation over the exploded features (cnt_target via a
+  conditional sum, cnt_source = all rows); totals come from a window
+  over the tiny ``buckets``-row model table, not a second corpus pass.
+  Laplace smoothing ``(cnt+1)/(total+B)`` keeps every bucket finite.
+- determinism: each bucket's log ratio is quantized to FIXED-POINT
+  micro-nats (round(ln(r) * 1e6) as long) and per-document weights are
+  integer sums of ``count * lr_micro`` — associative and order-free, so
+  any partitioning gives the same bits (the char_bigram_logprob trick).
+  The ln argument itself is one division of two EXACT integer products,
+  identical doubles in every engine.
+- scale: the per-doc probe pre-aggregates to (doc, bucket, count) —
+  at most ``buckets`` rows per document regardless of length — and the
+  model side is ``buckets`` rows broadcast into the join. One wide
+  shuffle (the doc-bucket groupBy), one broadcast join, one final
+  groupBy(doc): the same plan at 500 docs and 500 billion.
+
+Documents with no words produce no row (same contract as
+char_bigram_logprob). No reference-parity citation: the reference tool
+(see SURVEY §1) has no data selection; this extends the SURVEY §2
+curation family alongside functions/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(col, buckets: int):
+    """Engine-portable bucket hash: first 8 md5 hex chars mod buckets
+    (DuckDB: CAST('0x' || substr(md5(g),1,8) AS BIGINT) % buckets)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """(id_col, n_features, dsir_logweight) per document with >=1 word.
+
+    ``target_col`` names a boolean column marking the target-domain
+    sample (rows the importance weights should up-rank toward);
+    the source distribution is the whole input, DSIR's "raw" side.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    ).filter(F.trim(F.col(text_col)) != "")
+    n = F.size("_ws")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_ws", i.cast("int")),
+                F.element_at("_ws", (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        "_id", "_tgt",
+        F.explode(F.concat("_ws", bigrams)).alias("_g"),
+    ).select("_id", "_tgt", _bucket(F.col("_g"), buckets).alias("_b"))
+
+    # model: smoothed target/source bucket distributions -> fixed-point
+    # log ratios; totals via a window over the <= ``buckets``-row table
+    model = ex.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+        F.count(F.lit(1)).cast("long").alias("_cs"),
+    )
+    w_all = Window.partitionBy()
+    t_t = F.sum("_ct").over(w_all) + buckets
+    t_s = F.sum("_cs").over(w_all) + buckets
+    lr = F.log(((F.col("_ct") + 1) * t_s).cast("double") / ((F.col("_cs") + 1) * t_t))
+    model = model.select(
+        "_b", F.round(lr * 1000000.0, 0).cast("long").alias("_lr_micro")
+    )
+
+    doc_b = ex.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    packed = doc_b.join(F.broadcast(model), "_b")
+    return packed.groupBy("_id").agg(
+        F.sum("_cnt").cast("long").alias("n_features"),
+        F.round(
+            F.sum(F.col("_cnt") * F.col("_lr_micro")).cast("double")
+            / 1000000.0,
+            4,
+        ).alias("dsir_logweight"),
+    ).select(F.col("_id").alias(id_col), "n_features", "dsir_logweight")

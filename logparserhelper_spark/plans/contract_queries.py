@@ -29,6 +29,7 @@ from logparserhelper_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from logparserhelper_spark.functions.dsir import dsir_logweights
 from logparserhelper_spark.functions.gopher import gopher_rules
 from logparserhelper_spark.functions.segments import segment_dedup
 from logparserhelper_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
@@ -4047,6 +4048,59 @@ FROM r
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (functions/dsir.py) with the
+    corpus's own lang='en' slice as the target domain, 64 buckets."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    return dsir_logweights(d, "is_en", buckets=64)
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, tgt, unnest(
+    list_concat(ws,
+      CASE WHEN len(ws) >= 2
+           THEN list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])
+           ELSE [] END)) AS g
+  FROM base
+),
+ex AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+  FROM grams
+),
+model AS (
+  SELECT b,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cs
+  FROM ex GROUP BY b
+),
+mt AS (
+  -- fixed-point micro-nats: integer sums are order-free (see dsir.py)
+  SELECT b,
+         CAST(ROUND(LN(CAST((ct + 1) * (SUM(cs) OVER () + 64) AS DOUBLE)
+                       / CAST((cs + 1) * (SUM(ct) OVER () + 64) AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM model
+),
+doc_b AS (SELECT doc_id, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_features,
+       ROUND(CAST(SUM(d.cnt * m.lr_micro) AS DOUBLE) / 1000000.0, 4)
+         AS dsir_logweight
+FROM doc_b d JOIN mt m USING (b)
+GROUP BY d.doc_id
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -4100,9 +4154,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "semdedup": q_semdedup,
     "cube_priority_status": q_cube_priority_status,
-    # net-new round-8 fourth wave: CCNet segment dedup + Gopher rules
+    # net-new round-8 fourth wave: CCNet segment dedup + Gopher rules +
+    # DSIR importance weighting
     "paragraph_dedup": q_paragraph_dedup,
     "gopher_rules": q_gopher_rules,
+    "dsir_weights": q_dsir_weights,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4148,4 +4204,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "cube_priority_status": SQL_CUBE_PRIORITY_STATUS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "gopher_rules": SQL_GOPHER_RULES,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
