@@ -23,8 +23,9 @@ Shape here (all built-ins, no UDF, no collect):
   micro-nats (round(ln(r) * 1e6) as long) and per-document weights are
   integer sums of ``count * lr_micro`` — associative and order-free, so
   any partitioning gives the same bits (the char_bigram_logprob trick).
-  The ln argument itself is one division of two EXACT integer products,
-  identical doubles in every engine.
+  The ln argument is built from exact integer counts each cast to
+  double BEFORE multiplying (no int64 overflow at any corpus size) —
+  the same IEEE op sequence in every engine, so identical doubles.
 - scale: the per-doc probe pre-aggregates to (doc, bucket, count) —
   at most ``buckets`` rows per document regardless of length — and the
   model side is ``buckets`` rows broadcast into the join. One wide
@@ -67,11 +68,16 @@ def dsir_logweights(
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    # filter empties rather than trimming (F.trim strips spaces only): a
+    # tab/newline-edged doc must not emit ''-token features, and a
+    # whitespace-only doc must produce no row
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(target_col).cast("boolean").alias("_tgt"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
-    ).filter(F.trim(F.col(text_col)) != "")
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_ws"),
+    ).filter(F.size("_ws") >= 1)
     n = F.size("_ws")
     bigrams = F.when(
         n >= 2,
@@ -96,9 +102,16 @@ def dsir_logweights(
         F.count(F.lit(1)).cast("long").alias("_cs"),
     )
     w_all = Window.partitionBy()
-    t_t = F.sum("_ct").over(w_all) + buckets
-    t_s = F.sum("_cs").over(w_all) + buckets
-    lr = F.log(((F.col("_ct") + 1) * t_s).cast("double") / ((F.col("_cs") + 1) * t_t))
+    t_t = (F.sum("_ct").over(w_all) + buckets).cast("double")
+    t_s = (F.sum("_cs").over(w_all) + buckets).cast("double")
+    # each factor cast to double BEFORE multiplying: the long product
+    # (ct+1)*total would overflow int64 around ~2e10 corpus features,
+    # wrapping negative and nulling the log; double products lose no
+    # determinism (same IEEE ops in Spark and the DuckDB oracle)
+    lr = F.log(
+        ((F.col("_ct") + 1).cast("double") * t_s)
+        / ((F.col("_cs") + 1).cast("double") * t_t)
+    )
     model = model.select(
         "_b", F.round(lr * 1000000.0, 0).cast("long").alias("_lr_micro")
     )

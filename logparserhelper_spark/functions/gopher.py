@@ -53,11 +53,14 @@ def gopher_rules(
     r_ellipsis, gopher_pass.
     """
     c = F.col(text_col)
-    words = F.split(F.trim(F.lower(c)), r"\s+")
-    blank = F.trim(c) == ""
-    word_count = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("int")
-    total_word_chars = F.when(blank, F.lit(0)).otherwise(
-        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    # filter empties instead of trimming: F.trim strips spaces only, so a
+    # tab/newline-edged document would otherwise count phantom ''-tokens
+    # (inflating word_count and deflating every per-word ratio near its
+    # rule threshold); filtering handles blank docs for free (0 words)
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    word_count = F.size(words).cast("int")
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
     )
     mean_word_len = F.round(
         F.when(word_count > 0, total_word_chars / word_count).otherwise(0.0), 4

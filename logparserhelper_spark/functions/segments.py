@@ -90,7 +90,14 @@ def segment_dedup(
         F.col(id_col).alias("_id"),
         F.posexplode(segs_col).alias("_pos", "_seg"),
     )
-    norm = F.lower(F.regexp_replace(F.trim(F.col("_seg")), r"\s+", " "))
+    # collapse \s+ FIRST, then trim: a '\r' or '\t'-only line must
+    # normalize to '' so the min_chars blank exemption sees it, and
+    # 'hello\r' must key equal to 'hello' across mixed LF/CRLF corpora.
+    # (Deliberately NOT dedup.normalize_text_col, whose trim-first form
+    # is pinned by its oracles and the streaming stateful mirror — there
+    # the form only needs to be self-consistent, here edge whitespace
+    # changes keep/drop decisions.)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("_seg")), r"\s+", " "))
     segs = segs.select(
         "_id", "_pos", "_seg",
         F.md5(norm).alias("_key"),

@@ -3955,8 +3955,9 @@ segs AS (
   FROM words GROUP BY doc_id, (i - 1) // 8
 ),
 norm AS (
+  -- collapse then trim, mirroring segments.py (CR/tab-only lines -> '')
   SELECT doc_id, pos, seg,
-         lower(regexp_replace(trim(seg), '\s+', ' ', 'g')) AS nseg
+         trim(regexp_replace(lower(seg), '\s+', ' ', 'g')) AS nseg
   FROM segs
 ),
 flags AS (
@@ -3992,15 +3993,15 @@ def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
 SQL_GOPHER_RULES = r"""
 WITH b AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
-         (trim(text) = '') AS blank,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w <> '') AS ws,
          string_split(text, chr(10)) AS lines
   FROM documents
 ),
 s AS (
   SELECT doc_id,
-         CAST(CASE WHEN blank THEN 0 ELSE len(ws) END AS INT) AS word_count,
-         CASE WHEN blank THEN 0
+         CAST(len(ws) AS INT) AS word_count,
+         CASE WHEN len(ws) = 0 THEN 0
               ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum')
            END AS total_chars,
          len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
@@ -4060,9 +4061,11 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
 SQL_DSIR_WEIGHTS = r"""
 WITH base AS (
   SELECT doc_id, (lang = 'en') AS tgt,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
 ),
+nonempty AS (SELECT * FROM base WHERE len(ws) >= 1),
 grams AS (
   SELECT doc_id, tgt, unnest(
     list_concat(ws,
@@ -4070,7 +4073,7 @@ grams AS (
            THEN list_transform(generate_series(1, len(ws) - 1),
                                i -> ws[i] || ' ' || ws[i + 1])
            ELSE [] END)) AS g
-  FROM base
+  FROM nonempty
 ),
 ex AS (
   SELECT doc_id, tgt,
@@ -4084,10 +4087,14 @@ model AS (
   FROM ex GROUP BY b
 ),
 mt AS (
-  -- fixed-point micro-nats: integer sums are order-free (see dsir.py)
+  -- fixed-point micro-nats: integer sums are order-free (see dsir.py);
+  -- factors cast to double BEFORE multiplying, mirroring the engine's
+  -- int64-overflow-safe form op for op
   SELECT b,
-         CAST(ROUND(LN(CAST((ct + 1) * (SUM(cs) OVER () + 64) AS DOUBLE)
-                       / CAST((cs + 1) * (SUM(ct) OVER () + 64) AS DOUBLE))
+         CAST(ROUND(LN((CAST(ct + 1 AS DOUBLE)
+                        * CAST(SUM(cs) OVER () + 64 AS DOUBLE))
+                       / (CAST(cs + 1 AS DOUBLE)
+                          * CAST(SUM(ct) OVER () + 64 AS DOUBLE)))
                     * 1000000.0, 0) AS BIGINT) AS lr_micro
   FROM model
 ),

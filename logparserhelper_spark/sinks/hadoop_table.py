@@ -550,6 +550,51 @@ def _physical_nested(
     return None
 
 
+def _stats_physical(
+    f: "DataFile", col: str, cur_ids: dict[str, int]
+) -> str | None:
+    """Physical path inside data file ``f`` for the current-schema
+    column ``col`` — top-level via :func:`_physical_name`, dotted via
+    :func:`_physical_nested`, with the pre-mint fallback nested ids get
+    minted lazily: while no nested DDL has run, ``cur_ids`` has no entry
+    for the dotted path, and inner names cannot have been renamed, so
+    the relative path maps verbatim under the (possibly renamed)
+    physical parent. Legacy files (no column manifest) map by name."""
+    if "." not in col:
+        return _physical_name(f, col, cur_ids)
+    if f.columns is None:
+        return col
+    if cur_ids.get(col) is not None:
+        return _physical_nested(f, col, cur_ids)
+    top, rel = col.split(".", 1)
+    ptop = _physical_name(f, top, cur_ids)
+    return None if ptop is None else ptop + "." + rel
+
+
+def _schema_struct_leaves(schema_fields: list[dict]) -> list[str]:
+    """Dotted paths of every struct-chain leaf in a schema's jsonValue
+    fields — the same addressable set as the footer-stats/bloom/sketch
+    grammar (:func:`_struct_leaf_paths`, which walks the arrow type):
+    struct-of-struct chains only, list/map legs excluded."""
+    out: list[str] = []
+
+    def walk(fields: list[dict], prefix: str) -> None:
+        for fld in fields:
+            t = fld.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields") or [], prefix + fld["name"] + ".")
+            elif isinstance(t, str):
+                # primitive leaves only: an array/map under the struct is
+                # not footer-addressable (same exclusion as the harvest)
+                out.append(prefix + fld["name"])
+
+    for fld in schema_fields:
+        t = fld.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            walk(t.get("fields") or [], fld["name"] + ".")
+    return out
+
+
 def _rename_map(f: "DataFile", cur_ids: dict[str, int]) -> dict[str, str]:
     """Physical -> current column names for one annotated data file (the
     worker-side projection the Python data source applies before
@@ -1994,25 +2039,45 @@ class HadoopTable:
         entries alone — the metadata-only ANALYZE (Iceberg stores the
         equivalent in Puffin theta-sketch statistics files; here the
         per-file KMV sketches union losslessly at read time, so the
-        numbers are always current for every snapshot, time travel
-        included, with zero data scanned).
+        numbers track every snapshot, time travel included, with zero
+        data scanned).
 
-        Per current top-level column: row_count (sum of live data-file
-        records — always known), null_count (summed footer stats; a file
-        that PREDATES the column contributes all-null rows, or none when
-        an Iceberg-v3 non-null default applies; None if any live file
-        lacks the footer stat), ndv (merged-KMV estimate over the files
-        that carry sketches; a predating file contributes its default as
-        one distinct value; None when no file carries a sketch or kinds
-        conflict), ndv_exact (True only when every live file is covered
-        AND the merged sketch is below k — then it IS the distinct set),
-        and the coverage counters that make partial sketching honest."""
+        Per current column — top-level fields AND struct-nested leaf
+        paths (the same dotted grammar the harvest accepts): row_count
+        (live data records minus position-delete records, exactly
+        :meth:`total_records`' rule), null_count (summed footer stats; a
+        file that PREDATES the column contributes all-null rows, or none
+        when an Iceberg-v3 non-null default applies; None if any live
+        file lacks the footer stat), ndv (merged-KMV estimate over the
+        files that carry sketches; a predating file contributes its
+        default as one distinct value; None when no file carries a
+        sketch or kinds conflict), ndv_exact (True only when every live
+        file is covered AND the merged sketch is below k — then it IS
+        the distinct set), and the coverage counters that make partial
+        sketching honest.
+
+        Row-level deletes degrade exactness the way ``total_records``
+        documents: position deletes subtract from row_count but no
+        manifest says WHICH rows died, and equality deletes are not
+        subtractable at all without a scan — so while ANY delete file is
+        live, per-column null_count is unknowable (None), ndv becomes an
+        upper bound, and ndv_exact never asserts. ``compact()``/
+        ``rewrite_delete_files`` restore exactness by retiring the
+        delete files."""
         cur_ids, _last = _schema_ids(snap.schema_json)
         defaults = _schema_defaults(snap.schema_json)
         data_files = [f for f in snap.files if f.content == "data"]
+        delete_files = [f for f in snap.files if f.content != "data"]
+        has_deletes = bool(delete_files)
+        pos_del_records = sum(
+            f.records for f in delete_files
+            if f.content == "position-deletes"
+        )
+        schema_fields = json.loads(snap.schema_json)["fields"]
+        cols = [f["name"] for f in schema_fields]
+        cols += _schema_struct_leaves(schema_fields)
         rows: list[tuple] = []
-        for fld in json.loads(snap.schema_json)["fields"]:
-            col = fld["name"]
+        for col in cols:
             fid = cur_ids.get(col)
             dv = defaults.get(fid)
             row_count = 0
@@ -2025,7 +2090,7 @@ class HadoopTable:
             covered = 0  # files whose distinct set is fully represented
             for f in data_files:
                 row_count += f.records
-                phys = _physical_name(f, col, cur_ids)
+                phys = _stats_physical(f, col, cur_ids)
                 if phys is None:
                     # predates the column: every row reads the default
                     if dv is None:
@@ -2062,7 +2127,12 @@ class HadoopTable:
                     kind = sk.get("kind")
                 elif sk.get("kind") != kind:
                     kind_conflict = True
-                k_min = sk["k"] if k_min is None else min(k_min, sk["k"])
+                # advisory contract: a malformed entry (missing k)
+                # degrades the sketch parameter, never raises
+                sk_k = sk.get("k")
+                if not isinstance(sk_k, int) or sk_k < 1:
+                    sk_k = len(hs)
+                k_min = sk_k if k_min is None else min(k_min, sk_k)
                 hashes.update(hs)
             if kind_conflict or (not hashes and (with_sketch == 0 and covered < len(data_files))):
                 ndv, exact = None, False
@@ -2077,10 +2147,16 @@ class HadoopTable:
                 )
                 ndv = est
                 exact = below_k and covered == len(data_files)
+            if has_deletes:
+                # deleted rows may have held any nulls/distincts: counts
+                # become upper bounds (see docstring) — same honesty rule
+                # as total_records' equality-delete caveat
+                null_count = None
+                exact = False
             rows.append(
                 (
                     col,
-                    row_count,
+                    row_count - pos_del_records,
                     null_count,
                     ndv,
                     exact,

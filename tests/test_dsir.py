@@ -74,3 +74,16 @@ def test_weights_shift_with_target_definition(spark):
            for r in dsir_logweights(df, "inv").collect()}
     # flipping the target flips the ranking direction
     assert w_t[0] > w_t[10] and w_i[10] > w_i[0]
+
+
+def test_edge_whitespace_features(spark):
+    # review finding: tab-only docs must produce no row; edge whitespace
+    # must not emit phantom ''-token features
+    df = spark.createDataFrame(
+        [(1, "foo\n", True), (2, "\t", False), (3, "a  b", True)],
+        ["doc_id", "text", "tgt"],
+    )
+    rows = {r["doc_id"]: r for r in dsir_logweights(df, "tgt").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_features"] == 1  # just 'foo', no '' or 'foo ' bigram
+    assert rows[3]["n_features"] == 3  # 'a','b','a b' — double space collapsed

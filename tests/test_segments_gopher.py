@@ -124,3 +124,33 @@ def test_gopher_stop_hits_distinct(spark):
     assert row["r_stops"]
     assert row["word_count"] == 8
     assert row["symbol_ratio"] == pytest.approx(4 / 8)  # 3x'#' + 1x'...'
+
+
+def test_line_dedup_crlf_and_tab_edges(spark):
+    # review finding: '\r'-only lines must be blank-exempt and 'hello\r'
+    # must key equal to 'hello' across mixed LF/CRLF documents
+    rows = [
+        (1, "hello\r\nworld"),          # CRLF doc: lines 'hello\r', 'world'
+        (2, "hello\nworld"),            # LF doc: same logical content
+        (3, "\r\n\r"),                  # blank CR lines only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = _by_id(segment_dedup(df, sep="\n", min_chars=1, keep="first"))
+    # doc 2's 'hello' and 'world' are dups of doc 1's (CR-normalized) lines
+    assert out[2]["dropped_segments"] == 2 and out[2]["text"] == ""
+    # doc 3: both lines normalize to '' -> min_chars-exempt, all kept
+    assert out[3]["dropped_segments"] == 0
+    assert out[3]["kept_segments"] == 2
+
+
+def test_gopher_edge_whitespace_no_phantom_tokens(spark):
+    rows = [(1, "alpha beta gamma\n"), (2, "\t\t"), (3, "  x  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = _by_id(gopher_rules(df, min_words=1, min_stop_hits=0))
+    # trailing newline must not add a phantom '' token
+    assert out[1]["word_count"] == 3
+    assert out[1]["alpha_word_frac"] == 1.0
+    assert out[1]["mean_word_len"] == 4.6667  # 14 chars / 3 words
+    # tab-only doc is blank: zero words, rules fail
+    assert out[2]["word_count"] == 0 and not out[2]["gopher_pass"]
+    assert out[3]["word_count"] == 1

@@ -291,3 +291,81 @@ def test_datasource_writer_harvests_sketches(spark, tmp_path):
         f.sketches and set(f.sketches) == {"u"} for f in files
     )
     assert _stats(t)["u"]["ndv"] == 9
+
+
+def test_mor_deletes_degrade_statistics(spark, tmp_path):
+    loc = str(tmp_path / "tmor")
+    t = create_table_at(
+        spark,
+        loc,
+        "id long, u string",
+        properties={"write.metadata.ndv-sketch-columns": "u"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "y")], "id long, u string"
+        ).coalesce(1)
+    )
+    s0 = _stats(t)["u"]
+    assert s0["ndv"] == 2 and s0["ndv_exact"] and s0["null_count"] == 0
+    t.delete([("u", "=", "x")], mode="merge-on-read")
+    s1 = _stats(t)["u"]
+    # review finding: a live delete file means per-column numbers are
+    # upper bounds — never assert exactness, never claim a null count
+    assert not s1["ndv_exact"] and s1["null_count"] is None
+    assert s1["ndv"] == 2  # advisory upper bound
+    # position deletes subtract from row_count (total_records' rule)
+    assert s1["row_count"] == 2
+    t.compact()
+    s2 = _stats(t)["u"]
+    assert s2["ndv"] == 1 and s2["ndv_exact"] and s2["row_count"] == 2
+    assert s2["null_count"] == 0
+
+
+def test_nested_struct_sketches_surface(spark, tmp_path):
+    loc = str(tmp_path / "tnest")
+    t = create_table_at(
+        spark,
+        loc,
+        "id long, props struct<lang: string, score: long>",
+        properties={"write.metadata.ndv-sketch-columns": "props.lang"},
+    )
+    rows = [(i, (["en", "de", "fr"][i % 3], i)) for i in range(30)]
+    t.append(
+        spark.createDataFrame(
+            rows, "id long, props struct<lang: string, score: long>"
+        ).coalesce(1)
+    )
+    s = _stats(t)
+    # review finding: dotted sketch columns must SURFACE, not just cost
+    assert "props.lang" in s
+    assert s["props.lang"]["ndv"] == 3 and s["props.lang"]["ndv_exact"]
+    assert s["props.lang"]["null_count"] == 0
+    # nested leaves without sketches still get row/null counts
+    assert s["props.score"]["row_count"] == 30
+    assert s["props.score"]["ndv"] is None
+
+
+def test_malformed_sketch_entry_degrades_not_raises(spark, tmp_path):
+    loc = str(tmp_path / "tmal")
+    t = create_table_at(
+        spark,
+        loc,
+        "id long, u string",
+        properties={"write.metadata.ndv-sketch-columns": "u"},
+    )
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, u string")
+        .coalesce(1)
+    )
+    snap = t.snapshot()
+    f = snap.data_files[0]
+    f.sketches["u"].pop("k")  # hand-damaged manifest entry
+    got = {r["column"]: r.asDict() for r in
+           spark.createDataFrame(t._column_statistics(snap),
+                                 "column string, row_count bigint, "
+                                 "null_count bigint, ndv bigint, "
+                                 "ndv_exact boolean, data_files int, "
+                                 "files_with_sketch int").collect()}
+    # advisory contract: degrade (k falls back to the hash count), no crash
+    assert got["u"]["ndv"] == 2
