@@ -4108,6 +4108,84 @@ GROUP BY d.doc_id
 """
 
 
+def q_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning rules (functions/c4.py). The corpus carries no
+    newlines or punctuation, so — like the messy-URL extra — the query
+    synthesizes a deterministic line-structured page per document (both
+    engines build the identical string): the doc text as a sentence, a
+    no-terminal-punct line, and residue-gated question / lorem /
+    javascript / brace lines so every rule fires on part of the corpus."""
+    from logparserhelper_spark.functions.c4 import c4_rules
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    page = F.concat(
+        F.col("text"), F.lit("."),
+        F.lit("\nno terminal punct here"),
+        F.when(i % 2 == 0, F.lit("\nIs this a question? Yes.")).otherwise(""),
+        F.when(i % 3 == 0, F.lit("\nEnable javascript to continue.")).otherwise(""),
+        F.when(i % 5 == 0, F.lit("\nlorem ipsum sit amet")).otherwise(""),
+        F.when(i % 7 == 0, F.lit("\nfunction() { return 1; }")).otherwise(""),
+    )
+    return c4_rules(d.select("doc_id", page.alias("text"))).select(
+        "doc_id", "c4_text", "kept_lines", "total_lines", "n_sentences",
+        "r_no_lorem", "r_no_brace", "r_no_javascript", "r_min_sentences",
+        "c4_pass",
+    )
+
+
+SQL_C4_RULES = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || '.'
+         || chr(10) || 'no terminal punct here'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'Is this a question? Yes.' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'Enable javascript to continue.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'lorem ipsum sit amet' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'function() { return 1; }' ELSE '' END
+           AS page
+  FROM documents
+),
+l AS (
+  SELECT doc_id, page,
+         list_transform(string_split(page, chr(10)), x -> trim(x)) AS tl
+  FROM p
+),
+k AS (
+  SELECT doc_id, page, tl,
+         list_filter(tl, x -> regexp_matches(x, '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> w <> '')) >= 5) AS kept
+  FROM l
+),
+s AS (
+  SELECT doc_id, page, tl, kept,
+         COALESCE(list_aggregate(
+           list_transform(kept, x -> len(regexp_extract_all(x, '[.!?"]'))),
+           'sum'), 0) AS n_sentences
+  FROM k
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS c4_text,
+       CAST(len(kept) AS INT) AS kept_lines,
+       CAST(len(tl) AS INT) AS total_lines,
+       CAST(n_sentences AS INT) AS n_sentences,
+       NOT contains(lower(page), 'lorem ipsum') AS r_no_lorem,
+       NOT contains(page, '{') AS r_no_brace,
+       NOT contains(lower(page), 'javascript') AS r_no_javascript,
+       (n_sentences >= 3) AS r_min_sentences,
+       (NOT contains(lower(page), 'lorem ipsum')
+        AND NOT contains(page, '{')
+        AND NOT contains(lower(page), 'javascript')
+        AND n_sentences >= 3) AS c4_pass
+FROM s
+"""
+
+
 # Consolidated-out queries: still fully oracle-checked (tests/test_oracle.py
 # runs these through the same gate), just not exposed to the driver so the
 # exposed registry fits its 50-row correctness file. Each one's semantics is
@@ -4166,6 +4244,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "gopher_rules": q_gopher_rules,
     "dsir_weights": q_dsir_weights,
+    "c4_rules": q_c4_rules,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4212,4 +4291,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "gopher_rules": SQL_GOPHER_RULES,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "c4_rules": SQL_C4_RULES,
 }
