@@ -6242,6 +6242,22 @@ class HadoopTable:
             target_file_bytes = int(
                 self._prop("write.target-file-size-bytes", 128 << 20)
             )
+        if sort_by is None and zorder_by is None:
+            # table-level sort order (Iceberg's sort-order metadata, set
+            # via ALTER TABLE ... WRITE ORDERED BY [ZORDER]): explicit
+            # args win, then the property, then unsorted bin-pack
+            order = str(self._prop("write.sort.order", "")).strip()
+            if order:
+                m_z = _re.fullmatch(r"(?i)zorder\s*\((?P<c>[^)]+)\)", order)
+                cols = [
+                    c.strip()
+                    for c in (m_z.group("c") if m_z else order).split(",")
+                    if c.strip()
+                ]
+                if m_z:
+                    zorder_by = cols
+                else:
+                    sort_by = cols
         # max compressed input bytes one rewrite task may hold: the spill
         # guard for maintenance at capacity scale. The spiller is the
         # dynamic-partition writer's sort, which buffers the task's WHOLE

@@ -14,6 +14,9 @@ statement, one atomic commit, same semantics as calling the method:
     table_sql(spark, "ALTER TABLE '/data/t' DROP COLUMN tmp")
     table_sql(spark, "ALTER TABLE '/data/t' SET TBLPROPERTIES ('history.keep-last'='3')")
     table_sql(spark, "ALTER TABLE '/data/t' UNSET TBLPROPERTIES ('owner')")
+    table_sql(spark, "ALTER TABLE '/data/t' WRITE ORDERED BY ts, user_id")
+    table_sql(spark, "ALTER TABLE '/data/t' WRITE ORDERED BY ZORDER(a, b)")
+    table_sql(spark, "ALTER TABLE '/data/t' WRITE UNORDERED")
     table_sql(spark, "ALTER TABLE '/data/t' CREATE TAG audit_v3 AS OF VERSION 3")
     table_sql(spark, "ALTER TABLE '/data/t' CREATE BRANCH wap")
     table_sql(spark, "CALL fast_forward('/data/t', name => 'wap')")
@@ -589,6 +592,46 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
         v = int(m.group("v")) if m.group("v") else None
         return t.inspect("statistics", version=v)
 
+    m = re.fullmatch(rf"(?i)SHOW\s+CREATE\s+TABLE\s+{_LOC}", stmt)
+    if m:
+        # a statement this frontend itself accepts, so the output
+        # round-trips: CREATE TABLE <t> (cols) [PARTITIONED BY (...)]
+        # [TBLPROPERTIES (...)] — hidden transforms render in the same
+        # days(ts)/bucket(8, key) grammar CREATE parses
+        import json as _json
+
+        from pyspark.sql.types import StructType as _St
+
+        t = _target(spark, m, catalog)
+        snap = t.snapshot()
+        st = _St.fromJson(_json.loads(snap.schema_json))
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in st.fields
+        )
+        target = (
+            m.group("tid") if m.group("tid") else f"'{m.group('loc')}'"
+        )
+        out = f"CREATE TABLE {target} (\n  {cols}\n)"
+        if snap.spec:
+            rendered = []
+            for pf in snap.spec:
+                if pf.transform == "identity":
+                    rendered.append(pf.source)
+                elif pf.param is not None:
+                    rendered.append(f"{pf.transform}({pf.param}, {pf.source})")
+                else:
+                    rendered.append(f"{pf.transform}({pf.source})")
+            out += f"\nPARTITIONED BY ({', '.join(rendered)})"
+        props = t.properties()
+        if props:
+            pairs = ", ".join(
+                "'{}'='{}'".format(k.replace("'", "''"),
+                                   str(v).replace("'", "''"))
+                for k, v in sorted(props.items())
+            )
+            out += f"\nTBLPROPERTIES ({pairs})"
+        return out
+
     m = re.match(rf"(?is)CREATE\s+TABLE\s+{_LOC}\s*\(", stmt)
     if m:
         close = _match_paren(stmt, m.end() - 1)
@@ -596,15 +639,17 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
         tail = stmt[close + 1:].strip()
         parts_list = None
         props = None
-        pm = re.match(
-            r"(?is)PARTITIONED\s+BY\s*\((?P<parts>[^)]+)\)\s*(?P<rest>.*)",
-            tail,
-        )
+        pm = re.match(r"(?is)PARTITIONED\s+BY\s*\(", tail)
         if pm:
+            # depth-aware: transform declarations carry their own parens
+            # (days(ts), bucket(8, k)) — [^)]+ would stop at the first ')'
+            pclose = _match_paren(tail, pm.end() - 1)
             parts_list = [
-                p.strip() for p in pm.group("parts").split(",") if p.strip()
+                p.strip()
+                for p in _split_top_level(tail[pm.end():pclose])
+                if p.strip()
             ]
-            tail = pm.group("rest").strip()
+            tail = tail[pclose + 1:].strip()
         if tail:
             tm = re.fullmatch(
                 r"(?is)TBLPROPERTIES\s*\((?P<pairs>.+)\)", tail
@@ -627,14 +672,16 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
 
     m = re.match(
         rf"(?is)CREATE\s+TABLE\s+{_LOC}\s+"
-        rf"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]+)\)\s+)?"
+        # one paren-nesting level inside: transform declarations like
+        # days(ts) / bucket(8, k) carry their own parens
+        rf"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))+)\)\s+)?"
         rf"AS\s+(?P<q>(?:SELECT|WITH|VALUES)\b.*)",
         stmt,
     )
     if m:
         df = _resolve_query(spark, m.group("q"), catalog)
         parts_list = (
-            [p.strip() for p in m.group("parts").split(",") if p.strip()]
+            [p.strip() for p in _split_top_level(m.group("parts")) if p.strip()]
             if m.group("parts")
             else None
         )
@@ -778,6 +825,34 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
     if m:
         t = _target(spark, m, catalog)
         return t.set_properties(_parse_prop_pairs(m.group("pairs")))
+
+    m = re.fullmatch(
+        rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+WRITE\s+"
+        rf"(?:(?P<un>UNORDERED)|ORDERED\s+BY\s+"
+        rf"(?:(?P<z>ZORDER)\s*\((?P<zc>[^)]+)\)|(?P<cols>.+)))",
+        stmt,
+    )
+    if m:
+        # Iceberg's table sort-order DDL -> the write.sort.order property
+        # compact() resolves when called without explicit sort args
+        t = _target(spark, m, catalog)
+        if m.group("un"):
+            return t.unset_properties("write.sort.order")
+        if m.group("z"):
+            cols = [c.strip() for c in m.group("zc").split(",") if c.strip()]
+            value = f"zorder({','.join(cols)})"
+        else:
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+            value = ",".join(cols)
+        if not cols or not all(
+            re.fullmatch(_IDENT, c) or re.fullmatch(rf"{_IDENT}\.{_IDENT}", c)
+            for c in cols
+        ):
+            raise ValueError(
+                f"WRITE ORDERED BY needs a comma-separated column list, got "
+                f"{m.group('zc') or m.group('cols')!r}"
+            )
+        return t.set_properties({"write.sort.order": value})
 
     m = re.fullmatch(
         rf"(?i)ALTER\s+TABLE\s+{_LOC}\s+UNSET\s+TBLPROPERTIES\s*"

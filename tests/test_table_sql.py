@@ -317,3 +317,61 @@ def test_datasource_branch_option(spark, tmp_path):
         .load(loc)
     )
     assert fork_df.count() == 10
+
+
+def test_write_ordered_by_property_and_compact(spark, tmp_path):
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    loc = str(tmp_path / "tord")
+    t = HadoopTable(spark, loc)
+    # 4 interleaved single-file appends: id ranges fully overlap, so only
+    # a SORTED rewrite lets point predicates prune (cf. test_table_shim)
+    for r in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(r, 4000, 4)], "id long"
+            ).coalesce(1)
+        )
+    assert len(t.plan_files(predicate=[("id", "=", 7)])) == 4
+    table_sql(spark, f"ALTER TABLE '{loc}' WRITE ORDERED BY id")
+    assert t.properties()["write.sort.order"] == "id"
+    t.compact(target_file_bytes=8 << 10)  # no sort args: property drives
+    assert len(t.plan_files(predicate=[("id", "=", 7)])) == 1
+    # UNORDERED clears it
+    table_sql(spark, f"ALTER TABLE '{loc}' WRITE UNORDERED")
+    assert "write.sort.order" not in t.properties()
+    # zorder form parses and stores canonically
+    table_sql(spark, f"ALTER TABLE '{loc}' WRITE ORDERED BY ZORDER(id, id)")
+    assert t.properties()["write.sort.order"] == "zorder(id,id)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_sql(spark, f"ALTER TABLE '{loc}' WRITE ORDERED BY ")
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    src = str(tmp_path / "tsrc")
+    table_sql(
+        spark,
+        f"CREATE TABLE '{src}' (id bigint, ts timestamp, tag string) "
+        f"PARTITIONED BY (days(ts), bucket(4, id)) "
+        f"TBLPROPERTIES ('history.keep-last'='7')",
+    )
+    ddl = table_sql(spark, f"SHOW CREATE TABLE '{src}'")
+    assert "days(ts)" not in ddl  # canonical transform name is day()
+    assert "day(ts)" in ddl and "bucket(4, id)" in ddl
+    assert "'history.keep-last'='7'" in ddl
+    # the emitted statement re-creates an equivalent table elsewhere
+    dst = str(tmp_path / "tdst")
+    table_sql(spark, ddl.replace(f"'{src}'", f"'{dst}'"))
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+    from logparserhelper_spark.sinks.partition_spec import spec_to_json
+
+    a, b = HadoopTable(spark, src).snapshot(), HadoopTable(spark, dst).snapshot()
+    import json as _json
+
+    sa = {f["name"]: f["type"] for f in _json.loads(a.schema_json)["fields"]}
+    sb = {f["name"]: f["type"] for f in _json.loads(b.schema_json)["fields"]}
+    assert sa == sb
+    assert spec_to_json(a.spec) == spec_to_json(b.spec)
+    assert HadoopTable(spark, dst).properties()["history.keep-last"] == "7"
