@@ -1258,14 +1258,136 @@ def _harvest_blooms(
     return out
 
 
-def _kmv_hash(data: bytes) -> int:
-    """64-bit value hash for the KMV NDV sketches (blake2b, like the
-    bloom path — one hash family across the metadata surfaces)."""
-    import hashlib
+# KMV sketch hash (algo tag "p64"): fully self-defined arithmetic —
+# splitmix64 finalizer over a value word (ints/dates/timestamps) or a
+# length-mixed polynomial over utf8 bytes (strings) — so it is (a)
+# VECTORIZABLE in numpy (the blake2b-per-value first cut measured a 3.7x
+# append penalty at 64x250k rows: 32M GIL-bound Python hashes; this form
+# hashes the same column in milliseconds) and (b) deterministic forever
+# (no dependence on any library's internal hash changing between
+# versions — these sketches persist in manifests).
+_KMV_ALGO = "p64"
+_KMV_MASK = (1 << 64) - 1
+_KMV_P = 1099511628211  # FNV prime, odd -> invertible mod 2^64
+_KMV_PINV = pow(_KMV_P, -1, 1 << 64)
+_SALT_INT = 0x9E3779B97F4A7C15
+_SALT_STR = 0xC2B2AE3D27D4EB4F
+_SALT_TS = 0x165667B19E3779F9
+_SALT_DATE = 0x27D4EB2F165667C5
 
-    return int.from_bytes(
-        hashlib.blake2b(data, digest_size=8).digest(), "little"
-    )
+
+def _mix64_np(x):
+    """splitmix64 finalizer over a numpy uint64 array (wrapping mul)."""
+    import numpy as np
+
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _mix64_py(x: int) -> int:
+    x &= _KMV_MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _KMV_MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _KMV_MASK
+    return x ^ (x >> 31)
+
+
+def _kmv_hash_value(v: Any) -> int | None:
+    """Scalar twin of :func:`_kmv_hash_arrow` — bit-identical math, used
+    for the v3-default contribution in statistics merging. None outside
+    the sketchable domain (same domain as :func:`_bloom_key`)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return _mix64_py(v ^ _SALT_INT)
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        poly = 0
+        for byte in b:  # Horner == sum b_j * P^(L-1-j)
+            poly = (poly * _KMV_P + byte) & _KMV_MASK
+        return _mix64_py(poly ^ _mix64_py(len(b) ^ _SALT_STR))
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        micros = round((v - epoch).total_seconds() * 1_000_000)
+        return _mix64_py(micros ^ _SALT_TS)
+    if isinstance(v, _dt.date):
+        days = (v - _dt.date(1970, 1, 1)).days
+        return _mix64_py(days ^ _SALT_DATE)
+    return None
+
+
+def _kmv_hash_arrow(u):
+    """Vectorized KMV hashes for a non-null arrow array of DISTINCT
+    values -> (kind, sorted numpy uint64 array), or None for types
+    outside the domain. Values equal across files hash equal regardless
+    of physical width/unit (ints cast to int64, timestamps to epoch-us
+    with the same UTC lift as :func:`_bloom_key`, dates to epoch-days);
+    strings use a wrapping polynomial over the utf8 bytes (cumsum of
+    b_j*PINV^j, segment-differenced, re-based by P^(end-1) — exact mod
+    2^64 because P is odd/invertible), length-mixed so prefixes don't
+    collide trivially, then the splitmix64 finalizer for uniformity."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = u.type
+    if pa.types.is_integer(t) and not pa.types.is_boolean(t):
+        v = u.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _mix64_np(v.astype(np.int64).view(np.uint64) ^ np.uint64(_SALT_INT))
+        return "int", np.sort(h)
+    if pa.types.is_timestamp(t):
+        v = (
+            u.cast(pa.timestamp("us", tz=t.tz))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        h = _mix64_np(v.astype(np.int64).view(np.uint64) ^ np.uint64(_SALT_TS))
+        return "ts", np.sort(h)
+    if pa.types.is_date(t):
+        v = u.cast(pa.date32()).cast(pa.int32()).to_numpy(zero_copy_only=False)
+        h = _mix64_np(v.astype(np.int64).view(np.uint64) ^ np.uint64(_SALT_DATE))
+        return "date", np.sort(h)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        a = u.cast(pa.large_utf8())
+        if len(a) == 0:
+            return "str", np.empty(0, np.uint64)
+        offs = np.frombuffer(
+            a.buffers()[1], dtype=np.int64, count=len(a) + 1, offset=a.offset * 8
+        )
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        base = offs[0]
+        b = data[base:offs[-1]].astype(np.uint64)
+        n = b.size
+        starts = (offs[:-1] - base).astype(np.int64)
+        ends = (offs[1:] - base).astype(np.int64)
+        lengths = (ends - starts).astype(np.uint64)
+        if n:
+            pinvpow = np.cumprod(
+                np.concatenate(
+                    [np.ones(1, np.uint64), np.full(n - 1, _KMV_PINV, np.uint64)]
+                )
+            )
+            ppow = np.cumprod(
+                np.concatenate(
+                    [np.ones(1, np.uint64), np.full(n - 1, _KMV_P, np.uint64)]
+                )
+            )
+            csum = np.zeros(n + 1, np.uint64)
+            np.cumsum(b * pinvpow, out=csum[1:])
+            polysum = csum[ends] - csum[starts]
+            poly = np.where(
+                lengths > 0,
+                polysum * ppow[np.maximum(ends, 1) - 1],
+                np.uint64(0),
+            )
+        else:
+            poly = np.zeros(len(a), np.uint64)
+        h = _mix64_np(poly ^ _mix64_np(lengths ^ np.uint64(_SALT_STR)))
+        return "str", np.sort(h)
+    return None
 
 
 def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
@@ -1275,14 +1397,16 @@ def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
     KMV sketches union losslessly (the k smallest hashes of a union are
     all present among the per-file k-smallest lists), so table-level NDV
     at any snapshot is computable from manifests alone. Same eligibility
-    domain, dotted-path grammar, and chunked distinct-reduction as
-    :func:`_harvest_blooms`; memory is bounded by periodic re-pruning to
-    the k smallest, independent of the column's true NDV. Below k
-    distinct values the sketch IS the distinct set (exact); above, the
-    classic (k-1)/R estimator applies (stderr ~ 1/sqrt(k-2))."""
+    domain and dotted-path grammar as :func:`_harvest_blooms`; hashing is
+    fully numpy-vectorized (:func:`_kmv_hash_arrow` — the per-value
+    Python first cut measured a 3.7x append penalty; this one is write-
+    noise) and memory is bounded by per-batch pruning to the k smallest,
+    independent of the column's true NDV. Below k distinct values the
+    sketch IS the distinct set (exact); above, the classic (k-1)/R
+    estimator applies (stderr ~ 1/sqrt(k-2))."""
     import base64
-    import struct
 
+    import numpy as np
     import pyarrow as pa
 
     out: dict[str, dict[str, Any]] = {}
@@ -1299,7 +1423,7 @@ def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
             or pa.types.is_timestamp(at)
         ):
             continue  # type outside the _bloom_key domain: no-op
-        hs: set[int] = set()
+        hs = np.empty(0, np.uint64)
         kind: str | None = None
         bad = False
         for batch in pf.iter_batches(columns=[c], batch_size=65536):
@@ -1309,27 +1433,22 @@ def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
                 # hashes only nudge the estimate upward by at most the
                 # parent-null distincts — same tolerance as the blooms
                 arr = arr.field(seg)
-            for v in arr.unique().to_pylist():
-                if v is None:
-                    continue
-                bk = _bloom_key(v)
-                if bk is None or (kind is not None and bk[0] != kind):
-                    bad = True  # unexpected value kind: refuse
-                    break
-                kind = bk[0]
-                hs.add(_kmv_hash(bk[1]))
-            if bad:
+            got = _kmv_hash_arrow(arr.unique().drop_null())
+            if got is None:
+                bad = True  # unexpected type surfaced mid-column: refuse
                 break
-            if len(hs) > 8 * k:  # bound memory: keep the k smallest
-                hs = set(sorted(hs)[:k])
-        if bad or not hs:
+            kind = got[0]
+            # sorted-merge + dedup, then prune: keeping the k smallest
+            # seen so far can never evict a member of the global bottom-k
+            hs = np.union1d(hs, got[1])[: max(k, 1)]
+        if bad or hs.size == 0:
             continue
-        smallest = sorted(hs)[:k]
         out[c] = {
+            "algo": _KMV_ALGO,
             "kind": kind,
             "k": k,
             "h": base64.b64encode(
-                struct.pack(f"<{len(smallest)}Q", *smallest)
+                np.ascontiguousarray(hs[:k], dtype="<u8").tobytes()
             ).decode("ascii"),
         }
     return out
@@ -2099,12 +2218,13 @@ class HadoopTable:
                         covered += 1  # contributes no distinct values
                     else:
                         bk = _bloom_key(dv)
-                        if bk is not None and f.records > 0:
+                        hv = _kmv_hash_value(dv)
+                        if bk is not None and hv is not None and f.records > 0:
                             if kind is None:
                                 kind = bk[0]
                             elif kind != bk[0]:
                                 kind_conflict = True
-                            hashes.add(_kmv_hash(bk[1]))
+                            hashes.add(hv)
                             covered += 1
                         elif f.records == 0:
                             covered += 1
@@ -2118,6 +2238,8 @@ class HadoopTable:
                 elif null_count is not None:
                     null_count += int(st["nulls"])
                 sk = (f.sketches or {}).get(phys)
+                if sk and sk.get("algo") != _KMV_ALGO:
+                    sk = None  # foreign/older hash algo: not mergeable
                 hs = _sketch_hashes(sk) if sk else None
                 if hs is None:
                     continue
@@ -2905,8 +3027,11 @@ class HadoopTable:
         """Resolve the NDV-sketch write properties:
         ``write.metadata.ndv-sketch-columns`` (comma-separated; empty =
         feature off, the default) and ``write.metadata.ndv-sketch-k``
-        (sketch size, default 1024 — ~8 KB of manifest weight per
-        column per file, NDV standard error ~3%). The Iceberg analogue
+        (sketch size, default 1024 — ~11 KB of manifest weight per
+        column per file once base64'd, NDV standard error ~3%; measured
+        write cost +21% ingest wall at 64x250k rows, metadata-only
+        ANALYZE 4.5x faster than the scan it replaces — see
+        BENCH/BASELINE.md "NDV-sketch statistics A/B"). The Iceberg analogue
         is Puffin theta-sketch statistics files written by ANALYZE;
         here the sketches ride the manifest entries so ANALYZE itself
         becomes a metadata-only merge (see ``inspect("statistics")``).
