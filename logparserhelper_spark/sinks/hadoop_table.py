@@ -931,10 +931,12 @@ def _zvalue_column(df: DataFrame, cols: list[str]) -> Any:
     single-row agg — bounded driver transfer by construction), and the
     ranks' bits are interleaved JVM-side (shift/and/or chain, stays in
     whole-stage codegen — no UDF). Nulls rank lowest, matching the
-    NULLS FIRST order a sort would give. Numeric, date, and timestamp
-    columns only — hashing strings would destroy the locality z-order
-    exists to create, so they are refused rather than silently degraded
-    (real Iceberg zorders string prefixes; out of scope for the shim)."""
+    NULLS FIRST order a sort would give. Numeric, date, timestamp, and
+    string columns — strings rank by their first-6-utf8-bytes PREFIX
+    (right-padded hex -> 48-bit big-endian value, exact in a double),
+    exactly Iceberg's string z-order semantics: lexicographic locality
+    is preserved, so range/point predicates on the string's leading
+    bytes skip files; hashing would have destroyed that locality."""
 
     def numeric(c: str):
         dt = df.schema[c].dataType.simpleString()
@@ -946,9 +948,19 @@ def _zvalue_column(df: DataFrame, cols: list[str]) -> Any:
         if dt in ("tinyint", "smallint", "int", "bigint", "float",
                   "double") or dt.startswith("decimal"):
             return col.cast("double")
+        if dt == "string":
+            # first 6 utf8 bytes as a big-endian integer (48 bits —
+            # exact in the double mantissa); right-padding the hex
+            # keeps prefix order ('ab' < 'abc' < 'ac'), all in codegen.
+            # Caveat (same as Iceberg's): values sharing their first 6
+            # bytes rank equal — a shared long prefix ('key-00...')
+            # makes the column contribute nothing to the curve
+            return F.conv(
+                F.rpad(F.hex(F.substring(col, 1, 6)), 12, "0"), 16, 10
+            ).cast("double")
         raise ValueError(
             f"zorder_by column {c!r} has unsupported type {dt}; "
-            "numeric/date/timestamp only"
+            "numeric/date/timestamp/string only"
         )
 
     nums = {c: numeric(c) for c in cols}

@@ -1248,8 +1248,38 @@ def test_compact_zorder_skips_on_both_columns(spark, tmp_path):
         t.compact(sort_by=["x"], zorder_by=["x", "y"])
     with pytest.raises(ValueError, match=">= 2"):
         t.compact(zorder_by=["x"])
+
+
+def test_compact_zorder_string_prefix(spark, tmp_path):
+    """String z-order ranks by the first-6-byte prefix (Iceberg's string
+    z-order semantics): after the rewrite a point predicate on EITHER
+    the string or the numeric column skips files, and prefix locality
+    holds (files cover narrow lexicographic slices). Booleans refuse."""
+    loc = str(tmp_path / "tzs")
+    t = HadoopTable(spark, loc)
+    pts = [
+        (i % 80, f"s{i // 80:04d}", i % 2 == 0) for i in range(6400)
+    ]
+    random.Random(11).shuffle(pts)
+    for chunk in range(4):
+        t.append(
+            spark.createDataFrame(pts[chunk::4], "x long, s string, b boolean")
+        )
+    before_rows = _rows(t.read())
+    n0 = len(t.snapshot().data_files)
+    assert len(t.plan_files(predicate=[("s", "=", "s0007")])) == n0
+    total = sum(f.bytes for f in t.snapshot().files)
+    new = t.compact(target_file_bytes=total // 16 + 1, zorder_by=["x", "s"])
+    assert new is not None
+    assert _rows(t.read()) == before_rows
+    n = len(new.data_files)
+    assert n >= 8
+    hit_s = t.plan_files(predicate=[("s", "=", "s0007")])
+    hit_x = t.plan_files(predicate=[("x", "=", 7)])
+    assert len(hit_s) <= n // 2 and len(hit_x) <= n // 2
+    assert t.read(predicate=[("s", "=", "s0007")]).count() == 80
     with pytest.raises(ValueError, match="unsupported type"):
-        t.compact(zorder_by=["x", "v"])
+        t.compact(zorder_by=["x", "b"])
 
 
 def test_temporal_kind_pruning_never_wrong(spark, tmp_path):
