@@ -4055,7 +4055,9 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").select(
         "doc_id", "text", (F.col("lang") == "en").alias("is_en")
     )
-    return dsir_logweights(d, "is_en", buckets=64)
+    # md5 buckets: the engine-portable form DuckDB replays exactly
+    # (xxhash64 is the default scale path, pinned by pytest instead)
+    return dsir_logweights(d, "is_en", buckets=64, bucket_hash="md5")
 
 
 SQL_DSIR_WEIGHTS = r"""

@@ -87,3 +87,19 @@ def test_edge_whitespace_features(spark):
     assert set(rows) == {1, 3}
     assert rows[1]["n_features"] == 1  # just 'foo', no '' or 'foo ' bigram
     assert rows[3]["n_features"] == 3  # 'a','b','a b' — double space collapsed
+
+
+def test_bucket_hash_modes_agree_in_distribution(spark):
+    df = _mk(spark)
+    fast = {r["doc_id"]: r for r in dsir_logweights(df, "tgt").collect()}
+    slow = {r["doc_id"]: r
+            for r in dsir_logweights(df, "tgt", bucket_hash="md5").collect()}
+    # identical feature counts (hash-independent) and the same ranking
+    # direction; exact weights differ (different bucket assignment)
+    assert {k: v["n_features"] for k, v in fast.items()} == {
+        k: v["n_features"] for k, v in slow.items()
+    }
+    assert fast[0]["dsir_logweight"] > fast[10]["dsir_logweight"]
+    assert slow[0]["dsir_logweight"] > slow[10]["dsir_logweight"]
+    with pytest.raises(ValueError):
+        dsir_logweights(df, "tgt", bucket_hash="sha1")
