@@ -60,6 +60,52 @@ def _chunk_segments(text_col, chunk_words: int):
     )
 
 
+def seg_norm(c):
+    """Segment canonical form: collapse \\s+ FIRST, then trim — a '\\r'
+    or '\\t'-only line must normalize to '' so the min_chars blank
+    exemption sees it, and 'hello\\r' must key equal to 'hello' across
+    mixed LF/CRLF corpora. (Deliberately NOT dedup.normalize_text_col,
+    whose trim-first form is pinned by its oracles and the streaming
+    stateful mirror — there the form only needs to be self-consistent,
+    here edge whitespace changes keep/drop decisions.)"""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def segment_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    chunk_words: int | None,
+    min_chars: int,
+) -> tuple[DataFrame, str]:
+    """(positioned-segment rows, rebuild joiner) — the ONE segmentation
+    + keying expression tree, shared by the batch op and the streaming
+    twin so the two can never disagree on a segment's dedup key.
+    Columns: _id, _pos, _seg, _key (md5 of :func:`seg_norm`), _eligible
+    (False = under ``min_chars`` after normalization: always kept)."""
+    c = F.col(text_col)
+    if chunk_words is not None:
+        if chunk_words < 1:
+            raise ValueError("chunk_words must be >= 1")
+        segs_col, joiner = _chunk_segments(c, chunk_words), " "
+    else:
+        segs_col, joiner = F.split(c, re.escape(sep)), sep
+    segs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(segs_col).alias("_pos", "_seg"),
+    )
+    norm = seg_norm(F.col("_seg"))
+    return (
+        segs.select(
+            "_id", "_pos", "_seg",
+            F.md5(norm).alias("_key"),
+            (F.length(norm) >= min_chars).alias("_eligible"),
+        ),
+        joiner,
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -78,30 +124,8 @@ def segment_dedup(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    c = F.col(text_col)
-    if chunk_words is not None:
-        if chunk_words < 1:
-            raise ValueError("chunk_words must be >= 1")
-        segs_col, joiner = _chunk_segments(c, chunk_words), " "
-    else:
-        segs_col, joiner = F.split(c, re.escape(sep)), sep
-
-    segs = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(segs_col).alias("_pos", "_seg"),
-    )
-    # collapse \s+ FIRST, then trim: a '\r' or '\t'-only line must
-    # normalize to '' so the min_chars blank exemption sees it, and
-    # 'hello\r' must key equal to 'hello' across mixed LF/CRLF corpora.
-    # (Deliberately NOT dedup.normalize_text_col, whose trim-first form
-    # is pinned by its oracles and the streaming stateful mirror — there
-    # the form only needs to be self-consistent, here edge whitespace
-    # changes keep/drop decisions.)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("_seg")), r"\s+", " "))
-    segs = segs.select(
-        "_id", "_pos", "_seg",
-        F.md5(norm).alias("_key"),
-        (F.length(norm) >= min_chars).alias("_eligible"),
+    segs, joiner = segment_rows(
+        df, text_col, id_col, sep, chunk_words, min_chars
     )
     if keep == "first":
         w = Window.partitionBy("_key").orderBy("_id", "_pos")

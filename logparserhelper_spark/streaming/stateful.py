@@ -520,3 +520,96 @@ def streaming_url_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_segment_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    chunk_words: int | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Incremental CCNet segment dedup — the crawl-ingestion twin of
+    functions/segments.py:segment_dedup(keep='first'): every arriving
+    document's segments are emitted iff their canonical key has never
+    been seen across all micro-batches, with one boolean of state per
+    distinct segment key.
+
+    Segmentation, normalization, and keying are the SAME expression tree
+    the batch op uses (functions/segments.py:segment_rows — stateless
+    per row), so batch and stream can never disagree on a key; there is
+    no Python mirror to drift. ``min_chars``-exempt segments (blank
+    lines) must ALWAYS survive without consuming shared state, so they
+    ride a per-row surrogate key (sentinel + id + pos) and are each
+    their own first-seen singleton — the same trick the URL twin uses
+    for unparseable rows.
+
+    Emits (doc_id, pos, segment) exactly once per key: within the key's
+    FIRST micro-batch the smallest (doc_id, pos) occurrence wins —
+    equal to the batch op's global keep-first rule whenever ingestion
+    is id-ordered (the replay/backfill case); under arbitrary arrival
+    the kept occurrence is first-seen, the streaming-native rule.
+    Downstream reassembly is a per-consumer groupBy(doc) in
+    foreachBatch (documents are complete within their batch). State is
+    one boolean per distinct eligible segment — the same footprint as
+    the batch op's shuffle keys; long-running frontiers bound it with
+    the engine's state TTL."""
+    from logparserhelper_spark.functions.segments import segment_rows
+
+    _SENTINEL = "\x00exempt\x00"
+    segs, _joiner = segment_rows(
+        stream_df.filter(F.col(id_col).isNotNull()),
+        text_col, id_col, sep, chunk_words, min_chars,
+    )
+    keyed = segs.select(
+        F.col("_id").cast("long").alias("doc_id"),
+        F.col("_pos").cast("int").alias("pos"),
+        F.col("_seg").alias("segment"),
+        F.when(
+            F.col("_eligible"), F.col("_key")
+        ).otherwise(
+            F.concat(
+                F.lit(_SENTINEL),
+                F.col("_id").cast("string"),
+                F.lit(":"),
+                F.col("_pos").cast("string"),
+            )
+        ).alias("dedup_key"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("segment", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["doc_id", "pos"])
+            head = pdf.iloc[0]
+            cand = (int(head["doc_id"]), int(head["pos"]), head["segment"])
+            if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                best = cand
+        state.update((True,))
+        yield pd.DataFrame(
+            {"doc_id": [best[0]], "pos": [best[1]], "segment": [best[2]]}
+        )
+
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

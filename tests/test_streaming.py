@@ -809,3 +809,155 @@ def test_streaming_url_dedup_equals_batch(spark, tmp_path):
     assert set(emitted) == expected and expected
     # the unparseable rows are all kept, each with a NULL canonical
     assert {(900, None), (901, None), (902, None)} <= set(emitted)
+
+
+def test_streaming_segment_dedup_equals_batch(spark, tmp_path):
+    """Incremental segment dedup: with id-ordered micro-batches the
+    exactly-once first-seen emissions EQUAL the batch keep-first kept
+    set (same segmentation/keying expression tree via segment_rows),
+    blank-exempt segments all survive, and per-doc reassembly of the
+    emissions reproduces the batch op's rebuilt text."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from logparserhelper_spark.functions.segments import (
+        segment_dedup,
+        segment_rows,
+    )
+    from logparserhelper_spark.streaming.stateful import (
+        streaming_segment_dedup,
+    )
+
+    rows = []
+    for i in range(120):
+        body = f"alpha {i} beta\nunique line {i} here"
+        if i % 4 == 0:  # shared boilerplate in a quarter of the docs
+            body += "\nCookie Notice Applies"
+        if i % 10 == 0:  # blank (exempt) line mid-doc
+            body += "\n\r\ntail line {0}".format(i)
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # expected kept set: the batch keep-first rule over the SAME keying
+    segs, _ = segment_rows(docs, "text", "doc_id", "\n", None, 1)
+    w = Window.partitionBy("_key").orderBy("_id", "_pos")
+    expected = {
+        (r["_id"], r["_pos"], r["_seg"])
+        for r in segs.withColumn("_rn", F.row_number().over(w))
+        .filter(~F.col("_eligible") | (F.col("_rn") == 1))
+        .collect()
+    }
+    batch_docs = {
+        r["doc_id"]: r["text"]
+        for r in segment_dedup(docs, sep="\n", min_chars=1, keep="first")
+        .collect()
+        if r["kept_segments"] > 0
+    }
+
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    third = t.num_rows // 3
+    sdir = str(tmp_path / "seg_files")
+    os.makedirs(sdir)
+    for i, part in enumerate(
+        [t.slice(0, third), t.slice(third, third), t.slice(2 * third)]
+    ):
+        p = os.path.join(sdir, f"{chr(97 + i)}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_segment_dedup(stream, sep="\n", min_chars=1)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("seg_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
+        .start()
+    )
+    _drain(q)
+    emitted = [
+        (r.doc_id, r.pos, r.segment)
+        for r in spark.sql("SELECT * FROM seg_dedup_stream").collect()
+    ]
+    assert len(emitted) == len(set(emitted))  # exactly once per key
+    assert set(emitted) == expected and expected
+    # reassembly parity: per-doc position-ordered join == batch text
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for d, p, s in emitted:
+        by_doc[d].append((p, s))
+    rebuilt = {
+        d: "\n".join(s for _, s in sorted(v)) for d, v in by_doc.items()
+    }
+    assert rebuilt == batch_docs
+
+
+def test_streaming_segment_dedup_checkpoint_restart(spark, tmp_path):
+    """Across a stop/restart from the same checkpoint, already-seen
+    segment keys stay suppressed (state recovered) and only genuinely
+    new segments emit — the exactly-once frontier claim."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.streaming.stateful import (
+        streaming_segment_dedup,
+    )
+
+    sdir = str(tmp_path / "seg2_files")
+    os.makedirs(sdir)
+    ckpt = str(tmp_path / "seg2_ckpt")
+
+    def write_batch(name, rows, mtime):
+        t = pa.Table.from_pydict(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+        p = os.path.join(sdir, name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    write_batch("a.parquet", [(1, "shared line\nonly one")], 1_700_000_000)
+
+    def run(_qname):
+        got: list[tuple] = []
+
+        def sink(bdf, _bid):
+            got.extend(
+                (r.doc_id, r.pos, r.segment) for r in bdf.collect()
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        q = (
+            streaming_segment_dedup(stream, sep="\n", min_chars=1)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)  # memory sink cannot recover a checkpoint
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        _drain(q)
+        return set(got)
+
+    first = run("seg2_run1")
+    assert first == {(1, 0, "shared line"), (1, 1, "only one")}
+    # second run: a dup of the seen line + one new line in a new doc
+    write_batch(
+        "b.parquet", [(2, "shared line\nbrand new line")], 1_700_000_001
+    )
+    second = run("seg2_run2")
+    # the recovered state suppresses 'shared line'; only the new emits
+    assert second == {(2, 1, "brand new line")}
