@@ -4130,8 +4130,8 @@ def q_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
         F.when(i % 7 == 0, F.lit("\nfunction() { return 1; }")).otherwise(""),
     )
     return c4_rules(d.select("doc_id", page.alias("text"))).select(
-        "doc_id", "c4_text", "kept_lines", "total_lines", "n_sentences",
-        "r_no_lorem", "r_no_brace", "r_no_javascript", "r_min_sentences",
+        "doc_id", "c4_text", "kept_lines", "total_lines", "js_lines",
+        "n_sentences", "r_no_lorem", "r_no_brace", "r_min_sentences",
         "c4_pass",
     )
 
@@ -4154,14 +4154,16 @@ WITH p AS (
 ),
 l AS (
   SELECT doc_id, page,
-         list_transform(string_split(page, chr(10)), x -> trim(x)) AS tl
+         list_transform(string_split(page, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')) AS tl
   FROM p
 ),
 k AS (
   SELECT doc_id, page, tl,
          list_filter(tl, x -> regexp_matches(x, '[.!?"]$')
            AND len(list_filter(regexp_split_to_array(x, '\s+'),
-                               w -> w <> '')) >= 5) AS kept
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
   FROM l
 ),
 s AS (
@@ -4175,14 +4177,14 @@ SELECT doc_id,
        array_to_string(kept, chr(10)) AS c4_text,
        CAST(len(kept) AS INT) AS kept_lines,
        CAST(len(tl) AS INT) AS total_lines,
+       CAST(len(list_filter(tl, x -> contains(lower(x), 'javascript')))
+         AS INT) AS js_lines,
        CAST(n_sentences AS INT) AS n_sentences,
        NOT contains(lower(page), 'lorem ipsum') AS r_no_lorem,
-       NOT contains(page, '{') AS r_no_brace,
-       NOT contains(lower(page), 'javascript') AS r_no_javascript,
+       NOT (contains(page, '{') OR contains(page, '}')) AS r_no_brace,
        (n_sentences >= 3) AS r_min_sentences,
        (NOT contains(lower(page), 'lorem ipsum')
-        AND NOT contains(page, '{')
-        AND NOT contains(lower(page), 'javascript')
+        AND NOT (contains(page, '{') OR contains(page, '}'))
         AND n_sentences >= 3) AS c4_pass
 FROM s
 """

@@ -1323,8 +1323,13 @@ def _kmv_hash_value(v: Any) -> int | None:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        epoch = _dt.datetime(1970, 1, 1)
-        micros = round((v - epoch).total_seconds() * 1_000_000)
+        # exact integer micros: total_seconds()*1e6 loses float precision
+        # for far-from-epoch values (year-9999 sentinels off by 1us vs
+        # the arrow int64 path — would double-count the default in the
+        # statistics merge)
+        micros = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
         return _mix64_py(micros ^ _SALT_TS)
     if isinstance(v, _dt.date):
         days = (v - _dt.date(1970, 1, 1)).days
@@ -1347,12 +1352,18 @@ def _kmv_hash_arrow(u):
 
     t = u.type
     if pa.types.is_integer(t) and not pa.types.is_boolean(t):
-        v = u.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # safe=False: a uint64 value above 2^63-1 two's-complement-wraps
+        # (bijective per value — exactly what a hash input needs); the
+        # safe cast would RAISE and fail the whole commit for an
+        # advisory feature
+        v = u.cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
         h = _mix64_np(v.astype(np.int64).view(np.uint64) ^ np.uint64(_SALT_INT))
         return "int", np.sort(h)
     if pa.types.is_timestamp(t):
+        # safe=False: ns-precision values truncate to micros (the same
+        # precision _bloom_key's ISO form uses) instead of raising
         v = (
-            u.cast(pa.timestamp("us", tz=t.tz))
+            u.cast(pa.timestamp("us", tz=t.tz), safe=False)
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
@@ -1445,7 +1456,10 @@ def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
                 # hashes only nudge the estimate upward by at most the
                 # parent-null distincts — same tolerance as the blooms
                 arr = arr.field(seg)
-            got = _kmv_hash_arrow(arr.unique().drop_null())
+            try:
+                got = _kmv_hash_arrow(arr.unique().drop_null())
+            except Exception:
+                got = None  # advisory feature: never fail the commit
             if got is None:
                 bad = True  # unexpected type surfaced mid-column: refuse
                 break
@@ -6358,8 +6372,10 @@ class HadoopTable:
         space and a predicate on ANY of the columns skips most files.
         Ranks are 16-bit linear scalings between the column's global min
         and max (one cheap agg over the rewrite scan, JVM-side bit
-        interleave — no UDF). Numeric, date, and timestamp columns only;
-        nulls rank lowest. Mutually exclusive with ``sort_by``.
+        interleave — no UDF). Numeric, date, timestamp, and string
+        columns (strings rank by their first-6-utf8-byte prefix — see
+        :func:`_zvalue_column`); nulls rank lowest. Mutually exclusive
+        with ``sort_by``.
 
         Task sizing is budgeted separately from file sizing: each rewrite
         task's COMPRESSED input is capped at the

@@ -840,6 +840,14 @@ def table_sql(spark, statement: str, catalog=None) -> Any:
             return t.unset_properties("write.sort.order")
         if m.group("z"):
             cols = [c.strip() for c in m.group("zc").split(",") if c.strip()]
+            if len(cols) < 2:
+                # compact() hard-refuses single-column zorder (a Z-curve
+                # of one key is just a sort) — rejecting at declaration
+                # time keeps the property from poisoning maintenance
+                raise ValueError(
+                    "WRITE ORDERED BY ZORDER needs >= 2 columns; use "
+                    "WRITE ORDERED BY <col> for a single-key sort order"
+                )
             value = f"zorder({','.join(cols)})"
         else:
             cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]

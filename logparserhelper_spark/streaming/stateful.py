@@ -590,6 +590,13 @@ def streaming_segment_dedup(
     def first_seen(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0].startswith(_SENTINEL):
+            # exempt segment: emit WITHOUT touching state — its surrogate
+            # key can never recur, so persisting a row per blank line
+            # would grow state with total ingested blanks forever
+            for pdf in pdfs:
+                yield pdf[["doc_id", "pos", "segment"]]
+            return
         if state.exists:
             for _ in pdfs:
                 pass

@@ -96,8 +96,6 @@ def main() -> None:
         "u": round(abs(stats["u"]["ndv"] - exact["u"]) / exact["u"] * 100, 2),
     }
     # manifest weight attributable to the sketches
-    import os
-
     def meta_bytes(tab):
         total = 0
         d = os.path.join(tab.root, "metadata", "manifests")

@@ -369,3 +369,60 @@ def test_malformed_sketch_entry_degrades_not_raises(spark, tmp_path):
                                  "files_with_sketch int").collect()}
     # advisory contract: degrade (k falls back to the hash count), no crash
     assert got["u"]["ndv"] == 2
+
+
+def test_sketch_harvest_never_fails_a_commit(spark, tmp_path):
+    """Review finding: safe arrow casts raised for uint64 > 2^63 and
+    ns-precision timestamps, failing the whole append for an ADVISORY
+    feature. The unsafe casts wrap/truncate instead, and any residual
+    harvest error degrades to no-sketch rather than propagating."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "tedge")
+    t = create_table_at(
+        spark,
+        loc,
+        "id long, ts timestamp",
+        properties={"write.metadata.ndv-sketch-columns": "id,ts"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2**62 + i, dt.datetime(9999, 12, 31, 23, 59, 59, 999999))
+             for i in range(3)],
+            "id long, ts timestamp",
+        ).coalesce(1)
+    )
+    s = _stats(t)
+    assert s["id"]["ndv"] == 3 and s["ts"]["ndv"] == 1
+    # scalar/vector identity on the year-9999 sentinel: a default-value
+    # contribution of the same instant must not double-count
+    from logparserhelper_spark.sinks.hadoop_table import (
+        _kmv_hash_arrow,
+        _kmv_hash_value,
+    )
+
+    v = dt.datetime(9999, 12, 31, 23, 59, 59, 999999)
+    _, h = _kmv_hash_arrow(pa.array([v], pa.timestamp("us")))
+    assert _kmv_hash_value(v) == h[0]
+    # raw uint64 parquet (written by pyarrow, outside Spark's type set)
+    # registered via add_files must harvest without raising
+    src = str(tmp_path / "u64src")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"id": pa.array([2**64 - 1, 2**63, 7], pa.uint64()),
+                  "ts": pa.array([dt.datetime(2024, 1, 1)] * 3,
+                                 pa.timestamp("us"))}),
+        os.path.join(src, "part-0.parquet"),
+    )
+    # (not added to the table — schema differs; the harvest itself is
+    # what must not raise)
+    from logparserhelper_spark.sinks.hadoop_table import _harvest_sketches
+
+    sk = _harvest_sketches(pq.ParquetFile(os.path.join(src, "part-0.parquet")),
+                           ["id", "ts"], 64)
+    assert set(sk) == {"id", "ts"}
