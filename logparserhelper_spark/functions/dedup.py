@@ -158,7 +158,7 @@ def ngram_jaccard_pairs(
     sh = word_shingles(df, text_col, id_col, k)
     grouped = (
         sh.groupBy("shingle")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") <= max_shingle_freq)
     )
     sizes = (
@@ -166,21 +166,61 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    # two chained explodes keep per-row memory at O(k) (one id + the posting
-    # list) instead of materializing the full k^2/2 pair array in one row —
-    # a df-1000 shingle would otherwise build a ~500k-struct array value
-    inter = (
-        grouped.select(F.explode("ids").alias("id_a"), "ids")
+    # Pair counting is the wall of this operator: sum over shingles of
+    # df^2/2 generated pairs (quadratic in shingle document frequency up to
+    # the cap), and on natural corpora almost every generated pair is
+    # UNIQUE (measured 183M generated -> 164M distinct at the 6M-row sf,
+    # mean multiplicity 1.1). Two consequences drive the shape below:
+    #
+    # 1. A straight explode -> groupBy(id_a, id_b) shuffles one row per
+    #    generated pair and its partial aggregation builds ~no-reduction
+    #    hash maps of 10^8 keys (spill) before shuffling them anyway.
+    #    Instead, each posting-list element ships ONE compact row
+    #    (id_a, partners-array): the slice of the SORTED posting list
+    #    strictly after its position (ids are distinct per shingle, so
+    #    "after p in sorted order" == "> id_a" exactly). Rows shrink from
+    #    O(pairs) to O(posting-list elements); bytes stay O(pairs) but as
+    #    packed long arrays, not per-row framed pairs.
+    # 2. The single exchange hashes on id_a ONLY; the groupBy(id_a, id_b)
+    #    after it is satisfied by that clustering (no second exchange), its
+    #    hash map is bounded by one doc's partner set (<= sz * cap), and the
+    #    size joins + threshold filter run map-side in the same stage.
+    #
+    # Both explicit repartitions are cores-scaled and AQE-exempt: byte-based
+    # coalescing sees only the small posting-list table feeding the fan-out
+    # and would collapse this CPU-bound stage to a handful of tasks
+    # (measured 2.2x slower end-to-end; same lesson as the pipeline's parse
+    # stage, pipeline.py parse_partitions).
+    n_fan = df.sparkSession.sparkContext.defaultParallelism * 2
+    pre = (
+        grouped.repartition(n_fan, "shingle")
+        .select(F.posexplode("ids").alias("_p", "id_a"), "ids")
         .select(
             "id_a",
-            F.explode(F.filter("ids", lambda b: b > F.col("id_a"))).alias("id_b"),
+            F.slice(
+                F.col("ids"), F.col("_p") + 2,
+                F.greatest(F.size("ids") - F.col("_p") - 1, F.lit(0)),
+            ).alias("_partners"),
         )
+        .filter(F.size("_partners") > 0)
+    )
+    inter = (
+        pre.repartition(n_fan, "id_a")
+        .select("id_a", F.explode("_partners").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # join strategy pinned (guide §3.1): post-aggregation size ESTIMATES are
+    # garbage, and at sf1.0 the planner chose to broadcast `inter` — the pair
+    # table, the LARGEST relation in the query (up to max_shingle_freq^2/2
+    # rows per hot shingle) — which failed the build with >1 GB of serialized
+    # task results. `sizes` (one row per doc that kept any shingle) is the
+    # provably smaller side: broadcast it explicitly. Beyond broadcastable
+    # doc counts (~10^8), drop the hint and let AQE plan an SMJ from runtime
+    # sizes — but never leave the choice to pre-execution estimates here.
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(

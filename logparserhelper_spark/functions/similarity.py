@@ -53,15 +53,29 @@ def brute_force_topk(
     """Exact top-k by cosine per query: (query_id, neighbor_id, cos_sim,
     rank). Query set is broadcast; ties break by neighbor id (deterministic).
     Self-matches are excluded."""
+    # Norms are attached BEFORE the query cross-pairing: cosine referenced
+    # both norms inline, so each corpus norm was re-folded once per QUERY
+    # and each query norm once per CORPUS row (3 interpreted array folds
+    # per pair; higher-order-function lambdas never enter codegen). Staging
+    # them as columns leaves 1 fold (the dot product) per pair plus 1 norm
+    # per input row — same float ops in the same order per value, so
+    # cos_sim is bit-identical (norm value then divide, exactly as before).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qnorm", _norm(F.col("_qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+    ).withColumn("_cnorm", _norm(F.col("_cvec")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine_similarity_col(F.col("_cvec"), F.col("_qvec")), round_to))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("_cvec"), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm")),
+                round_to,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

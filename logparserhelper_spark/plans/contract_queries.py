@@ -80,6 +80,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scaled(df: DataFrame, *keys: str) -> DataFrame:
+    """Right-size the parallelism of a CPU-heavy stage (optimization guide
+    §2.5, "input skew: one huge unsplittable file ... repartition
+    immediately after the read"): the provided sf tables are single parquet
+    files with ONE row group each, so a scan plans 1-2 tasks no matter how
+    many cores the session has, and any expensive per-row work chained onto
+    it (Python-UDF extraction, shingling, per-word regex splits, cosine
+    folds) runs serially. When the scan's task count is below the session
+    core count, repartition on a deterministic key before the expensive
+    work — one exchange of the (small, by construction) under-split input.
+    With a many-file input (the 100-TB layout: maxPartitionBytes-sized
+    splits >= cores) the condition is false and this is a no-op: no extra
+    exchange is ever added to an already-parallel scan."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n * 2, *[F.col(k) for k in keys])
+
+
 def _cents(col) -> F.Column:
     """Engine-portable money aggregation unit (see module docstring)."""
     return F.round(col * 100, 0).cast("long")
@@ -92,7 +112,7 @@ def _cents(col) -> F.Column:
 
 
 def q_doc_pattern_coverage(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     bank = _word_bank()
     parsed = parse_and_explode(docs, bank)
     counts = (
@@ -120,7 +140,7 @@ GROUP BY b.pattern_name
 
 
 def q_doc_route_counts(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     bank = _word_bank()
     parsed = parse_and_explode(docs, bank)
     dim = bank_dim(spark, bank).select("pattern_id", "sink")
@@ -148,7 +168,7 @@ GROUP BY sink
 
 
 def q_doc_match_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     parsed = parse_and_explode(docs, _word_bank())
     per_doc = parsed.groupBy("doc_id").agg(
         F.count("pattern_id").cast("long").alias("n_matches")
@@ -228,13 +248,21 @@ def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # pre-aggregate lineitem to one row per order BEFORE the join (guide
+    # §2.3 "aggregate before you shuffle"): the join exchange then carries
+    # ~4x fewer rows (orders, not lineitems), and n_orders becomes a plain
+    # COUNT over the per-order rows instead of COUNT(DISTINCT o_orderkey) —
+    # dropping the distinct-aggregate's extra (custkey, orderkey) hash
+    # stage. Cents are integer-summed, so per-order partials re-sum to the
+    # identical per-customer total (oracle hash unchanged).
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_order_rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(rev).alias("revenue_cents"),
-            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum("_order_rev").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(10)
@@ -260,15 +288,23 @@ def q_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # same pre-aggregation as q_top_customers (guide §2.3): per-order
+    # partials shrink the join exchange from lineitems to orders; the
+    # per-region COUNT(*) of lineitems becomes a SUM of per-order counts —
+    # integer-exact, oracle hash unchanged.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_order_rev"),
+        F.count(F.lit(1)).alias("_order_lines"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(rev).alias("revenue_cents"),
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("_order_rev").alias("revenue_cents"),
+            F.sum("_order_lines").cast("long").alias("n_lineitems"),
         )
     )
 
@@ -615,7 +651,11 @@ def _docs_with_planted_dups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    # _scaled AFTER the union: one exchange of the (1.2x) union output
+    # rather than one per branch (filters push below a pre-union
+    # repartition, making the three branch exchanges canonically distinct
+    # — no runtime reuse, three shuffles of overlapping data)
+    return _scaled(d.unionByName(exact).unionByName(near), "doc_id")
 
 
 SQL_DOCS_PLANTED = """
@@ -842,7 +882,7 @@ FROM b
 
 
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = _scaled(_t(spark, sf, "embeddings"), "vec_id")
     queries = e.filter(F.col("vec_id") < 10)
     return brute_force_topk(e, queries, k=5).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
@@ -992,7 +1032,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     every SF (miss probability per true pair ≈ 1.2e-5 with these params)."""
     from logparserhelper_spark.functions.similarity import embedding_near_dup_pairs
 
-    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    e = _scaled(_t(spark, sf, "embeddings").select("vec_id", "embedding"), "vec_id")
     planted = e.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.concat(
@@ -1356,7 +1396,7 @@ def q_top_words(spark: SparkSession, sf: str) -> DataFrame:
     """Global top-k over a high-cardinality grouping: most frequent words
     across the corpus (partial aggregation map-side, one shuffle, then
     TakeOrderedAndProject)."""
-    d = _t(spark, sf, "documents")
+    d = _scaled(_t(spark, sf, "documents"), "doc_id")
     words = F.split(F.trim(F.lower("text")), r"\s+")
     return (
         d.filter(F.trim("text") != "")
@@ -1415,7 +1455,7 @@ def q_quality_topk_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     from logparserhelper_spark.functions.curation import quality_topk_per_group
     from logparserhelper_spark.functions.textstats import quality_score
 
-    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "lang", "text"), "doc_id")
     scored = quality_score(d).select("doc_id", "lang", "quality")
     return quality_topk_per_group(scored, "lang", "quality", k=5).select(
         "lang", "doc_id", "quality", "rnk"
@@ -1452,7 +1492,7 @@ def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     from logparserhelper_spark.functions.curation import pack_offsets
     from logparserhelper_spark.functions.textstats import token_count
 
-    d = _t(spark, sf, "documents").select(
+    d = _scaled(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     packed = pack_offsets(d, budget=2048, n_shards=16)
@@ -1515,7 +1555,7 @@ def q_char_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     aggregations, so DuckDB reproduces the score."""
     from logparserhelper_spark.functions.textstats import char_bigram_logprob
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     return char_bigram_logprob(d)
 
 
@@ -1547,7 +1587,7 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from logparserhelper_spark.functions.dedup import normalize_text_col
     from logparserhelper_spark.functions.textstats import lang_id, quality_score
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     scored = quality_score(lang_id(d))
     w = Window.partitionBy(normalize_text_col(F.col("text"))).orderBy("doc_id")
     flagged = scored.withColumn("_canon", F.row_number().over(w) == 1)
@@ -1693,7 +1733,7 @@ def q_udtf_matches(spark: SparkSession, sf: str) -> DataFrame:
     from logparserhelper_spark.operators.extract import make_regex_matches_udtf
 
     spark.udtf.register("regex_matches", make_regex_matches_udtf())
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     d.createOrReplaceTempView("_udtf_docs")
     # leftmost match via min_by(match, start): the UDTF's start positions
     # order the matches; DuckDB mirrors it as regexp_extract_all(...)[1]
@@ -1759,7 +1799,7 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     (doc_id % 97 == 0); only contaminated docs return."""
     from logparserhelper_spark.functions.curation import contamination_overlap
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return contamination_overlap(d, bench, n=5)
 
@@ -1786,7 +1826,7 @@ def q_named_capture_extract(spark: SparkSession, sf: str) -> DataFrame:
     projected to scalar columns for hash portability."""
     from logparserhelper_spark.operators.extract import with_named_captures
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     out = with_named_captures(d, NAMED_CAPTURE_PATTERN)
     return out.filter(F.col("captures").isNotNull()).select(
         "doc_id",
@@ -1932,7 +1972,7 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
         build = lru_cache(maxsize=256)(solid_media_payload)
         return ids.map(lambda i: build(int(i) % 256))
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     is_fake = F.col("doc_id") % 5 == 0
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -2357,7 +2397,7 @@ def q_frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
     the partition fan-out shape is what this pins."""
     from logparserhelper_spark.functions.multimodal import frame_sample_stub
 
-    d = _t(spark, sf, "documents").select("doc_id")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id"), "doc_id")
     media = d.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -2486,7 +2526,7 @@ SQL_LSH_TOPK = _lsh_topk_sql()
 
 
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     fp = fingerprint(d)
     return fp.select(
         "doc_id",
@@ -2536,7 +2576,7 @@ SQL_FINGERPRINT = _fingerprint_sql()
 
 
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = _scaled(_t(spark, sf, "embeddings"), "vec_id")
     queries = e.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(e, queries, k=5)
 
@@ -2580,7 +2620,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         load_centroid_fixture,
     )
 
-    e = _t(spark, sf, "embeddings")
+    e = _scaled(_t(spark, sf, "embeddings"), "vec_id")
     queries = e.filter(F.col("vec_id") < 10)
     return ivf_topk_exact(e, queries, load_centroid_fixture(), k=5, nprobe=3)
 
@@ -2699,7 +2739,7 @@ def q_token_stats_full(spark: SparkSession, sf: str) -> DataFrame:
     in one per-document row."""
     from logparserhelper_spark.functions.textstats import bpe_ish_token_count
 
-    d = _t(spark, sf, "documents")
+    d = _scaled(_t(spark, sf, "documents"), "doc_id")
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("int").alias("n_tokens"),
@@ -2724,7 +2764,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     functions/textstats.py). Repetition columns are NULL for empty docs."""
     from logparserhelper_spark.functions.textstats import repetition_stats
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     # quality + lang columns are row-wise: chain them in ONE scan (no join);
     # only the repetition aggregate needs its own subtree
     base = quality_score(lang_id(d)).select(
@@ -2806,7 +2846,7 @@ def q_doc_normalize_redact(spark: SparkSession, sf: str) -> DataFrame:
     row-wise, so they run in ONE scan — no self-join on doc_id."""
     from logparserhelper_spark.defaults import pii_transform_bank
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     tbank = TransformBank(
         entries=(
             TransformEntry(pattern=r"\bthe\b", replacement="<ART>"),
