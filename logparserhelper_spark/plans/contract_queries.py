@@ -92,12 +92,42 @@ def _scaled(df: DataFrame, *keys: str) -> DataFrame:
     work — one exchange of the (small, by construction) under-split input.
     With a many-file input (the 100-TB layout: maxPartitionBytes-sized
     splits >= cores) the condition is false and this is a no-op: no extra
-    exchange is ever added to an already-parallel scan."""
+    exchange is ever added to an already-parallel scan.
+
+    The scan task count is ESTIMATED from the input file sizes
+    (ceil(bytes / maxPartitionBytes) per file — openCostInBytes packing
+    ignored, which only over-estimates, i.e. errs toward the no-op side on
+    many-file inputs). The obvious probe, df.rdd.getNumPartitions(), pays
+    a ~1 s DataFrame->RDD conversion warm-up on its first use per session
+    — measured directly on the first scaled query of a bench run. The
+    repartition target is defaultParallelism, not 2x: these stages feed
+    Arrow-batched UDFs, and halving the rows per Python batch measured
+    slower (64 partitions: 1.35 s vs 32: 1.11 s vs 16: 0.98 s on the
+    6e5-row sf; 2x only helps stages with per-task imbalance, which a
+    hash repartition of uniform rows does not have)."""
+    import math
+    import os
+
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n * 2, *[F.col(k) for k in keys])
+    try:
+        mpb = int(str(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+    except ValueError:
+        mpb = 134217728
+    est = 0
+    try:
+        files = df.inputFiles()
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            est += max(1, math.ceil(os.path.getsize(path) / mpb))
+            if est >= n:
+                return df
+    except OSError:
+        # non-local storage: fall back to the (lazier but exact) RDD probe
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    return df.repartition(n, *[F.col(k) for k in keys])
 
 
 def _cents(col) -> F.Column:
@@ -142,14 +172,28 @@ GROUP BY b.pattern_name
 def q_doc_route_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = _scaled(_t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     bank = _word_bank()
-    parsed = parse_and_explode(docs, bank)
-    dim = bank_dim(spark, bank).select("pattern_id", "sink")
-    routed = parsed.join(F.broadcast(dim), "pattern_id", "left").withColumn(
-        "sink", F.coalesce(F.col("sink"), F.lit("unmatched"))
+    # per-doc DISTINCT sink set computed in-row from the spans array (the
+    # sink_pattern_freq_from_turns trick): pattern_id -> sink is a literal
+    # map (the bank is O(10) entries), array_distinct collapses multiplicity
+    # JVM-side, and the big (doc_id, sink) DISTINCT exchange disappears —
+    # the only shuffle left is the final groupBy(sink). Identical result:
+    # explode_outer + left-join + distinct counted exactly one row per
+    # (doc, distinct sink), with 'unmatched' for span-less docs.
+    from logparserhelper_spark.operators.extract import with_spans
+
+    spans_df = with_spans(docs, bank)
+    sink_map = F.create_map(
+        *[x for e in bank.entries for x in (F.lit(e.pattern_id), F.lit(e.sink))]
+    )
+    sink_set = F.when(
+        # <= 0 also catches a null spans array (size = -1): such a doc must
+        # count as unmatched, exactly like explode_outer's null row did
+        F.size("spans") <= 0, F.array(F.lit("unmatched"))
+    ).otherwise(
+        F.array_distinct(F.transform("spans", lambda s: sink_map[s["pattern_id"]]))
     )
     return (
-        routed.select("doc_id", "sink")
-        .distinct()
+        spans_df.select(F.explode(sink_set).alias("sink"))
         .groupBy("sink")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
