@@ -186,15 +186,18 @@ def ngram_jaccard_pairs(
     #    hash map is bounded by one doc's partner set (<= sz * cap), and the
     #    size joins + threshold filter run map-side in the same stage.
     #
-    # Both explicit repartitions are cores-scaled and AQE-exempt: byte-based
-    # coalescing sees only the small posting-list table feeding the fan-out
-    # and would collapse this CPU-bound stage to a handful of tasks
-    # (measured 2.2x slower end-to-end; same lesson as the pipeline's parse
-    # stage, pipeline.py parse_partitions).
+    # The id_a repartition is cores-scaled and AQE-exempt: byte-based
+    # coalescing sees only small posting-list/partner bytes feeding the
+    # CPU-bound fan-out+aggregate stage and would collapse it to a handful
+    # of tasks (same lesson as the pipeline's parse stage, pipeline.py
+    # parse_partitions). A matching explicit repartition on the shingle
+    # side was measured a wash and dropped: with the same key and count as
+    # the groupBy's exchange it is elided outright, and forcing a distinct
+    # count bought nothing — the slice pass is cheap relative to the
+    # downstream aggregate.
     n_fan = df.sparkSession.sparkContext.defaultParallelism * 2
     pre = (
-        grouped.repartition(n_fan, "shingle")
-        .select(F.posexplode("ids").alias("_p", "id_a"), "ids")
+        grouped.select(F.posexplode("ids").alias("_p", "id_a"), "ids")
         .select(
             "id_a",
             F.slice(
