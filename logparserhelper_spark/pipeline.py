@@ -457,30 +457,45 @@ def _publish(spark: SparkSession, cfg: PipelineConfig) -> None:
     partial_dir = os.path.join(cfg.out_dir, "aggregates", "_partials")
     out = os.path.join(cfg.out_dir, "aggregates")
 
-    freq = spark.read.parquet(os.path.join(partial_dir, "sink_pattern_freq"))
-    (
-        freq.groupBy("sink", "pattern_id", "pattern_name")
-        .agg(F.sum("n_matches").alias("n_matches"), F.sum("n_turns").alias("n_turns"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "sink_pattern_freq"))
-    )
-    cr = spark.read.parquet(os.path.join(partial_dir, "conv_rollup"))
-    final_cr = cr.groupBy("conv_id").agg(
-        F.sum("n_turns").alias("n_turns"),
-        F.max("max_turn_idx").alias("max_turn_idx"),
-        F.min("first_ts").alias("first_ts"),
-        F.max("last_ts").alias("last_ts"),
-        F.sum("n_spans").alias("n_spans"),
-        F.sum("n_matched_turns").alias("n_matched_turns"),
-    )
-    final_cr.write.mode("overwrite").parquet(os.path.join(out, "conv_rollup"))
-    # kept as its own table for output-contract stability
-    (
-        final_cr.select("conv_id", "n_spans", "n_matched_turns")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "conv_match_rollup"))
-    )
+    # the two merge trees are independent — submit them from threads so the
+    # second job's tasks back-fill the first's tail (guide §2.6; the same
+    # pattern as _run_bucket's read-back jobs)
+    def _freq_merge() -> None:
+        freq = spark.read.parquet(os.path.join(partial_dir, "sink_pattern_freq"))
+        (
+            freq.groupBy("sink", "pattern_id", "pattern_name")
+            .agg(F.sum("n_matches").alias("n_matches"), F.sum("n_turns").alias("n_turns"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "sink_pattern_freq"))
+        )
+
+    def _rollup_merge() -> None:
+        cr = spark.read.parquet(os.path.join(partial_dir, "conv_rollup"))
+        final_cr = cr.groupBy("conv_id").agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_matched_turns").alias("n_matched_turns"),
+        )
+        final_cr.write.mode("overwrite").parquet(os.path.join(out, "conv_rollup"))
+        # kept as its own table for output-contract stability; derived from
+        # the just-written conv_rollup (a pruned 3-column read-back) instead
+        # of re-running the partial merge a second time
+        (
+            spark.read.parquet(os.path.join(out, "conv_rollup"))
+            .select("conv_id", "n_spans", "n_matched_turns")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "conv_match_rollup"))
+        )
+
+    jobs = [_freq_merge, _rollup_merge]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
 
 
 def reset_output(cfg: PipelineConfig) -> None:
