@@ -125,16 +125,26 @@ def load_centroid_fixture(path: str | None = None) -> np.ndarray:
     return np.array(doc["centroids"], dtype=np.float64)
 
 
-def _fold_dot(vec_col, centroid: np.ndarray):
+def _lit_d(x: float) -> str:
+    """A double literal in SQL text that round-trips the value exactly
+    (repr is shortest-round-trip; D suffix keeps the parser in DOUBLE)."""
+    r = repr(float(x))
+    return f"{r}D" if ("e" not in r and "E" not in r) else f"CAST('{r}' AS DOUBLE)"
+
+
+def _fold_dot_sql(vec: str, centroid: np.ndarray) -> str:
     """Sequential left-fold dot product of an array column with a literal
     centroid — the same fold DuckDB's list_sum performs, so the resulting
     double is bit-identical on both sides (the property the lsh_topk oracle
-    established for SRP keys)."""
-    lits = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    established for SRP keys). Emitted as SQL text: the per-element F.lit
+    Column form cost one py4j round-trip per centroid element at DataFrame
+    BUILD time (driver-side seconds for k x dim literals; same lesson as
+    similarity.srp_bucket_key)."""
+    arr = ", ".join(_lit_d(x) for x in centroid)
+    return (
+        f"aggregate(zip_with({vec}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -142,14 +152,14 @@ def centroid_dots(vec_col, centroids: np.ndarray):
     """array<struct<d: double, nj: int>> of (dot, -index) per centroid.
     ``array_max`` / descending ``sort_array`` on it order by dot first, then
     by -index — i.e. ties break toward the LOWEST centroid index, matching
-    the oracle's ORDER BY dot DESC, j ASC."""
-    return F.array(*[
-        F.struct(
-            _fold_dot(vec_col, centroids[j]).alias("d"),
-            F.lit(-j).alias("nj"),
-        )
+    the oracle's ORDER BY dot DESC, j ASC. ``vec_col`` may be a column name
+    or Column (simple attribute) — the expression is built textually."""
+    vec = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    entries = ", ".join(
+        f"named_struct('d', {_fold_dot_sql(vec, centroids[j])}, 'nj', {-j})"
         for j in range(centroids.shape[0])
-    ])
+    )
+    return F.expr(f"array({entries})")
 
 
 def ivf_topk_exact(

@@ -89,15 +89,36 @@ def brute_force_topk(
 
 def srp_bucket_key(vec_col, planes: np.ndarray):
     """Sign-bit bucket key from fixed hyperplanes: bit i = (v . plane_i) > 0.
-    Planes are embedded as literals (small: n_bits x dim doubles)."""
+    Planes are embedded as literals (small: n_bits x dim doubles).
+
+    Built as ONE parsed SQL expression instead of per-element ``F.lit``
+    Column algebra: the literal planes are n_bits x dim doubles, and the
+    Column form issued a py4j round-trip per element — tens of thousands
+    per query — putting 2-3 s of DRIVER time into DataFrame construction
+    before any job ran (measured: embedding_near_dup build 3.0 s, exec
+    2.0 s). The SQL text is one round-trip; the parsed expression tree is
+    identical (same zip_with/aggregate fold, same cast placement, same
+    int bit weights), so keys — and therefore candidate sets and results
+    — are unchanged. ``vec_col`` is a column NAME (the expression is
+    textual)."""
+    vec = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+
+    def lit_d(x: float) -> str:
+        # repr round-trips the double exactly; the D suffix keeps Spark's
+        # parser in DOUBLE (a bare fractional literal parses as DECIMAL)
+        r = repr(float(x))
+        return f"{r}D" if ("e" not in r and "E" not in r) else f"CAST('{r}' AS DOUBLE)"
+
     bits = []
     for i in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bits.append(F.when(_dot(vec_col, plane) > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i))
-    key = bits[0]
-    for b in bits[1:]:
-        key = key + b
-    return key
+        arr = ", ".join(lit_d(x) for x in planes[i])
+        dot = (
+            f"aggregate(zip_with({vec}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) * {2 ** i}")
+    return F.expr(" + ".join(bits))
 
 
 def embedding_near_dup_pairs(
@@ -124,27 +145,42 @@ def embedding_near_dup_pairs(
     together to hold recall while keeping buckets small."""
     rs = np.random.RandomState(seed)
     tables = [rs.normal(size=(n_bits, dim)) for _ in range(n_tables)]
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    # norm computed once per INPUT row and carried with the vector: cosine
+    # per candidate pair then costs one interpreted fold (the dot) instead
+    # of three — same float value, same op order (norm then divide), so
+    # cos_sim is bit-identical to the inline form
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
     keys = [
         F.struct(F.lit(t).alias("t"), srp_bucket_key(F.col("_v"), tables[t]).alias("key"))
         for t in range(n_tables)
     ]
-    keyed = base.select("id", "_v", F.explode(F.array(*keys)).alias("bk")).select(
-        "id", "_v", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    keyed = base.select("id", "_v", "_n", F.explode(F.array(*keys)).alias("bk")).select(
+        "id", "_v", "_n", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
     )
-    a = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "t", "key")
-    b = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "t", "key")
+    a = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"), "t", "key")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"), "t", "key")
     # dedup multi-table collisions with one shuffle (groupBy carries the
     # vectors along instead of re-joining them after a distinct)
     cand = (
         a.join(b, ["t", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.first("_va").alias("_va"), F.first("_vb").alias("_vb"))
+        .agg(
+            F.first("_va").alias("_va"), F.first("_vb").alias("_vb"),
+            F.first("_na").alias("_na"), F.first("_nb").alias("_nb"),
+        )
     )
     return (
         cand.withColumn(
-            "cos_sim", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), round_to)
+            "cos_sim",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_to,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -170,26 +206,42 @@ def lsh_bucketed_topk(
     tables = [rs.normal(size=(n_bits, dim)) for _ in range(n_tables)]
 
     def keyed(df: DataFrame, idc: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"_{idc}_vec"))
+        # norm staged once per input row (bit-identical cosine; see
+        # embedding_near_dup_pairs) — one fold per candidate, not three
+        out = df.select(
+            F.col(id_col).alias(idc), F.col(vec_col).alias(f"_{idc}_vec")
+        ).withColumn(f"_{idc}_norm", _norm(F.col(f"_{idc}_vec")))
         keys = [
             F.struct(F.lit(t).alias("t"), srp_bucket_key(F.col(f"_{idc}_vec"), tables[t]).alias("key"))
             for t in range(n_tables)
         ]
-        return out.select(idc, f"_{idc}_vec", F.explode(F.array(*keys)).alias("bk")).select(
-            idc, f"_{idc}_vec", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+        return out.select(
+            idc, f"_{idc}_vec", f"_{idc}_norm", F.explode(F.array(*keys)).alias("bk")
+        ).select(
+            idc, f"_{idc}_vec", f"_{idc}_norm",
+            F.col("bk.t").alias("t"), F.col("bk.key").alias("key"),
         )
 
     cq = keyed(queries, "query_id")
     cc = keyed(corpus, "neighbor_id")
+    # the norm columns are functions of the vector columns, so carrying
+    # them through the DISTINCT cannot change its row set
     cand = (
         cc.join(F.broadcast(cq), ["t", "key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "_query_id_vec", "neighbor_id", "_neighbor_id_vec")
+        .select(
+            "query_id", "_query_id_vec", "_query_id_norm",
+            "neighbor_id", "_neighbor_id_vec", "_neighbor_id_norm",
+        )
         .distinct()
     )
     scored = cand.withColumn(
         "cos_sim",
-        F.round(cosine_similarity_col(F.col("_neighbor_id_vec"), F.col("_query_id_vec")), round_to),
+        F.round(
+            _dot(F.col("_neighbor_id_vec"), F.col("_query_id_vec"))
+            / (F.col("_neighbor_id_norm") * F.col("_query_id_norm")),
+            round_to,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
