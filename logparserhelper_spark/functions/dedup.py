@@ -351,6 +351,9 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
         )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round_{rounds}")
         new_labels = (
             stepped.join(jump, stepped._cand == jump._jid, "left")
             .select(
@@ -363,9 +366,13 @@ def connected_components(
                     < F.col("_old")
                 ).alias("_changed"),
             )
+            # the convergence count rides the checkpoint's materialization
+            # job via observe() instead of a separate count() action —
+            # one job per round, not two
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n"))
             .localCheckpoint()
         )
-        n_changed = new_labels.filter(F.col("_changed")).count()
+        n_changed = int(obs.get.get("n") or 0)
         # the new round is materialized; drop the previous round's blocks
         # instead of accumulating max_iters label copies in storage
         labels.unpersist()

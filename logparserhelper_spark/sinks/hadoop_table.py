@@ -1467,7 +1467,13 @@ def _harvest_sketches(pf, cols: list[str], k: int) -> dict[str, dict[str, Any]]:
             # sorted-merge + dedup, then prune: keeping the k smallest
             # seen so far can never evict a member of the global bottom-k
             hs = np.union1d(hs, got[1])[: max(k, 1)]
-        if bad or hs.size == 0:
+        if bad or kind is None:
+            # kind is None only when no batch yielded an eligible array
+            # (0-row file): nothing to record. An eligible column whose
+            # file is entirely NULL keeps kind (type-derived) and emits
+            # an EMPTY sketch (h='') — the file is then 'covered' with
+            # zero distinct contribution in _column_statistics, instead
+            # of silently forfeiting ndv_exact for the whole column.
             continue
         out[c] = {
             "algo": _KMV_ALGO,
@@ -6407,7 +6413,31 @@ class HadoopTable:
                     for c in (m_z.group("c") if m_z else order).split(",")
                     if c.strip()
                 ]
-                if m_z:
+                # the property names CURRENT schema columns (it is not
+                # rewritten by RENAME/DROP COLUMN, same as blooms); after
+                # such DDL — or a raw SET TBLPROPERTIES typo — it may name
+                # columns the schema no longer has. The property is
+                # ADVISORY (unlike Iceberg's id-based sort-order metadata,
+                # which survives renames), so a stale value degrades to
+                # bin-pack with a warning instead of making every
+                # compact()/maintain() raise until the property is fixed.
+                cur_cols = {
+                    f["name"]
+                    for f in json.loads(self.snapshot().schema_json)["fields"]
+                }
+                missing = [c for c in cols if c not in cur_cols]
+                if missing:
+                    import warnings
+
+                    warnings.warn(
+                        f"write.sort.order={order!r} names column(s) "
+                        f"{missing} absent from the current schema "
+                        "(renamed or dropped?) — falling back to bin-pack "
+                        "compaction; update the property via ALTER TABLE "
+                        "... WRITE ORDERED BY",
+                        stacklevel=2,
+                    )
+                elif m_z:
                     zorder_by = cols
                 else:
                     sort_by = cols

@@ -554,7 +554,15 @@ def streaming_segment_dedup(
     foreachBatch (documents are complete within their batch). State is
     one boolean per distinct eligible segment — the same footprint as
     the batch op's shuffle keys; long-running frontiers bound it with
-    the engine's state TTL."""
+    the engine's state TTL.
+
+    Long-id contract: the emitted ``doc_id`` is LongType, so rows whose
+    id does not cast to long are dropped (quarantine semantics) rather
+    than passed through as nulls — a non-numeric string id previously
+    survived the pre-cast isNotNull filter and crashed ``first_seen``
+    mid-stream. Corpora with string ids should map them to longs
+    upstream (the batch twin, segments.segment_dedup, keeps the
+    original id type)."""
     from logparserhelper_spark.functions.segments import segment_rows
 
     _SENTINEL = "\x00exempt\x00"
@@ -563,7 +571,9 @@ def streaming_segment_dedup(
         text_col, id_col, sep, chunk_words, min_chars,
     )
     keyed = segs.select(
-        F.col("_id").cast("long").alias("doc_id"),
+        # try_cast, not cast: under ANSI mode a malformed string id would
+        # throw mid-stream; the contract is quarantine (drop), not crash
+        F.col("_id").try_cast("long").alias("doc_id"),
         F.col("_pos").cast("int").alias("pos"),
         F.col("_seg").alias("segment"),
         F.when(
@@ -576,7 +586,7 @@ def streaming_segment_dedup(
                 F.col("_pos").cast("string"),
             )
         ).alias("dedup_key"),
-    )
+    ).filter(F.col("doc_id").isNotNull())
 
     out_schema = T.StructType(
         [

@@ -961,3 +961,58 @@ def test_streaming_segment_dedup_checkpoint_restart(spark, tmp_path):
     second = run("seg2_run2")
     # the recovered state suppresses 'shared line'; only the new emits
     assert second == {(2, 1, "brand new line")}
+
+
+def test_streaming_segment_dedup_non_numeric_ids_dropped(spark, tmp_path):
+    """Long-id contract (docstring): a doc id that does not cast to long
+    is DROPPED before keying — it must not crash first_seen mid-stream
+    (it previously passed the pre-cast isNotNull filter, became null,
+    and int(head['doc_id']) raised) — while numeric STRING ids cast and
+    flow through normally."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logparserhelper_spark.streaming.stateful import (
+        streaming_segment_dedup,
+    )
+
+    sdir = str(tmp_path / "seg_strid")
+    os.makedirs(sdir)
+    t = pa.table(
+        {
+            "doc_id": ["7", "not-a-number", "8"],
+            "text": ["alpha beta\ngamma", "alpha beta\ndelta", "epsilon zeta"],
+        }
+    )
+    p = os.path.join(sdir, "a.parquet")
+    pq.write_table(t, p)
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    out = streaming_segment_dedup(stream, sep="\n", min_chars=1)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("seg_dedup_strid")
+        .option("checkpointLocation", str(tmp_path / "seg_strid_ckpt"))
+        .start()
+    )
+    _drain(q)
+    emitted = {
+        (r.doc_id, r.pos, r.segment)
+        for r in spark.sql("SELECT * FROM seg_dedup_strid").collect()
+    }
+    # the unparseable id's segments are gone (incl. its copy of the
+    # shared 'alpha beta' key — a dropped row must not claim state);
+    # numeric-string ids cast and dedup normally
+    assert emitted == {
+        (7, 0, "alpha beta"),
+        (7, 1, "gamma"),
+        (8, 0, "epsilon zeta"),
+    }

@@ -375,3 +375,39 @@ def test_show_create_table_round_trips(spark, tmp_path):
     assert sa == sb
     assert spec_to_json(a.spec) == spec_to_json(b.spec)
     assert HadoopTable(spark, dst).properties()["history.keep-last"] == "7"
+
+
+def test_stale_sort_order_property_degrades_to_binpack(spark, tmp_path):
+    """write.sort.order names CURRENT schema columns and is not rewritten
+    by RENAME COLUMN (same as blooms): after a rename — or a raw SET
+    TBLPROPERTIES pointing at a never-existing column — compact() must
+    fall back to bin-pack with a warning (the property is advisory), not
+    raise on every maintenance call until the property is fixed."""
+    import warnings
+
+    from logparserhelper_spark.sinks.hadoop_table import HadoopTable
+
+    loc = str(tmp_path / "tstale")
+    t = HadoopTable(spark, loc)
+    for r in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(r, 300, 3)], "id long"
+            ).coalesce(1)
+        )
+    table_sql(spark, f"ALTER TABLE '{loc}' WRITE ORDERED BY id")
+    table_sql(spark, f"ALTER TABLE '{loc}' RENAME COLUMN id TO ident")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.compact(target_file_bytes=1 << 20)  # must not raise
+    assert any("write.sort.order" in str(x.message) for x in w)
+    # content survives the bin-pack rewrite untouched
+    got = sorted(r.ident for r in t.read().collect())
+    assert got == sorted(range(0, 300))
+    # fixing the property via DDL restores sorted compaction
+    table_sql(spark, f"ALTER TABLE '{loc}' WRITE ORDERED BY ident")
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        t.compact(target_file_bytes=8 << 10)
+    assert not any("write.sort.order" in str(x.message) for x in w2)
+    assert len(t.plan_files(predicate=[("ident", "=", 7)])) == 1

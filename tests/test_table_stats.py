@@ -426,3 +426,34 @@ def test_sketch_harvest_never_fails_a_commit(spark, tmp_path):
     sk = _harvest_sketches(pq.ParquetFile(os.path.join(src, "part-0.parquet")),
                            ["id", "ts"], 64)
     assert set(sk) == {"id", "ts"}
+
+
+def test_all_null_file_still_covered(spark, tmp_path):
+    """An eligible sketched column whose file is ENTIRELY null emits an
+    empty sketch (h=''), so the file counts as covered-with-zero-
+    contribution: ndv stays exact instead of silently degrading to a
+    partial-coverage None/estimate."""
+    loc = str(tmp_path / "tnullcov")
+    t = create_table_at(
+        spark,
+        loc,
+        "id long, u string",
+        properties={"write.metadata.ndv-sketch-columns": "id,u"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"u-{i % 5}") for i in range(40)], "id long, u string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, None) for i in range(10)], "id long, u string"
+        ).coalesce(1)
+    )
+    post = [f for f in t.snapshot().data_files if f.sketches]
+    nullf = [f for f in post if (f.stats or {}).get("u", {}).get("nulls") == 10]
+    assert nullf and nullf[0].sketches["u"]["h"] == ""  # empty, not absent
+    s = _stats(t)
+    assert s["u"]["ndv"] == 5 and s["u"]["ndv_exact"]
+    assert s["u"]["null_count"] == 10
+    assert s["id"]["ndv"] == 50 and s["id"]["ndv_exact"]
