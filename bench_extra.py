@@ -40,6 +40,49 @@ HEADLINE_QUERIES = [
 ]
 
 
+def _hw_work(args):
+    from logparserhelper_spark.banks import get_compiled_bank
+
+    spec, chunk = args
+    cb = get_compiled_bank(spec)
+    n = 0
+    for t in chunk:
+        n += len(cb.extract(t))
+    return n
+
+
+def hw_calibrate(n_rows: int = 60000) -> dict:
+    """Box-state calibration (the r8 verdict's self-evidencing ask, hosted
+    here because bench.py is frozen for measurement): the embarrassingly-
+    parallel compiled-regex ceiling of THIS machine at 1 and 8 procs over
+    deterministic synthetic lines — plain multiprocessing, no Spark, the
+    same probe scripts/scaling_run.py gates on. ``box_eff`` near 1.0 means
+    a quiet window; the box's documented noisy states read 0.5-0.85.
+    Emit next to any bench number you intend to compare across sessions."""
+    import multiprocessing as mp
+
+    from logparserhelper_spark.defaults import default_pattern_bank
+
+    spec = default_pattern_bank().spec()
+    texts = [
+        f"turn {i}: at 2025-06-{i % 28 + 1:02d}T0{i % 10}:1{i % 6}:2{i % 9} "
+        f"tool={i % 7} value {i * 37 % 1000} ok"
+        for i in range(n_rows)
+    ]
+    rates = {}
+    for nproc in (1, 8):
+        chunks = [texts[i::nproc] for i in range(nproc)]
+        with mp.Pool(nproc) as p:
+            t0 = time.monotonic()
+            p.map(_hw_work, [(spec, c) for c in chunks])
+            rates[nproc] = round(len(texts) / (time.monotonic() - t0))
+    return {
+        "box_hw_1p": rates[1],
+        "box_hw_8p": rates[8],
+        "box_eff": round(rates[8] / rates[1] / 8, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=None)
@@ -47,7 +90,15 @@ def main() -> None:
     ap.add_argument("--suffix", default=None, help="e.g. before/after: dump plans")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--calibrate", action="store_true",
+        help="print the hw box-state probe (no Spark) and exit",
+    )
     a = ap.parse_args()
+
+    if a.calibrate:
+        print(json.dumps(hw_calibrate()))
+        return
 
     names = a.queries.split(",") if a.queries else HEADLINE_QUERIES
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
